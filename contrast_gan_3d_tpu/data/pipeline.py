@@ -1,0 +1,124 @@
+"""Async host->device input pipeline.
+
+TPU-native replacement for batchgenerators' ``NonDetMultiThreadedAugmenter``
+worker-process stack (reference ``trainer/utils.py:44-107``): the heavy
+augmentation moved onto the TPU (``data/augment.py``), so the host only has to
+mmap-read int16 patches and ship them to HBM. A small thread pool keeps a
+bounded queue of ready batches (mmap page-in releases the GIL) and each batch
+is ``jax.device_put`` ahead of time so the H2D DMA overlaps with the previous
+step's compute — the JAX analogue of pinned-memory non_blocking copies
+(reference Trainer.py:165-167).
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+
+from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+class PrefetchLoader:
+    """Wrap a sampler with background prefetch + eager device transfer."""
+
+    def __init__(
+        self,
+        sampler: CCTAPatchSampler,
+        num_threads: int = 2,
+        prefetch: int = 3,
+        device: Optional[jax.Device] = None,
+        to_device: bool = True,
+    ):
+        self.sampler = sampler
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.device = device
+        self.to_device = to_device
+        self._queue: Optional[queue.Queue] = None
+        self._threads = []
+        self._stop = threading.Event()
+
+    # -- lifecycle (reference augmenters use restart/_finish) -------------
+    def start(self):
+        if self._threads:
+            return
+        self._stop.clear()
+        self._queue = queue.Queue(maxsize=self.prefetch)
+        for i in range(self.num_threads):
+            t = threading.Thread(target=self._worker, name=f"prefetch-{i}", daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self):
+        self._stop.set()
+        if self._queue is not None:
+            # drain so workers blocked on put() can observe the stop flag
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=5)
+        self._threads = []
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self.sampler.next_batch()
+            if self.to_device:
+                batch = dict(batch)
+                put = (
+                    (lambda x: jax.device_put(x, self.device))
+                    if self.device is not None
+                    else jax.device_put
+                )
+                batch["data"] = put(batch["data"])
+                batch["seg"] = put(batch["seg"])
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    # -- iteration ---------------------------------------------------------
+    def __next__(self) -> Dict:
+        if not self._threads:
+            self.start()
+        while True:
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration
+                continue
+
+    def __iter__(self) -> Iterator[Dict]:
+        return self
+
+
+def create_loaders(
+    fold,
+    patch_shape,
+    batch_sizes: Dict[int, int],
+    rng,
+    num_threads: int = 2,
+    prefetch: int = 3,
+    to_device: bool = True,
+) -> Dict[int, PrefetchLoader]:
+    """One prefetching loader per ScanType label in the fold (reference
+    ``create_dataloaders``, trainer/utils.py:44-107)."""
+    from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
+
+    by_label = divide_scans_in_fold(fold)
+    loaders = {}
+    for label, paths in by_label.items():
+        sampler = CCTAPatchSampler(paths, patch_shape, batch_sizes[label], rng=rng)
+        loaders[label] = PrefetchLoader(
+            sampler, num_threads=num_threads, prefetch=prefetch, to_device=to_device
+        )
+    return loaders

@@ -1,0 +1,95 @@
+"""Offline preprocessing: one packed, memory-mappable array per patient.
+
+Capability parity with reference ``contrast_gan_3D/data/utils.py:20-54``
+(``create_patient`` / ``load_patient``): load the scan, rasterize its
+centerlines into a binary mask, stack scan+mask into one (W, H, D, 2) int16
+array saved as ``.npy`` plus a metadata pickle (spacing, offset, ostia,
+centerlines, name). Training then random-crops patches straight out of the
+memory-mapped file — only the cropped pages are read from disk.
+
+Design departure from the reference: the packed array is int16 (scan) /
+0-1 int16 (mask) rather than implicit float; HU scaling happens ON DEVICE in
+the jitted train step, so host->HBM transfers ship int16 (half the bytes of
+float32).
+"""
+
+import pickle
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+
+from contrast_gan_3d_tpu.utils import geometry as geom
+from contrast_gan_3d_tpu.utils import io_utils
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+def create_patient(
+    ccta_path,
+    centerlines_dir,
+    ostia_path,
+    out_dir,
+) -> Path:
+    """Preprocess one patient into ``<out_dir>/<name>.npy`` + ``<name>_meta.pkl``."""
+    logger.info("Preprocessing '%s'...", str(ccta_path))
+    volume, meta = io_utils.load_scan(ccta_path)  # (W, H, D) int16
+    ostia_world, _ = io_utils.load_mevis_coords(ostia_path)  # (2, 3)
+    centerlines_world = io_utils.load_centerlines(centerlines_dir)  # (N, 4)
+
+    centerlines_mask = geom.world_to_grid_coords(
+        centerlines_world[..., :3], meta["offset"], meta["spacing"], volume.shape
+    )
+    scan_and_mask = np.stack(
+        [volume, centerlines_mask.astype(np.int16)], axis=-1
+    )  # (W, H, D, 2)
+
+    out_dir = Path(out_dir).resolve()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = io_utils.stem(ccta_path)
+    out_path = out_dir / f"{name}.npy"
+    np.save(out_path, scan_and_mask)
+    meta = dict(meta) | {
+        "ostia_world": ostia_world,
+        "centerlines_world": centerlines_world,
+        "name": name,
+    }
+    with open(out_dir / f"{name}_meta.pkl", "wb") as fd:
+        pickle.dump(meta, fd)
+    logger.info("Created patient '%s'", str(out_path))
+    return out_path
+
+
+def write_patient(
+    volume: np.ndarray,
+    centerlines_mask: np.ndarray,
+    meta: Dict,
+    name: str,
+    out_dir,
+) -> Path:
+    """Lower-level variant of :func:`create_patient` for already-loaded data
+    (used by tests and synthetic-data generation)."""
+    out_dir = Path(out_dir).resolve()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    scan_and_mask = np.stack(
+        [volume.astype(np.int16), centerlines_mask.astype(np.int16)], axis=-1
+    )
+    out_path = out_dir / f"{name}.npy"
+    np.save(out_path, scan_and_mask)
+    with open(out_dir / f"{name}_meta.pkl", "wb") as fd:
+        pickle.dump(dict(meta) | {"name": name}, fd)
+    return out_path
+
+
+def load_patient(patient_path) -> Tuple[np.ndarray, Dict]:
+    """mmap-load a preprocessed patient: ((W, H, D, 2) memmap, meta dict).
+    ``patient_path`` may or may not carry the .npy suffix (reference
+    ``load_patient``, data/utils.py:50-54)."""
+    path = str(patient_path)
+    if path.endswith(".npy"):
+        path = path[: -len(".npy")]
+    data = np.load(path + ".npy", mmap_mode="r")
+    with open(path + "_meta.pkl", "rb") as fd:
+        meta = pickle.load(fd)
+    return data, meta

@@ -1,0 +1,137 @@
+"""Host-side patch sampling from memory-mapped patients.
+
+Capability parity with reference ``contrast_gan_3D/data/CCTADataLoader.py``:
+per item, mmap-load a patient, pad to >= patch size and random-crop a 3D patch
+of scan+centerline-mask jointly (:76-92); in 2D mode, 50% of the time pick a
+slice through a random centerline point (guaranteed-vessel sampling, :51-69)
+else a random slice. One sampler per ScanType stream.
+
+TPU-first departures: patches stay int16 (mask int16 0/1) — f32 cast, HU
+scaling and spatial augmentation happen on device inside the jitted train
+step — and the multi-process batchgenerators augmenter stack is replaced by a
+thin thread-based prefetcher (``pipeline.py``): mmap page-in releases the GIL,
+and the heavy augmentation work has moved to the TPU.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from contrast_gan_3d_tpu.data.preprocess import load_patient
+from contrast_gan_3d_tpu.utils import geometry as geom
+
+
+def _pad_to(volume: np.ndarray, target: Sequence[int]) -> np.ndarray:
+    """Center-pad the leading len(target) dims up to ``target`` (zeros)."""
+    pads = []
+    for i, t in enumerate(target):
+        missing = max(0, t - volume.shape[i])
+        pads.append((missing // 2, missing - missing // 2))
+    pads += [(0, 0)] * (volume.ndim - len(target))
+    if any(p != (0, 0) for p in pads):
+        volume = np.pad(volume, pads)
+    return volume
+
+
+class CCTAPatchSampler:
+    """Infinite random patch sampler over one ScanType's patient list."""
+
+    def __init__(
+        self,
+        paths: List[str],
+        patch_shape: Sequence[int],
+        batch_size: int,
+        rng: Optional[np.random.Generator] = None,
+        shuffle: bool = True,
+        infinite: bool = True,
+    ):
+        assert len(paths) > 0, "empty patient list"
+        self.paths = list(paths)
+        self.patch_shape = tuple(int(p) for p in patch_shape)
+        self.is_2d = len(self.patch_shape) < 3
+        self.batch_size = int(batch_size)
+        self.rng = rng or np.random.default_rng()
+        self.shuffle = shuffle
+        self.infinite = infinite
+        self._order: List[int] = []
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _next_indices(self) -> List[int]:
+        out = []
+        while len(out) < self.batch_size:
+            if not self._order:
+                self._order = list(range(len(self.paths)))
+                if self.shuffle:
+                    self.rng.shuffle(self._order)
+            out.append(self._order.pop())
+        return out
+
+    # ------------------------------------------------------------------
+    def _sample_3d(self, data_and_seg: np.ndarray, meta: Dict) -> np.ndarray:
+        target = geom.np.broadcast_to(np.asarray(self.patch_shape), (3,))
+        padded_shape = np.maximum(data_and_seg.shape[:3], target)
+        starts = [
+            int(self.rng.integers(0, padded_shape[i] - target[i] + 1)) for i in range(3)
+        ]
+        # crop from the (virtually) padded volume: compute the overlap of the
+        # crop window with the real data, read only those pages from the mmap
+        out = np.zeros((*target, 2), dtype=np.int16)
+        src_slices, dst_slices = [], []
+        for i in range(3):
+            off = (padded_shape[i] - data_and_seg.shape[i]) // 2  # center pad
+            s = starts[i] - off
+            src_lo, src_hi = max(0, s), min(data_and_seg.shape[i], s + target[i])
+            dst_lo = src_lo - s
+            src_slices.append(slice(src_lo, src_hi))
+            dst_slices.append(slice(dst_lo, dst_lo + (src_hi - src_lo)))
+        out[tuple(dst_slices)] = data_and_seg[tuple(src_slices)]
+        return out
+
+    def _sample_2d(self, data_and_seg: np.ndarray, meta: Dict) -> np.ndarray:
+        """50%: slice through a random centerline point, cropped around it;
+        50%: random z slice, random crop (reference CCTADataLoader.py:51-69)."""
+        W, H, D = data_and_seg.shape[:3]
+        pw, ph = self.patch_shape
+        along_centerline = (
+            self.rng.random() < 0.5 and len(meta.get("centerlines_world", ())) > 0
+        )
+        if along_centerline:
+            ctls = meta["centerlines_world"]
+            idx = int(self.rng.integers(0, len(ctls)))
+            x, y, z = geom.world_to_image_coords(
+                ctls[idx, :3], meta["offset"], meta["spacing"]
+            )
+            z = int(np.clip(z, 0, D - 1))
+            sl = np.asarray(data_and_seg[:, :, z])  # (W, H, 2)
+            bbox = geom.get_patch_bounds((pw, ph), sl.shape[:2], np.array([x, y]))
+            return sl[bbox[0, 0] : bbox[0, 1], bbox[1, 0] : bbox[1, 1]]
+        z = int(self.rng.integers(0, D))
+        sl = _pad_to(np.asarray(data_and_seg[:, :, z]), (pw, ph))
+        sx = int(self.rng.integers(0, sl.shape[0] - pw + 1))
+        sy = int(self.rng.integers(0, sl.shape[1] - ph + 1))
+        return sl[sx : sx + pw, sy : sy + ph]
+
+    # ------------------------------------------------------------------
+    def sample_one(self, path: str) -> Tuple[np.ndarray, str]:
+        data_and_seg, meta = load_patient(path)  # (W, H, D, 2) int16 memmap
+        patch = (self._sample_2d if self.is_2d else self._sample_3d)(data_and_seg, meta)
+        return patch, meta["name"]
+
+    def next_batch(self) -> Dict[str, np.ndarray]:
+        """{"data": (B, *patch) int16, "seg": (B, *patch) int16, "name", "path"}."""
+        shape = (self.batch_size, *self.patch_shape)
+        data = np.empty(shape, dtype=np.int16)
+        seg = np.empty(shape, dtype=np.int16)
+        names, paths = [], []
+        for i, idx in enumerate(self._next_indices()):
+            patch, name = self.sample_one(self.paths[idx])
+            data[i], seg[i] = patch[..., 0], patch[..., 1]
+            names.append(name)
+            paths.append(self.paths[idx])
+        return {"data": data, "seg": seg, "name": names, "path": paths}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()

@@ -1,0 +1,118 @@
+"""Conv building blocks (flax.linen, channels-last).
+
+Capability parity with reference ``contrast_gan_3D/model/blocks.py``:
+``ConvBlock`` = conv / transpose-conv + norm (batch by default; layer /
+instance / none selectable) + activation (relu / leaky_relu / none), with bias
+only when unnormalized; ``ResNetBlock`` = two ConvBlocks + optional dropout +
+skip. TPU-first choices: channels-last (NDHWC) layout so the feature dim maps
+to lanes and XLA tiles convs onto the MXU; reflect padding is an explicit
+jnp.pad feeding a VALID conv (fused by XLA); a ``dtype`` knob enables bf16
+compute with f32 params.
+"""
+
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Padding = Union[int, str]
+
+
+def _pad_pairs(padding: int, ndim: int):
+    return tuple((padding, padding) for _ in range(ndim))
+
+
+class ConvBlock(nn.Module):
+    """conv -> norm -> activation, N-dimensional (ndim spatial dims)."""
+
+    features: int
+    kernel_size: int
+    ndim: int = 3
+    stride: int = 1
+    padding: int = 0
+    padding_mode: str = "zeros"  # zeros | reflect
+    transpose: bool = False
+    norm: Optional[str] = "batch"  # batch | layer | instance | None
+    activation: Optional[str] = "relu"  # relu | leaky_relu | tanh | None
+    negative_slope: float = 0.2
+    dropout_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ksize = (self.kernel_size,) * self.ndim
+        strides = (self.stride,) * self.ndim
+        use_bias = self.norm is None
+
+        if self.transpose:
+            # 'SAME' transpose-conv: exact stride-x upsampling (torch
+            # ConvTranspose k3 s2 p1 op1 equivalent shape semantics)
+            x = nn.ConvTranspose(
+                self.features, ksize, strides=strides, padding="SAME",
+                use_bias=use_bias, dtype=self.dtype,
+            )(x)
+        else:
+            pad = _pad_pairs(self.padding, self.ndim)
+            if self.padding_mode == "reflect" and self.padding > 0:
+                x = jnp.pad(x, ((0, 0), *pad, (0, 0)), mode="reflect")
+                pad = "VALID"
+            x = nn.Conv(
+                self.features, ksize, strides=strides, padding=pad,
+                use_bias=use_bias, dtype=self.dtype,
+            )(x)
+
+        if self.norm == "batch":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        elif self.norm == "instance":
+            # normalize over spatial dims only, per sample per channel
+            x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
+        elif self.norm is not None:
+            raise ValueError(f"Unknown norm {self.norm!r}")
+
+        if self.dropout_prob > 0:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "leaky_relu":
+            x = nn.leaky_relu(x, self.negative_slope)
+        elif self.activation == "tanh":
+            x = nn.tanh(x)
+        elif self.activation is not None:
+            raise ValueError(f"Unknown activation {self.activation!r}")
+        return x
+
+
+class ResNetBlock(nn.Module):
+    """Two 3x3(x3) ConvBlocks with a residual skip (reference blocks.py:56-88).
+
+    Reference ordering kept: block0 has no activation, dropout sits between
+    the blocks, and the skip wraps both.
+    """
+
+    features: int
+    ndim: int = 3
+    kernel_size: int = 3
+    dropout_prob: float = 0.0
+    padding_mode: str = "zeros"
+    norm: Optional[str] = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        y = ConvBlock(
+            self.features, self.kernel_size, ndim=self.ndim, padding=1,
+            padding_mode=self.padding_mode, norm=self.norm, activation=None,
+            dropout_prob=self.dropout_prob, dtype=self.dtype,
+        )(x, train=train)
+        y = ConvBlock(
+            self.features, self.kernel_size, ndim=self.ndim, padding=1,
+            padding_mode=self.padding_mode, norm=self.norm, activation="relu",
+            dtype=self.dtype,
+        )(y, train=train)
+        return x + y

@@ -1,0 +1,68 @@
+"""ResNet-style attenuation generator (flax.linen, channels-last).
+
+Capability parity with reference ``contrast_gan_3D/model/generator.py:9-90``:
+7x7(x7) reflect-padded stem -> ``n_updownsample_blocks`` stride-2 downsamples
+(channels doubling) -> ``n_resnet_blocks`` residual blocks -> mirrored
+transpose-conv upsamples -> 7x7(x7) reflect-padded projection to 1 channel ->
+tanh. The output is a bounded attenuation map in (-1, 1); the caller computes
+``corrected = input - attenuation`` (residual-correction design,
+reference Trainer.py:170-171) and the scaler maps it to +-MAX_HU_DELTA HU.
+
+Default config (4 resnet blocks, 2 up/down, 16 stem channels, 3D) has exactly
+1,035,297 parameters, matching the reference (BASELINE.md).
+"""
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrast_gan_3d_tpu.models.blocks import ConvBlock, ResNetBlock
+
+
+class ResnetGenerator(nn.Module):
+    n_resnet_blocks: int = 4
+    n_updownsample_blocks: int = 2
+    init_channels_out: int = 16
+    ndim: int = 3
+    resnet_dropout_prob: float = 0.0
+    resnet_padding_mode: str = "zeros"
+    norm: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.n_resnet_blocks > 0
+        c0 = self.init_channels_out
+
+        x = ConvBlock(
+            c0, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
+            norm=self.norm, activation="relu", dtype=self.dtype, name="first",
+        )(x, train=train)
+
+        for i in range(self.n_updownsample_blocks):
+            x = ConvBlock(
+                c0 * 2 ** (i + 1), 3, ndim=self.ndim, stride=2, padding=1,
+                norm=self.norm, activation="relu", dtype=self.dtype,
+                name=f"down_{i}",
+            )(x, train=train)
+
+        bottleneck = c0 * 2**self.n_updownsample_blocks
+        for i in range(self.n_resnet_blocks):
+            x = ResNetBlock(
+                bottleneck, ndim=self.ndim, dropout_prob=self.resnet_dropout_prob,
+                padding_mode=self.resnet_padding_mode, norm=self.norm,
+                dtype=self.dtype, name=f"resnet_{i}",
+            )(x, train=train)
+
+        for i in range(self.n_updownsample_blocks, 0, -1):
+            x = ConvBlock(
+                c0 * 2 ** (i - 1), 3, ndim=self.ndim, stride=2, transpose=True,
+                norm=self.norm, activation="relu", dtype=self.dtype,
+                name=f"up_{i - 1}",
+            )(x, train=train)
+
+        # final 7x7(x7) reflect-padded conv with bias, then tanh
+        x = ConvBlock(
+            1, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
+            norm=None, activation="tanh", dtype=self.dtype, name="last_conv",
+        )(x, train=train)
+        return x

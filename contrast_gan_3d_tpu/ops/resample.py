@@ -1,0 +1,113 @@
+"""Jittable trilinear resampling (device-side geometry engine).
+
+TPU-native counterpart of the reference's host-side numpy trilinear sampler
+(``contrast_gan_3D/utils/geometry.py:30-96``) and of batchgenerators' CPU
+spatial transforms: everything here is pure jnp, jit/vmap-friendly, with
+clamp-to-edge boundary handling, and is reused by both the on-device
+augmentation pipeline and world-space patch extraction.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def trilinear_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample ``volume`` ((X, Y, Z) or (X, Y, Z, C)) at fractional voxel
+    ``coords`` (..., 3) with clamp-to-edge boundaries. Returns (...,) or
+    (..., C) samples.
+
+    Implemented as one flattened gather per corner (8 total) — XLA lowers
+    these to efficient dynamic-gathers; lerp weights run on the VPU.
+    """
+    has_channels = volume.ndim == 4
+    if not has_channels:
+        volume = volume[..., None]
+    X, Y, Z, C = volume.shape
+
+    xs, ys, zs = coords[..., 0], coords[..., 1], coords[..., 2]
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, X - 1)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, Y - 1)
+    z0 = jnp.clip(jnp.floor(zs).astype(jnp.int32), 0, Z - 1)
+    x1 = jnp.minimum(x0 + 1, X - 1)
+    y1 = jnp.minimum(y0 + 1, Y - 1)
+    z1 = jnp.minimum(z0 + 1, Z - 1)
+
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    fz = (zs - z0)[..., None]
+
+    flat = volume.reshape(-1, C)
+
+    def gather(ix, iy, iz):
+        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
+
+    c000 = gather(x0, y0, z0)
+    c100 = gather(x1, y0, z0)
+    c010 = gather(x0, y1, z0)
+    c001 = gather(x0, y0, z1)
+    c110 = gather(x1, y1, z0)
+    c101 = gather(x1, y0, z1)
+    c011 = gather(x0, y1, z1)
+    c111 = gather(x1, y1, z1)
+
+    out = (
+        c000 * (1 - fx) * (1 - fy) * (1 - fz)
+        + c100 * fx * (1 - fy) * (1 - fz)
+        + c010 * (1 - fx) * fy * (1 - fz)
+        + c001 * (1 - fx) * (1 - fy) * fz
+        + c110 * fx * fy * (1 - fz)
+        + c101 * fx * (1 - fy) * fz
+        + c011 * (1 - fx) * fy * fz
+        + c111 * fx * fy * fz
+    )
+    return out if has_channels else out[..., 0]
+
+
+def nearest_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
+    """Nearest-neighbour sampling (used for segmentation masks, matching
+    batchgenerators' order_seg=0)."""
+    has_channels = volume.ndim == 4
+    if not has_channels:
+        volume = volume[..., None]
+    X, Y, Z, C = volume.shape
+    ix = jnp.clip(jnp.round(coords[..., 0]).astype(jnp.int32), 0, X - 1)
+    iy = jnp.clip(jnp.round(coords[..., 1]).astype(jnp.int32), 0, Y - 1)
+    iz = jnp.clip(jnp.round(coords[..., 2]).astype(jnp.int32), 0, Z - 1)
+    out = jnp.take(volume.reshape(-1, C), (ix * Y + iy) * Z + iz, axis=0)
+    return out if has_channels else out[..., 0]
+
+
+def identity_grid(shape: Tuple[int, int, int]) -> jax.Array:
+    """(X, Y, Z, 3) grid of voxel coordinates."""
+    ax = [jnp.arange(s, dtype=jnp.float32) for s in shape]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def rotation_matrix(angles: jax.Array) -> jax.Array:
+    """3x3 rotation from per-axis angles (radians): Rz @ Ry @ Rx."""
+    cx, sx = jnp.cos(angles[0]), jnp.sin(angles[0])
+    cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+    cz, sz = jnp.cos(angles[2]), jnp.sin(angles[2])
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def sample_world_patch(
+    volume: jax.Array,
+    center_world: jax.Array,
+    image_spacing: jax.Array,
+    patch_size: Tuple[int, int, int],
+    patch_spacing: jax.Array,
+) -> jax.Array:
+    """Device counterpart of geometry.sample_world_patch: resample an
+    axis-aligned ``patch_size`` patch centered at ``center_world`` mm
+    (relative to the image origin) at ``patch_spacing`` mm/voxel."""
+    grid = identity_grid(patch_size)  # (px, py, pz, 3)
+    margin = (jnp.asarray(patch_size, jnp.float32) - 1.0) / 2.0
+    coords = (center_world + (grid - margin) * patch_spacing) / image_spacing
+    return trilinear_sample(volume, coords)

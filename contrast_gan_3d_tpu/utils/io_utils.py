@@ -1,0 +1,407 @@
+"""Medical-image I/O without external imaging deps.
+
+Capability parity with reference ``contrast_gan_3D/utils/io_utils.py`` (which
+wraps SimpleITK/torchio): load .mhd/.mha/.nii/.nii.gz volumes, reorient to LPS,
+transpose to (W, H, D), cast int16 and shift/clip into [MIN_HU, MAX_HU]
+(reference :63-105); write compressed .mhd (:109-123); parse centerline
+``vessel*.txt`` point clouds (:31-36), MeVisLab ``ostia.xml`` (:40-60) and
+ASOCA annotation files (:126-129). Implemented here as pure numpy readers —
+MetaImage and NIfTI-1 are simple formats and this removes the ITK dependency.
+"""
+
+import gzip
+import re
+import zlib
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+from contrast_gan_3d_tpu.constants import MAX_HU, MIN_HU, ORIENTATION
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+PathLike = Union[str, Path]
+
+# ---------------------------------------------------------------------------
+# path helpers
+# ---------------------------------------------------------------------------
+
+
+def basename(path: PathLike) -> str:
+    return str(path).rstrip("/").split("/")[-1]
+
+
+def stem(path: PathLike) -> str:
+    return basename(path).split(".")[0]
+
+
+# ---------------------------------------------------------------------------
+# orientation: direction matrices live in ITK's LPS world frame.
+# world = direction @ diag(spacing) @ index + origin
+# ---------------------------------------------------------------------------
+
+_LPS_LETTERS = (("R", "L"), ("A", "P"), ("I", "S"))  # (negative, positive) per world axis
+
+
+def orientation_code(direction: np.ndarray) -> str:
+    """3-letter anatomical code of each image axis in the LPS world frame."""
+    code = []
+    for col in range(3):
+        axis = int(np.argmax(np.abs(direction[:, col])))
+        positive = direction[axis, col] > 0
+        code.append(_LPS_LETTERS[axis][int(positive)])
+    return "".join(code)
+
+
+def _code_to_axis_sign(code: str) -> Tuple[np.ndarray, np.ndarray]:
+    axes, signs = [], []
+    for letter in code:
+        for world_axis, (neg, pos) in enumerate(_LPS_LETTERS):
+            if letter == pos:
+                axes.append(world_axis), signs.append(1)
+            elif letter == neg:
+                axes.append(world_axis), signs.append(-1)
+    return np.array(axes), np.array(signs)
+
+
+def reorient(
+    volume_xyz: np.ndarray,
+    direction: np.ndarray,
+    spacing: np.ndarray,
+    origin: np.ndarray,
+    target: str = ORIENTATION,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Permute/flip ``volume_xyz`` so its axes align with ``target`` (e.g. LPS).
+
+    Returns (volume, direction, spacing, origin) of the reoriented image.
+    Equivalent to ``sitk.DICOMOrient`` for axis-aligned direction matrices.
+    """
+    direction = np.asarray(direction, dtype=np.float64).reshape(3, 3)
+    spacing = np.asarray(spacing, dtype=np.float64).copy()
+    origin = np.asarray(origin, dtype=np.float64).copy()
+
+    src_axes, src_signs = _code_to_axis_sign(orientation_code(direction))
+    tgt_axes, tgt_signs = _code_to_axis_sign(target)
+
+    # permutation: for each target position, the source image axis pointing
+    # along the same world axis
+    perm = [int(np.nonzero(src_axes == wa)[0][0]) for wa in tgt_axes]
+    volume = np.transpose(volume_xyz, perm)
+    direction = direction[:, perm]
+    spacing = spacing[perm]
+    needs_flip = src_signs[perm] != tgt_signs
+
+    for img_axis in range(3):
+        if needs_flip[img_axis]:
+            volume = np.flip(volume, axis=img_axis)
+            # new first voxel was the old last voxel along this axis
+            origin = origin + direction[:, img_axis] * spacing[img_axis] * (
+                volume.shape[img_axis] - 1
+            )
+            direction[:, img_axis] = -direction[:, img_axis]
+    return np.ascontiguousarray(volume), direction, spacing, origin
+
+
+# ---------------------------------------------------------------------------
+# MetaImage (.mhd / .mha)
+# ---------------------------------------------------------------------------
+
+_MET_DTYPES = {
+    "MET_CHAR": np.int8,
+    "MET_UCHAR": np.uint8,
+    "MET_SHORT": np.int16,
+    "MET_USHORT": np.uint16,
+    "MET_INT": np.int32,
+    "MET_UINT": np.uint32,
+    "MET_LONG": np.int64,
+    "MET_ULONG": np.uint64,
+    "MET_FLOAT": np.float32,
+    "MET_DOUBLE": np.float64,
+}
+_DTYPE_MET = {np.dtype(v): k for k, v in _MET_DTYPES.items()}
+
+
+def read_mhd(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    """Read a MetaImage volume. Returns (array in index order (x, y, z), meta)."""
+    path = Path(path)
+    header: Dict[str, str] = {}
+    with open(path, "rb") as fd:
+        data_start = None
+        while True:
+            line = fd.readline()
+            if not line:
+                break
+            text = line.decode("ascii", errors="replace").strip()
+            if "=" not in text:
+                continue
+            key, value = (t.strip() for t in text.split("=", 1))
+            header[key] = value
+            if key == "ElementDataFile":
+                data_start = fd.tell()
+                break
+        if data_start is None:
+            raise ValueError(f"{path}: no ElementDataFile key")
+
+        ndims = int(header.get("NDims", 3))
+        dims = tuple(int(v) for v in header["DimSize"].split())
+        dtype = np.dtype(_MET_DTYPES[header.get("ElementType", "MET_SHORT")])
+        compressed = header.get("CompressedData", "False").lower() == "true"
+        byte_order_msb = header.get(
+            "BinaryDataByteOrderMSB", header.get("ElementByteOrderMSB", "False")
+        ).lower() == "true"
+
+        data_file = header["ElementDataFile"]
+        if data_file == "LOCAL":
+            raw = fd.read()
+        else:
+            raw = (path.parent / data_file).read_bytes()
+
+    if compressed:
+        raw = zlib.decompress(raw)
+    array = np.frombuffer(raw, dtype=dtype, count=int(np.prod(dims)))
+    if byte_order_msb:
+        array = array.byteswap()
+    # on-disk layout: first index fastest -> numpy shape is reversed dims
+    array = array.reshape(dims[::-1])
+    # reverse to index order (x, y, z)
+    array = np.transpose(array, tuple(range(ndims))[::-1])
+
+    spacing = np.array(
+        [float(v) for v in header.get("ElementSpacing", "1 1 1").split()][:ndims]
+    )
+    origin = np.array([float(v) for v in header.get("Offset", "0 0 0").split()][:ndims])
+    direction = np.array(
+        [float(v) for v in header.get("TransformMatrix", "1 0 0 0 1 0 0 0 1").split()]
+    ).reshape(ndims, ndims)
+    # MetaImage stores the matrix row-major with rows = image axes; ITK's
+    # direction has columns = image axes -> transpose
+    direction = direction.T
+    return array, {"spacing": spacing, "offset": origin, "direction": direction}
+
+
+def write_mhd(
+    array_xyz: np.ndarray,
+    path: PathLike,
+    spacing: np.ndarray = None,
+    origin: np.ndarray = None,
+    direction: Optional[np.ndarray] = None,
+    compress: bool = True,
+):
+    """Write a volume (index order x, y, z) as a compressed .mhd/.mha pair."""
+    path = Path(path)
+    if path.suffix not in (".mhd", ".mha"):
+        path = path.with_suffix(".mhd")
+    ndims = array_xyz.ndim
+    spacing = np.ones(ndims) if spacing is None else np.asarray(spacing)
+    origin = np.zeros(ndims) if origin is None else np.asarray(origin)
+    direction = np.eye(ndims) if direction is None else np.asarray(direction)
+
+    # disk layout: first index fastest
+    raw = np.ascontiguousarray(np.transpose(array_xyz, tuple(range(ndims))[::-1])).tobytes()
+    if compress:
+        raw = zlib.compress(raw)
+
+    local = path.suffix == ".mha"
+    data_file = "LOCAL" if local else path.with_suffix(".raw").name
+    lines = [
+        "ObjectType = Image",
+        f"NDims = {ndims}",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+        f"CompressedData = {compress}",
+    ]
+    if compress:
+        lines.append(f"CompressedDataSize = {len(raw)}")
+    lines += [
+        "TransformMatrix = " + " ".join(f"{v:g}" for v in direction.T.ravel()),
+        "Offset = " + " ".join(f"{v:g}" for v in origin),
+        "CenterOfRotation = " + " ".join("0" for _ in range(ndims)),
+        "ElementSpacing = " + " ".join(f"{v:g}" for v in spacing),
+        f"DimSize = {' '.join(str(d) for d in array_xyz.shape)}",
+        f"ElementType = {_DTYPE_MET[np.dtype(array_xyz.dtype)]}",
+        f"ElementDataFile = {data_file}",
+    ]
+    header = ("\n".join(lines) + "\n").encode("ascii")
+    with open(path, "wb") as fd:
+        fd.write(header)
+        if local:
+            fd.write(raw)
+    if not local:
+        (path.parent / data_file).write_bytes(raw)
+    logger.debug("Wrote '%s'", path)
+
+
+# ---------------------------------------------------------------------------
+# NIfTI-1 (.nii / .nii.gz)
+# ---------------------------------------------------------------------------
+
+_NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+                 256: np.int8, 512: np.uint16, 768: np.uint32}
+
+
+def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    """Read a NIfTI-1 volume. Returns (array in index order (x, y, z), meta)
+    with spacing/offset/direction expressed in the LPS world frame."""
+    path = Path(path)
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as fd:
+        blob = fd.read()
+    hdr = blob[:348]
+    if hdr[344:348] not in (b"n+1\0", b"ni1\0"):
+        raise ValueError(f"{path}: not a NIfTI-1 file")
+    dim = np.frombuffer(hdr, "<i2", 8, offset=40)
+    datatype = int(np.frombuffer(hdr, "<i2", 1, offset=70)[0])
+    pixdim = np.frombuffer(hdr, "<f4", 8, offset=76)
+    vox_offset = int(np.frombuffer(hdr, "<f4", 1, offset=108)[0])
+    scl_slope = float(np.frombuffer(hdr, "<f4", 1, offset=112)[0])
+    scl_inter = float(np.frombuffer(hdr, "<f4", 1, offset=116)[0])
+    qform_code = int(np.frombuffer(hdr, "<i2", 1, offset=252)[0])
+    sform_code = int(np.frombuffer(hdr, "<i2", 1, offset=254)[0])
+
+    ndim = int(dim[0])
+    shape = tuple(int(d) for d in dim[1 : 1 + ndim])[:3]
+    dtype = np.dtype(_NIFTI_DTYPES[datatype])
+    n = int(np.prod(shape))
+    array = np.frombuffer(blob, dtype.newbyteorder("<"), n, offset=vox_offset)
+    # NIfTI on-disk: x fastest
+    array = np.transpose(array.reshape(shape[::-1]), (2, 1, 0))
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        array = array * (scl_slope or 1.0) + scl_inter
+
+    if sform_code > 0:
+        srow = np.frombuffer(hdr, "<f4", 12, offset=280).reshape(3, 4)
+        affine_ras = np.vstack([srow, [0, 0, 0, 1]])
+    elif qform_code > 0:
+        b, c, d = (float(np.frombuffer(hdr, "<f4", 1, offset=o)[0]) for o in (256, 260, 264))
+        qo = np.array([float(np.frombuffer(hdr, "<f4", 1, offset=o)[0]) for o in (268, 272, 276)])
+        a = np.sqrt(max(0.0, 1.0 - (b * b + c * c + d * d)))
+        rot = np.array(
+            [
+                [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+                [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+                [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+            ]
+        )
+        qfac = -1.0 if pixdim[0] == -1 else 1.0
+        affine_ras = np.eye(4)
+        affine_ras[:3, :3] = rot @ np.diag([pixdim[1], pixdim[2], qfac * pixdim[3]])
+        affine_ras[:3, 3] = qo
+    else:
+        affine_ras = np.diag([pixdim[1], pixdim[2], pixdim[3], 1.0])
+
+    # RAS -> LPS: negate the first two world axes
+    affine_lps = np.diag([-1.0, -1.0, 1.0, 1.0]) @ affine_ras
+    mat = affine_lps[:3, :3]
+    spacing = np.linalg.norm(mat, axis=0)
+    direction = mat / spacing
+    origin = affine_lps[:3, 3]
+    return array, {"spacing": spacing, "offset": origin, "direction": direction}
+
+
+# ---------------------------------------------------------------------------
+# top-level scan loader (reference load_sitk_image semantics)
+# ---------------------------------------------------------------------------
+
+
+def read_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    name = str(path)
+    if name.endswith((".mhd", ".mha")):
+        return read_mhd(path)
+    if name.endswith((".nii", ".nii.gz")):
+        return read_nifti(path)
+    raise ValueError(f"Unsupported image format: {name}")
+
+
+def load_scan(
+    image_path: PathLike,
+    segmentation: bool = False,
+    target_orientation: str = ORIENTATION,
+) -> Tuple[np.ndarray, Dict]:
+    """Load a CCTA scan: reorient to LPS, cast int16, shift+clip to the HU
+    range. Returns (volume (W, H, D) int16, meta). Matches reference
+    ``load_sitk_image`` (io_utils.py:63-105) behavior: if the volume minimum
+    sits >= |MIN_HU| above MIN_HU (i.e. unsigned-offset data), shift it down
+    before clipping."""
+    volume, meta = read_image(image_path)
+    volume, direction, spacing, origin = reorient(
+        volume, meta["direction"], meta["spacing"], meta["offset"], target_orientation
+    )
+    volume = volume.astype(np.int16)
+    if not segmentation:
+        diff = int(volume.min()) - MIN_HU
+        if diff >= abs(MIN_HU):
+            volume = volume - diff
+        volume = volume.clip(MIN_HU, MAX_HU)
+    return volume, {
+        "spacing": spacing,
+        "offset": origin,
+        "direction": direction,
+        "orientation": orientation_code(direction),
+        "min": int(volume.min()),
+        "max": int(volume.max()),
+    }
+
+
+def save_scan(
+    volume_whd: np.ndarray,
+    offset: np.ndarray,
+    spacing: np.ndarray,
+    savepath: PathLike,
+):
+    """Write a corrected (W, H, D) volume as int16 compressed .mhd
+    (reference ``to_sitk`` + CCTAContrastCorrector.save_scan)."""
+    write_mhd(volume_whd.astype(np.int16), savepath, spacing=spacing, origin=offset)
+
+
+# ---------------------------------------------------------------------------
+# centerline / annotation parsers
+# ---------------------------------------------------------------------------
+
+
+def load_centerlines(folder_path: PathLike, glob_str: str = None) -> np.ndarray:
+    """Concatenate ``vessel[0-9]*.txt`` point clouds: rows of [x y z r]
+    (reference io_utils.py:31-36)."""
+    folder_path = Path(folder_path)
+    files = sorted(folder_path.glob(glob_str or "vessel[0-9]*.txt"))
+    parts = [np.loadtxt(f, dtype=np.float32, ndmin=2) for f in files]
+    if not parts:
+        return np.empty((0, 4), dtype=np.float32)
+    return np.concatenate(parts, axis=0, dtype=np.float32)
+
+
+_TAG_RE = re.compile(r"<(ListSize|pos|vec)>(.*?)</\1>")
+
+
+def load_mevis_coords(sourcefile: PathLike) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse a MeVisLab XML marker file into (points (N, 3), vectors (N, 3))
+    (reference io_utils.py:40-60)."""
+    points, vecs = [], []
+    n = 0
+    with open(sourcefile) as fd:
+        for line in fd:
+            for m in _TAG_RE.finditer(line.strip()):
+                tag, body = m.groups()
+                if tag == "ListSize":
+                    n = int(body)
+                else:
+                    vals = [float(v) for v in body.split()][:3]
+                    (points if tag == "pos" else vecs).append(vals)
+    pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    vcs = np.asarray(vecs, dtype=np.float32).reshape(-1, 3)
+    if n:
+        pts, vcs = pts[:n], vcs[:n]
+    return pts, vcs
+
+
+def load_ASOCA_annotated_centerlines(annotation_fname: PathLike) -> np.ndarray:
+    """ASOCA annotation files: one marker per line, ``label x y z ...``
+    (reference io_utils.py:126-129)."""
+    rows = []
+    with open(annotation_fname) as fd:
+        for line in fd:
+            parts = line.strip().split()
+            if len(parts) > 1:
+                rows.append([float(v) for v in parts[1:]])
+    return np.asarray(rows, dtype=np.float64) if rows else np.empty((0,))

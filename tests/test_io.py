@@ -1,0 +1,142 @@
+"""I/O round-trip tests for the pure-numpy MHD/NIfTI readers + parsers."""
+
+import gzip
+
+import numpy as np
+
+from contrast_gan_3d_tpu.constants import MAX_HU, MIN_HU
+from contrast_gan_3d_tpu.utils import io_utils
+
+
+def test_mhd_roundtrip(tmp_path, rng):
+    vol = rng.integers(-1000, 1500, size=(12, 10, 8)).astype(np.int16)
+    spacing, origin = np.array([0.5, 0.6, 0.7]), np.array([-10.0, 5.0, 2.0])
+    io_utils.write_mhd(vol, tmp_path / "scan.mhd", spacing=spacing, origin=origin)
+    back, meta = io_utils.read_mhd(tmp_path / "scan.mhd")
+    np.testing.assert_array_equal(back, vol)
+    np.testing.assert_allclose(meta["spacing"], spacing)
+    np.testing.assert_allclose(meta["offset"], origin)
+    np.testing.assert_allclose(meta["direction"], np.eye(3))
+
+
+def test_mha_local_roundtrip(tmp_path, rng):
+    vol = rng.normal(size=(6, 7, 8)).astype(np.float32)
+    io_utils.write_mhd(vol, tmp_path / "scan.mha")
+    back, _ = io_utils.read_mhd(tmp_path / "scan.mha")
+    np.testing.assert_allclose(back, vol)
+
+
+def test_mhd_uncompressed(tmp_path, rng):
+    vol = rng.integers(0, 100, size=(4, 5, 6)).astype(np.int16)
+    io_utils.write_mhd(vol, tmp_path / "u.mhd", compress=False)
+    back, _ = io_utils.read_mhd(tmp_path / "u.mhd")
+    np.testing.assert_array_equal(back, vol)
+
+
+def _write_minimal_nifti(path, vol_xyz, affine_ras, gz=False):
+    """Hand-rolled NIfTI-1 writer for tests (sform only)."""
+    hdr = bytearray(352)
+    hdr[0:4] = np.int32(348).tobytes()
+    dim = np.zeros(8, "<i2")
+    dim[0] = 3
+    dim[1:4] = vol_xyz.shape
+    hdr[40:56] = dim.tobytes()
+    hdr[70:72] = np.int16(4).tobytes()  # datatype int16
+    hdr[72:74] = np.int16(16).tobytes()  # bitpix
+    pixdim = np.zeros(8, "<f4")
+    pixdim[1:4] = np.linalg.norm(affine_ras[:3, :3], axis=0)
+    hdr[76:108] = pixdim.tobytes()
+    hdr[108:112] = np.float32(352).tobytes()  # vox_offset
+    hdr[254:256] = np.int16(1).tobytes()  # sform_code
+    hdr[280:328] = affine_ras[:3, :].astype("<f4").tobytes()
+    hdr[344:348] = b"n+1\0"
+    data = np.ascontiguousarray(np.transpose(vol_xyz, (2, 1, 0))).astype("<i2").tobytes()
+    blob = bytes(hdr) + data
+    if gz:
+        with gzip.open(path, "wb") as fd:
+            fd.write(blob)
+    else:
+        path.write_bytes(blob)
+
+
+def test_nifti_read_ras_identity(tmp_path, rng):
+    vol = rng.integers(-500, 500, size=(8, 9, 10)).astype(np.int16)
+    affine = np.eye(4)
+    _write_minimal_nifti(tmp_path / "t.nii", vol, affine)
+    back, meta = io_utils.read_nifti(tmp_path / "t.nii")
+    np.testing.assert_array_equal(back, vol)
+    # RAS identity affine -> LPS direction flips x and y
+    np.testing.assert_allclose(meta["direction"], np.diag([-1.0, -1.0, 1.0]))
+
+
+def test_nifti_gz(tmp_path, rng):
+    vol = rng.integers(0, 100, size=(4, 4, 4)).astype(np.int16)
+    _write_minimal_nifti(tmp_path / "t.nii.gz", vol, np.eye(4), gz=True)
+    back, _ = io_utils.read_nifti(tmp_path / "t.nii.gz")
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_load_scan_reorients_to_lps(tmp_path, rng):
+    # write a volume whose direction is RAS (x and y flipped vs LPS)
+    vol = rng.integers(-1000, 1400, size=(6, 5, 4)).astype(np.int16)
+    direction = np.diag([-1.0, -1.0, 1.0])  # RAS in LPS world
+    io_utils.write_mhd(
+        vol, tmp_path / "ras.mhd",
+        spacing=np.ones(3), origin=np.array([5.0, 4.0, 0.0]), direction=direction,
+    )
+    out, meta = io_utils.load_scan(tmp_path / "ras.mhd")
+    assert meta["orientation"] == "LPS"
+    np.testing.assert_allclose(meta["direction"], np.eye(3))
+    # flips on x and y
+    np.testing.assert_array_equal(out, vol[::-1, ::-1, :])
+    # origin moved to what was the last voxel along the flipped axes
+    np.testing.assert_allclose(meta["offset"], [5.0 - 5.0, 4.0 - 4.0, 0.0])
+
+
+def test_load_scan_hu_shift_and_clip(tmp_path):
+    # data stored with an unsigned offset (min >= |MIN_HU| above MIN_HU)
+    vol = (np.ones((4, 4, 4)) * 2000).astype(np.int16)
+    vol[0, 0, 0] = 24  # min=24, diff = 24 - (-1024) = 1048 >= 1024 -> shift
+    io_utils.write_mhd(vol, tmp_path / "shifted.mhd")
+    out, meta = io_utils.load_scan(tmp_path / "shifted.mhd")
+    assert out.min() >= MIN_HU and out.max() <= MAX_HU
+    assert out[0, 0, 0] == 24 - 1048
+
+
+def test_load_centerlines(tmp_path):
+    (tmp_path / "vessel0.txt").write_text("1 2 3 0.5\n4 5 6 0.7\n")
+    (tmp_path / "vessel1.txt").write_text("7 8 9 1.0\n")
+    (tmp_path / "other.txt").write_text("0 0 0 0\n")
+    ctls = io_utils.load_centerlines(tmp_path)
+    assert ctls.shape == (3, 4)
+    np.testing.assert_allclose(ctls[2], [7, 8, 9, 1.0])
+
+
+def test_load_centerlines_empty(tmp_path):
+    assert io_utils.load_centerlines(tmp_path).shape == (0, 4)
+
+
+def test_load_mevis_coords(tmp_path):
+    xml = """<XMarkerList>
+    <ListSize>2</ListSize>
+    <Item><pos>1.5 2.5 3.5 0 0 0</pos><vec>0 0 1</vec></Item>
+    <Item><pos>4 5 6</pos><vec>1 0 0</vec></Item>
+    </XMarkerList>"""
+    p = tmp_path / "ostia.xml"
+    p.write_text(xml)
+    pts, vecs = io_utils.load_mevis_coords(p)
+    assert pts.shape == (2, 3) and vecs.shape == (2, 3)
+    np.testing.assert_allclose(pts[0], [1.5, 2.5, 3.5])
+    np.testing.assert_allclose(vecs[1], [1, 0, 0])
+
+
+def test_load_asoca_annotations(tmp_path):
+    p = tmp_path / "annot.txt"
+    p.write_text("m1 1.0 2.0 3.0\nm2 4.0 5.0 6.0\n")
+    out = io_utils.load_ASOCA_annotated_centerlines(p)
+    assert out.shape == (2, 3)
+
+
+def test_stem_and_basename():
+    assert io_utils.stem("/a/b/scan.nii.gz") == "scan"
+    assert io_utils.basename("/a/b/c.mhd") == "c.mhd"
