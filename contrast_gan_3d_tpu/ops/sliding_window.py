@@ -1,0 +1,165 @@
+"""Jitted sliding-window full-volume correction with Gaussian patch blending.
+
+TPU-native re-design of the reference's patchly ``GridSampler`` +
+``Aggregator`` + torch DataLoader inference stack
+(``contrast_gan_3D/eval/CCTAContrastCorrector.py:60-81``): instead of a host
+process tiling the volume, a worker pool shipping patches one batch at a time
+and a scatter aggregator on device, the ENTIRE correction — patch gather,
+HU scaling, generator forward, Gaussian-weighted attenuation accumulation and
+final normalization — is ONE compiled XLA program. The volume lives in HBM;
+a ``lax.scan`` walks the (static) patch grid in batches, gathering patches
+with ``dynamic_slice`` and accumulating weighted attenuation with
+read-modify-write ``dynamic_update_slice`` — XLA pipelines the generator
+convs (MXU) against the gather/scatter (HBM DMA) with no host round-trips.
+
+Numerics: we aggregate the *attenuation map* (not the corrected patches) and
+subtract once at the end — ``corrected = volume - sum(w*atten)/sum(w)`` — so
+a zero generator yields the exact identity and blending never touches the
+raw HU values. Gaussian blending weights (sigma = patch/8, nnU-Net style)
+down-weight patch borders, removing the seam artifacts of patchly's uniform
+averaging (reference aggregates with equal weights).
+"""
+
+import math
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler, Scaler
+
+
+def grid_starts(dim: int, patch: int, stride: int) -> List[int]:
+    """Start offsets covering [0, dim) with a final clamped-to-edge window
+    (every voxel covered, last window ends exactly at ``dim``)."""
+    if dim <= patch:
+        return [0]
+    starts = list(range(0, dim - patch, stride))
+    starts.append(dim - patch)
+    return starts
+
+
+def gaussian_weights(patch_size: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """Separable Gaussian blending window, peak-normalized, strictly > 0."""
+    ws = []
+    for p in patch_size:
+        center = (p - 1) / 2.0
+        sigma = max(p * sigma_scale, 1e-8)
+        x = np.arange(p, dtype=np.float64)
+        ws.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    w = ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
+    w = np.maximum(w / w.max(), 1e-6)
+    return w.astype(np.float32)
+
+
+def _plan_grid(
+    shape: Tuple[int, int, int], patch_size: Tuple[int, int, int], stride: Tuple[int, int, int]
+) -> np.ndarray:
+    """(N, 3) int32 array of patch start corners covering ``shape``."""
+    axes = [grid_starts(shape[i], patch_size[i], stride[i]) for i in range(3)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def make_volume_corrector(
+    generator_apply: Callable[[jax.Array], jax.Array],
+    patch_size: Tuple[int, int, int] = (128, 128, 128),
+    overlap: float = 0.5,
+    batch_size: int = 4,
+    scaler: Scaler = FactorZeroCenterScaler(),
+    sigma_scale: float = 0.125,
+    dtype=jnp.float32,
+) -> Callable[[jax.Array], jax.Array]:
+    """Build a jitted ``correct(volume) -> corrected_volume`` function.
+
+    ``generator_apply``: params-baked apply, (B, *patch, 1) scaled -> (B,
+    *patch, 1) attenuation in (-1, 1). Retraces once per distinct volume
+    shape (pad volumes to canonical shapes host-side to avoid recompiles).
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
+    gw_np = gaussian_weights(patch_size, sigma_scale)
+
+    @partial(jax.jit, static_argnums=1)
+    def _correct(volume: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
+        # pad dims smaller than the patch (centered, edge values)
+        pad_cfg = [
+            (
+                max(0, patch_size[i] - shape[i]) // 2,
+                max(0, patch_size[i] - shape[i]) - max(0, patch_size[i] - shape[i]) // 2,
+            )
+            for i in range(3)
+        ]
+        vol = scaler(volume.astype(jnp.float32))
+        if any(p != (0, 0) for p in pad_cfg):
+            vol = jnp.pad(vol, pad_cfg, mode="edge")
+        padded_shape = tuple(vol.shape)
+
+        grid = _plan_grid(padded_shape, patch_size, stride)
+        n = grid.shape[0]
+        n_batches = math.ceil(n / batch_size)
+        n_padded = n_batches * batch_size
+        valid = np.ones((n_padded,), np.float32)
+        valid[n:] = 0.0
+        starts = np.concatenate([grid, np.zeros((n_padded - n, 3), np.int32)])
+        starts_b = jnp.asarray(starts.reshape(n_batches, batch_size, 3))
+        valid_b = jnp.asarray(valid.reshape(n_batches, batch_size))
+
+        gw = jnp.asarray(gw_np)
+        atten_acc = jnp.zeros(padded_shape, jnp.float32)
+        weight_acc = jnp.zeros(padded_shape, jnp.float32)
+
+        def gather_one(start):
+            return jax.lax.dynamic_slice(vol, start, patch_size)
+
+        def body(carry, inp):
+            atten_acc, weight_acc = carry
+            starts, valid = inp  # (B, 3), (B,)
+            patches = jax.vmap(gather_one)(starts)  # (B, *patch)
+            atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
+            atten = atten.astype(jnp.float32)
+
+            def scatter(i, accs):
+                a_acc, w_acc = accs
+                s = starts[i]
+                w = gw * valid[i]
+                cur_a = jax.lax.dynamic_slice(a_acc, s, patch_size)
+                cur_w = jax.lax.dynamic_slice(w_acc, s, patch_size)
+                a_acc = jax.lax.dynamic_update_slice(a_acc, cur_a + atten[i] * w, s)
+                w_acc = jax.lax.dynamic_update_slice(w_acc, cur_w + w, s)
+                return a_acc, w_acc
+
+            atten_acc, weight_acc = jax.lax.fori_loop(
+                0, batch_size, scatter, (atten_acc, weight_acc)
+            )
+            return (atten_acc, weight_acc), None
+
+        (atten_acc, weight_acc), _ = jax.lax.scan(
+            body, (atten_acc, weight_acc), (starts_b, valid_b)
+        )
+
+        corrected = vol - atten_acc / jnp.maximum(weight_acc, 1e-8)
+        # crop padding back off
+        corrected = jax.lax.dynamic_slice(
+            corrected, tuple(p[0] for p in pad_cfg), shape
+        )
+        return scaler.unscale(corrected)
+
+    def correct(volume: jax.Array) -> jax.Array:
+        """Correct one (W, H, D) HU volume; returns float32 HU volume."""
+        return _correct(volume, tuple(volume.shape))
+
+    return correct
+
+
+def num_patches(
+    shape: Sequence[int], patch_size: Sequence[int], overlap: float = 0.5
+) -> int:
+    """Patch count the corrector will run for a given volume shape."""
+    stride = [max(1, int(round(p * (1.0 - overlap)))) for p in patch_size]
+    padded = [max(s, p) for s, p in zip(shape, patch_size)]
+    return int(
+        np.prod([len(grid_starts(padded[i], patch_size[i], stride[i])) for i in range(3)])
+    )

@@ -1,0 +1,148 @@
+"""Checkpoint / resume for the full GAN train state.
+
+Replaces the reference's ``torch.save`` state-dict checkpointing
+(``trainer/Trainer.py:310-339``, ``trainer/utils.py:26-34``) with msgpack
+serialization of the complete :class:`GANTrainState` pytree — generator AND
+critic params/BatchNorm stats, both optimizer states, the PRNG key and the
+iteration counter. The reference has a bug where the critic is silently never
+checkpointed (it saves the attr ``discriminator`` but the field is named
+``critic`` — Trainer.py:312-319 vs :89); here resume is exact by
+construction. Writes are atomic (tmp + rename) and optionally asynchronous
+(host thread — the device never blocks on disk).
+"""
+
+import re
+import threading
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+_CKPT_RE = re.compile(r"^(\d+)\.msgpack$")
+
+
+def _unkey(state):
+    """Typed PRNG keys are not msgpack-serializable; store the raw key data."""
+    if jax.dtypes.issubdtype(state.rng.dtype, jax.dtypes.prng_key):
+        return state.replace(rng=jax.random.key_data(state.rng))
+    return state
+
+
+def _rekey(state, template_rng):
+    if jax.dtypes.issubdtype(template_rng.dtype, jax.dtypes.prng_key) and not jax.dtypes.issubdtype(state.rng.dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(template_rng)
+        return state.replace(rng=jax.random.wrap_key_data(state.rng, impl=impl))
+    return state
+
+
+def checkpoint_path(ckpt_dir, step: int) -> Path:
+    return Path(ckpt_dir) / f"{int(step)}.msgpack"
+
+
+def find_latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    """Highest-iteration ``<step>.msgpack`` in ``ckpt_dir`` (reference
+    ``find_latest_checkpoint``, trainer/utils.py:26-34)."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.is_dir():
+        return None
+    best, best_step = None, -1
+    for p in ckpt_dir.iterdir():
+        m = _CKPT_RE.match(p.name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
+def save_checkpoint(
+    state,
+    ckpt_dir,
+    step: Optional[int] = None,
+    keep: Optional[int] = None,
+    async_: bool = False,
+) -> Path:
+    """Serialize ``state`` to ``<ckpt_dir>/<step>.msgpack`` atomically.
+
+    ``keep``: retain only the newest N checkpoints. ``async_``: fetch to host
+    synchronously (cheap) but write on a daemon thread.
+    """
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    if step is None:
+        step = int(jax.device_get(state.step))
+    path = checkpoint_path(ckpt_dir, step)
+    host_state = jax.device_get(_unkey(state))
+    blob = serialization.to_bytes(host_state)
+
+    def _write():
+        tmp = path.with_suffix(".msgpack.tmp")
+        tmp.write_bytes(blob)
+        tmp.rename(path)
+        logger.info("Saved checkpoint '%s' (%.1f MB)", path, len(blob) / 2**20)
+        if keep is not None:
+            ckpts = sorted(
+                (p for p in ckpt_dir.iterdir() if _CKPT_RE.match(p.name)),
+                key=lambda p: int(p.stem),
+            )
+            for old in ckpts[:-keep]:
+                old.unlink(missing_ok=True)
+
+    if async_:
+        threading.Thread(target=_write, name=f"ckpt-{step}", daemon=True).start()
+    else:
+        _write()
+    return path
+
+
+def load_checkpoint(path_or_dir, target=None) -> Any:
+    """Restore a checkpoint. With ``target`` (a template GANTrainState of the
+    right structure, e.g. from ``init_state``), returns the same type;
+    without, returns the raw nested-dict payload."""
+    path = Path(path_or_dir)
+    if path.is_dir():
+        latest = find_latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"No checkpoint found in {path}")
+        path = latest
+    blob = path.read_bytes()
+    if target is not None:
+        state = serialization.from_bytes(_unkey(target), blob)
+        state = _rekey(state, target.rng)
+        logger.info("Restored checkpoint '%s' @ step %d", path, int(state.step))
+        return state
+    return serialization.msgpack_restore(blob)
+
+
+def maybe_restore(state, ckpt_dir) -> Any:
+    """Auto-resume from the latest checkpoint if one exists (reference
+    Trainer.py:103-106), else return ``state`` unchanged."""
+    latest = find_latest_checkpoint(ckpt_dir)
+    if latest is None:
+        return state
+    return load_checkpoint(latest, target=state)
+
+
+def load_generator(ckpt_dir_or_file, iteration: Optional[int] = None) -> Dict:
+    """Extract only what inference needs (reference eval loads
+    ``ckpt["generator"]`` — CCTAContrastCorrector.py:55-56): generator params,
+    BatchNorm stats and the step."""
+    path = Path(ckpt_dir_or_file)
+    if path.is_dir():
+        path = (
+            checkpoint_path(path, iteration)
+            if iteration is not None
+            else find_latest_checkpoint(path)
+        )
+        if path is None or not path.exists():
+            raise FileNotFoundError(f"No checkpoint in {ckpt_dir_or_file}")
+    raw = serialization.msgpack_restore(path.read_bytes())
+    return {
+        "params": raw["gen_params"],
+        "stats": raw.get("gen_stats") or None,
+        "step": int(np.asarray(raw["step"])),
+    }

@@ -1,0 +1,154 @@
+"""Pluggable experiment logging (strategy pattern).
+
+Capability parity with reference ``trainer/logger/``: a ``LoggerInterface``
+with scalar + image logging hooks; a threaded wrapper that moves rendering /
+uploading off the training path (reference ``MultiThreadedLogger``,
+LoggerInterface.py:64-107 — one named daemon thread per image-log event,
+joined at ``end_hook``); a wandb backend (``WandbLogger.py``) gated on the
+wandb package; and console / no-op fallbacks. Image logs render a random
+sample's axial slices with HU colorbars, centerline overlays and an RdBu
+attenuation grid via ``utils.visualization``.
+"""
+
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from contrast_gan_3d_tpu.data.scaler import Scaler
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+try:  # optional dependency
+    import wandb  # type: ignore
+
+    HAS_WANDB = True
+except Exception:  # pragma: no cover - environment without wandb
+    wandb = None
+    HAS_WANDB = False
+
+
+class LoggerInterface:
+    """Base logger: scalars go out immediately, images may render off-path."""
+
+    def log_scalars(self, scalars: Dict[str, float], step: int, stage: str = "train"):
+        raise NotImplementedError
+
+    def log_images(
+        self,
+        sample: np.ndarray,
+        reconstruction: Optional[np.ndarray],
+        attenuation: Optional[np.ndarray],
+        masks: Optional[np.ndarray],
+        names: Optional[List[str]],
+        step: int,
+        stage: str = "train",
+    ):
+        raise NotImplementedError
+
+    def end_hook(self):
+        """Flush/join any pending asynchronous work."""
+
+
+class NoopLogger(LoggerInterface):
+    def log_scalars(self, scalars, step, stage="train"):
+        pass
+
+    def log_images(self, *args, **kwargs):
+        pass
+
+
+class ConsoleLogger(LoggerInterface):
+    """Scalar-only logging to the module logger (images are skipped)."""
+
+    def log_scalars(self, scalars, step, stage="train"):
+        msg = " ".join(f"{k}={float(v):.4f}" for k, v in scalars.items())
+        logger.info("[%s %d] %s", stage, step, msg)
+
+    def log_images(self, *args, **kwargs):
+        pass
+
+
+class WandbLogger(LoggerInterface):
+    """wandb scalars with an explicit step metric + axial-slice image grids
+    (reference ``WandbLogger.py:38-132``)."""
+
+    def __init__(
+        self,
+        scaler: Scaler,
+        run=None,
+        max_slices: int = 64,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        if not HAS_WANDB:
+            raise ImportError("wandb is not installed; use ConsoleLogger/NoopLogger")
+        self.scaler = scaler
+        self.run = run or wandb.run
+        self.max_slices = max_slices
+        self.rng = rng or np.random.default_rng()
+        # custom step metric so resumed runs keep a monotonic x-axis
+        wandb.define_metric("iteration")
+        wandb.define_metric("*", step_metric="iteration")
+
+    def log_scalars(self, scalars, step, stage="train"):
+        wandb.log({f"{stage}/{k}": float(v) for k, v in scalars.items()} | {"iteration": step})
+
+    def log_images(
+        self, sample, reconstruction, attenuation, masks, names, step, stage="train"
+    ):
+        from contrast_gan_3d_tpu.utils import visualization as viz
+
+        idx = int(self.rng.integers(0, len(sample)))
+        name = names[idx] if names else str(idx)
+        payload = {"iteration": step}
+        trios = [("sample", sample), ("reconstruction", reconstruction), ("attenuation", attenuation)]
+        for tag, batch in trios:
+            if batch is None:
+                continue
+            vol = np.asarray(batch[idx]).squeeze()
+            is_atten = tag == "attenuation"
+            img = vol if is_atten else np.asarray(self.scaler.unscale(vol))
+            mask = np.asarray(masks[idx]).squeeze() if masks is not None else None
+            fig = viz.plot_axial_slices(
+                img,
+                mask=None if is_atten else mask,
+                cmap="RdBu" if is_atten else "gray",
+                max_slices=self.max_slices,
+                title=f"{stage}/{tag} {name} @ {step}",
+            )
+            payload[f"{stage}/{tag}"] = wandb.Image(fig)
+            viz.close(fig)
+        wandb.log(payload)
+
+
+class MultiThreadedLogger(LoggerInterface):
+    """Wrap a logger; image logging (host fetch + matplotlib render + upload)
+    runs on a named daemon thread per event, joined at ``end_hook``."""
+
+    def __init__(self, inner: LoggerInterface):
+        self.inner = inner
+        self._threads: List[threading.Thread] = []
+
+    def log_scalars(self, scalars, step, stage="train"):
+        self.inner.log_scalars(scalars, step, stage)
+
+    def log_images(self, sample, reconstruction, attenuation, masks, names, step, stage="train"):
+        args = tuple(
+            np.asarray(a) if a is not None and not isinstance(a, (list, type(None))) else a
+            for a in (sample, reconstruction, attenuation, masks)
+        )
+        t = threading.Thread(
+            target=self.inner.log_images,
+            args=(*args, names, step, stage),
+            name=f"log-images-{stage}-{step}",
+            daemon=True,
+        )
+        t.start()
+        self._threads.append(t)
+
+    def end_hook(self):
+        for t in self._threads:
+            t.join(timeout=60)
+        self._threads = []
+        self.inner.end_hook()

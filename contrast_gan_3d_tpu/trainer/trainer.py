@@ -1,0 +1,244 @@
+"""The GAN training runtime (host loop around the jitted steps).
+
+Capability parity with reference ``trainer/Trainer.py:34-363``: alternating
+critic/generator updates on an iteration schedule (critic every
+``train_critic_every``, generator every ``train_generator_every``), periodic
+validation, checkpointing and scalar/image logging, auto-resume from the
+latest checkpoint. TPU-native re-design: the per-iteration work is entirely
+inside pre-compiled XLA programs (``steps.build_train_steps`` — one program
+per schedule branch, no lax.cond over dead branches); the host only pulls
+int16 patches from the async prefetchers, dispatches the right program and
+(rarely) fetches scalars. Losses are NOT fetched every step — device scalars
+accumulate and only cross to host at log points, keeping dispatch fully
+asynchronous.
+"""
+
+import itertools
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+import optax
+from flax import linen as nn
+
+from contrast_gan_3d_tpu.alias import ScanType
+from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+from contrast_gan_3d_tpu.trainer.logger import LoggerInterface, NoopLogger
+from contrast_gan_3d_tpu.trainer.steps import (
+    GANTrainState,
+    StepConfig,
+    build_train_steps,
+    build_val_steps,
+    init_state,
+)
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+@dataclass
+class TrainerConfig:
+    """Schedule / cadence configuration (reference ``basic_conf.py:22-30``)."""
+
+    train_iterations: int = 10_000
+    train_critic_every: int = 1
+    train_generator_every: int = 5
+    val_every: Optional[int] = 400
+    val_iterations: int = 2
+    log_every: Optional[int] = 100
+    log_images_every: Optional[int] = 500
+    checkpoint_every: Optional[int] = 1000
+    checkpoint_keep: Optional[int] = None
+    checkpoint_dir: Optional[str] = None
+
+
+def _due(iteration: int, every: Optional[int], skip_zero: bool = True) -> bool:
+    if every is None:
+        return False
+    if skip_zero and iteration == 0:
+        return False
+    return iteration % every == 0
+
+
+class Trainer:
+    """Orchestrates jitted WGAN training with validation + checkpointing."""
+
+    def __init__(
+        self,
+        generator: nn.Module,
+        critic: nn.Module,
+        gen_tx: optax.GradientTransformation,
+        critic_tx: optax.GradientTransformation,
+        step_config: StepConfig,
+        trainer_config: TrainerConfig,
+        key: jax.Array,
+        patch_shape,
+        logger_interface: Optional[LoggerInterface] = None,
+        state: Optional[GANTrainState] = None,
+        auto_resume: bool = True,
+    ):
+        self.generator = generator
+        self.critic = critic
+        self.cfg = trainer_config
+        self.step_cfg = step_config
+        self.logger_interface = logger_interface or NoopLogger()
+
+        self.state = state if state is not None else init_state(
+            generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
+        )
+        if auto_resume and self.cfg.checkpoint_dir:
+            self.state = ckpt_lib.maybe_restore(self.state, self.cfg.checkpoint_dir)
+
+        self.critic_step, self.combined_step, self.gen_only_step = build_train_steps(
+            generator, critic, gen_tx, critic_tx, step_config
+        )
+        self.val_opt_step, self.val_subopt_step = build_val_steps(
+            generator, critic, step_config
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def iteration(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    @staticmethod
+    def _assemble(patches: Dict[int, Dict]) -> tuple:
+        """3-stream batches -> (opt, subopt, subopt_mask) device arrays.
+        Sub-optimal streams concatenate in ScanType order LOW, HIGH
+        (reference Trainer.py:165-167)."""
+        import jax.numpy as jnp
+
+        opt = jnp.asarray(patches[ScanType.OPT.value]["data"])
+        low = patches[ScanType.LOW.value]
+        high = patches[ScanType.HIGH.value]
+        subopt = jnp.concatenate([jnp.asarray(low["data"]), jnp.asarray(high["data"])])
+        mask = jnp.concatenate([jnp.asarray(low["seg"]), jnp.asarray(high["seg"])])
+        names = list(low.get("name", [])) + list(high.get("name", []))
+        return opt, subopt, mask, names
+
+    def train_step(self, patches: Dict[int, Dict], iteration: int):
+        """One schedule-aware step; returns the device metrics dict."""
+        opt, subopt, mask, names = self._assemble(patches)
+        critic_due = _due(iteration, self.cfg.train_critic_every, skip_zero=False)
+        gen_due = _due(iteration, self.cfg.train_generator_every, skip_zero=False)
+        if critic_due and gen_due:
+            self.state, metrics = self.combined_step(self.state, opt, subopt, mask)
+        elif critic_due:
+            self.state, metrics = self.critic_step(self.state, opt, subopt, mask)
+        elif gen_due:
+            self.state, metrics = self.gen_only_step(self.state, opt, subopt, mask)
+        else:
+            metrics = {}
+        return metrics, (subopt, mask, names)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_loaders: Dict[int, Iterable],
+        val_loaders: Optional[Dict[int, Iterable]] = None,
+        profiler=None,
+    ) -> GANTrainState:
+        self._manage_loaders(train_loaders, "start")
+        if val_loaders and self.cfg.val_every:
+            self._manage_loaders(val_loaders, "start")
+
+        start = self.iteration
+        logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
+        for iteration in range(start, self.cfg.train_iterations):
+            patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+            metrics, (subopt, mask, names) = self.train_step(patches, iteration)
+
+            if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                self.logger_interface.log_scalars(host, iteration, "train")
+            if _due(iteration, self.cfg.log_images_every, skip_zero=False):
+                self._log_train_images(subopt, mask, names, iteration)
+
+            if val_loaders and _due(iteration, self.cfg.val_every):
+                self.validate(val_loaders, iteration)
+            if self.cfg.checkpoint_dir and _due(iteration, self.cfg.checkpoint_every):
+                ckpt_lib.save_checkpoint(
+                    self.state, self.cfg.checkpoint_dir,
+                    keep=self.cfg.checkpoint_keep, async_=True,
+                )
+            if profiler is not None:
+                profiler.step()
+
+        if profiler is not None:
+            profiler.stop()
+        if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
+            ckpt_lib.save_checkpoint(
+                self.state, self.cfg.checkpoint_dir, keep=self.cfg.checkpoint_keep
+            )
+        self._manage_loaders(train_loaders, "end")
+        if val_loaders:
+            self._manage_loaders(val_loaders, "end")
+        self.logger_interface.end_hook()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, val_loaders: Dict[int, Iterable], train_iteration: int):
+        """Eval-mode validation sweep (reference Trainer.py:247-308): OPT
+        batches score critic realism; sub-optimal batches run the generator
+        and accumulate adversarial + similarity losses; the first sub-optimal
+        batches are logged as images."""
+        loss_sim = loss_G = loss_real_C = loss_fake_C = 0.0
+        loggable = []
+        n_subopt = self.cfg.val_iterations * (len(ScanType) - 1)
+        for i, st in itertools.product(range(self.cfg.val_iterations), ScanType):
+            batch = next(val_loaders[st.value])
+            data = batch["data"]
+            if st == ScanType.OPT:
+                loss_real_C -= float(jax.device_get(self.val_opt_step(self.state, data)))
+            else:
+                loss_fake, l_sim, sample_hat, atten = self.val_subopt_step(self.state, data)
+                loss_fake = float(jax.device_get(loss_fake))
+                loss_fake_C += loss_fake
+                loss_G -= loss_fake
+                loss_sim += float(jax.device_get(l_sim))
+                if i == 0:
+                    loggable.append((batch, sample_hat, atten))
+
+        if loggable and self.cfg.log_images_every is not None:
+            samples = np.concatenate(
+                [np.asarray(self.step_cfg.scaler(b["data"].astype(np.float32))) for b, _, _ in loggable]
+            )
+            recons = np.concatenate([np.asarray(r)[..., 0] for _, r, _ in loggable])
+            attens = np.concatenate([np.asarray(a)[..., 0] for _, _, a in loggable])
+            masks = np.concatenate([np.asarray(b["seg"]) for b, _, _ in loggable])
+            names = sum((list(b.get("name", [])) for b, _, _ in loggable), [])
+            self.logger_interface.log_images(
+                samples, recons, attens, masks, names, train_iteration, "validation"
+            )
+
+        val_loss = {
+            "D": (loss_real_C + loss_fake_C) / self.cfg.val_iterations,
+            "G": loss_G / n_subopt,
+            "sim": loss_sim / n_subopt,
+        }
+        self.logger_interface.log_scalars(val_loss, train_iteration, "validation")
+
+    # ------------------------------------------------------------------
+    def _log_train_images(self, subopt, mask, names, iteration: int):
+        """Render the current sub-optimal batch through the eval-mode
+        generator (reference Trainer.py:187-203)."""
+        _, _, sample_hat, atten = self.val_subopt_step(self.state, subopt)
+        sample = np.asarray(self.step_cfg.scaler(np.asarray(subopt, dtype=np.float32)))
+        self.logger_interface.log_images(
+            sample,
+            np.asarray(sample_hat)[..., 0],
+            np.asarray(atten)[..., 0],
+            np.asarray(mask),
+            names,
+            iteration,
+            "train",
+        )
+
+    @staticmethod
+    def _manage_loaders(loaders: Dict[int, Iterable], event: str):
+        for loader in loaders.values():
+            fn = getattr(loader, "start" if event == "start" else "stop", None)
+            if fn is not None:
+                fn()

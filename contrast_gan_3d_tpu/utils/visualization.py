@@ -1,0 +1,159 @@
+"""Plotting utilities (matplotlib; host-side, off the device path).
+
+Capability parity with reference ``contrast_gan_3D/utils/visualization.py``:
+axial-slice grids with HU colorbars (:67-96), centerline scatter overlays
+(:99-129), the 3-view axial/sagittal/coronal display for LPS volumes
+(:161-163), GMM-fit / ostia-patch diagnostics (:166-252) and the
+HU-distribution-shift KDE figure (:255-347). All functions return the figure
+so callers (threaded loggers, notebooks) control rendering/closing.
+"""
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from contrast_gan_3d_tpu.constants import VMAX, VMIN
+
+
+def close(fig):
+    plt.close(fig)
+
+
+def _slice_indices(depth: int, max_slices: int, rng=None) -> np.ndarray:
+    if depth <= max_slices:
+        return np.arange(depth)
+    if rng is not None:
+        return np.sort(rng.choice(depth, size=max_slices, replace=False))
+    return np.linspace(0, depth - 1, max_slices).astype(int)
+
+
+def plot_axial_slices(
+    volume: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    cmap: str = "gray",
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
+    max_slices: int = 64,
+    title: Optional[str] = None,
+    rng=None,
+):
+    """Grid of axial (z) slices of a (W, H, D) volume with one shared
+    colorbar; optional centerline-mask scatter overlay (reference
+    ``plot_axial_slices`` + ``plot_axial_centerlines``)."""
+    volume = np.asarray(volume)
+    if volume.ndim == 2:
+        volume = volume[..., None]
+    ids = _slice_indices(volume.shape[-1], max_slices, rng)
+    n = len(ids)
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    if vmin is None and cmap == "gray":
+        vmin, vmax = VMIN, VMAX
+    elif vmin is None:
+        amax = float(np.abs(volume).max() or 1.0)
+        vmin, vmax = -amax, amax
+
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows), squeeze=False)
+    im = None
+    for ax, z in zip(axes.ravel(), ids):
+        im = ax.imshow(volume[..., z].T, cmap=cmap, vmin=vmin, vmax=vmax, origin="lower")
+        if mask is not None:
+            ys, xs = np.nonzero(np.asarray(mask)[..., z].T)
+            if len(xs):
+                ax.scatter(xs, ys, s=2, c="red", alpha=0.8)
+        ax.set_title(f"z={z}", fontsize=6)
+    for ax in axes.ravel():
+        ax.axis("off")
+    if im is not None:
+        fig.colorbar(im, ax=axes, shrink=0.8, label="HU")
+    if title:
+        fig.suptitle(title)
+    return fig
+
+
+def plot_three_views(
+    volume: np.ndarray,
+    coords: Optional[np.ndarray] = None,
+    cmap: str = "gray",
+    vmin: float = VMIN,
+    vmax: float = VMAX,
+):
+    """Axial / sagittal / coronal views of an LPS (W, H, D) volume through
+    ``coords`` (defaults to the center; reference :161-163)."""
+    volume = np.asarray(volume)
+    x, y, z = (
+        np.asarray(coords).astype(int)
+        if coords is not None
+        else np.asarray(volume.shape) // 2
+    )
+    views = [
+        (volume[..., z].T, f"axial z={z}"),
+        (volume[x, ...].T, f"sagittal x={x}"),
+        (volume[:, y, :].T, f"coronal y={y}"),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    for ax, (img, name) in zip(axes, views):
+        ax.imshow(img, cmap=cmap, vmin=vmin, vmax=vmax, origin="lower")
+        ax.set_title(name)
+        ax.axis("off")
+    return fig
+
+
+def plot_histogram(
+    values: np.ndarray, bins: int = 100, title: Optional[str] = None, ax=None
+):
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(6, 4))
+    else:
+        fig = ax.figure
+    ax.hist(np.asarray(values).ravel(), bins=bins)
+    ax.set_xlabel("HU")
+    if title:
+        ax.set_title(title)
+    return fig
+
+
+def plot_GMM_fit(values: np.ndarray, gmm, bins: int = 80):
+    """Histogram of ostium-patch HU values with the fitted GMM density
+    overlaid (reference :166-252 diagnostics)."""
+    values = np.asarray(values, dtype=np.float64).ravel()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(values, bins=bins, density=True, alpha=0.6)
+    xs = np.linspace(values.min(), values.max(), 512).reshape(-1, 1)
+    dens = np.exp(gmm.score_samples(xs))
+    ax.plot(xs.ravel(), dens, "r-", lw=2)
+    for mu in np.asarray(gmm.means_).ravel():
+        ax.axvline(mu, color="k", ls="--", lw=1)
+    ax.set_xlabel("HU")
+    ax.set_ylabel("density")
+    return fig
+
+
+def hu_distribution_shift_plot(
+    voxels_by_scan_type: Dict[str, Dict[str, np.ndarray]],
+    regions: Sequence[str] = ("centerlines", "ostia", "myocardium"),
+    hu_range: Tuple[float, float] = (-200, 1000),
+):
+    """KDE comparison of HU distributions per region, original vs corrected
+    vs optimal (reference ``HU_distribution_shift_plot``, :293-347).
+
+    ``voxels_by_scan_type``: {series_name: {region: 1-D HU values}} — e.g.
+    series "low", "low-corrected", "opt".
+    """
+    import seaborn as sns
+
+    fig, axes = plt.subplots(1, len(regions), figsize=(5 * len(regions), 4), squeeze=False)
+    for ax, region in zip(axes.ravel(), regions):
+        for series, by_region in voxels_by_scan_type.items():
+            vals = np.asarray(by_region.get(region, []))
+            if vals.size:
+                sns.kdeplot(vals[np.isfinite(vals)], ax=ax, label=series, fill=False)
+        ax.set_title(region)
+        ax.set_xlim(*hu_range)
+        ax.set_xlabel("HU")
+        ax.legend()
+    return fig

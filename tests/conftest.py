@@ -4,7 +4,9 @@ multi-chip path via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# overwrite (not setdefault): the session env pre-sets JAX_PLATFORMS to the
+# real TPU platform, but tests need the virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,76 @@
+"""Sliding-window corrector tests (reference capability:
+eval/CCTAContrastCorrector.py — reconstruction identity, blending, coverage)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+from contrast_gan_3d_tpu.ops.sliding_window import (
+    gaussian_weights,
+    grid_starts,
+    make_volume_corrector,
+    num_patches,
+)
+
+
+def test_grid_starts_cover_every_voxel():
+    for dim, patch, stride in [(40, 16, 8), (16, 16, 8), (10, 16, 8), (33, 16, 11)]:
+        starts = grid_starts(dim, patch, stride)
+        covered = np.zeros(max(dim, patch), bool)
+        for s in starts:
+            assert s >= 0 and s + patch <= max(dim, patch)
+            covered[s : s + patch] = True
+        assert covered[:dim].all()
+        # last window is clamped to the edge
+        assert starts[-1] == max(dim, patch) - patch
+
+
+def test_gaussian_weights_properties():
+    w = gaussian_weights((16, 12, 8))
+    assert w.shape == (16, 12, 8)
+    assert w.max() == pytest.approx(1.0)
+    assert (w > 0).all()
+    # symmetric about the (fractional) center
+    np.testing.assert_allclose(w, w[::-1, ::-1, ::-1], atol=1e-6)
+
+
+def test_identity_generator_reconstructs_input(rng):
+    """G = 0 => corrected volume == input exactly (SURVEY.md test strategy)."""
+    corr = make_volume_corrector(
+        lambda x: jnp.zeros_like(x), patch_size=(16, 16, 16), batch_size=2
+    )
+    vol = rng.integers(-1024, 1500, (40, 33, 12), dtype=np.int16)
+    out = np.asarray(corr(jnp.asarray(vol)))
+    np.testing.assert_allclose(out, vol, atol=1e-3)
+
+
+def test_constant_attenuation_shifts_by_factor(rng):
+    """atten = c => every voxel shifts by c * scaler.factor HU, independent of
+    how many overlapping patches covered it (blending normalizes)."""
+    c, factor = 0.25, 600
+    corr = make_volume_corrector(
+        lambda x: jnp.full_like(x, c),
+        patch_size=(16, 16, 16),
+        batch_size=3,
+        scaler=FactorZeroCenterScaler(factor=factor),
+    )
+    vol = rng.integers(-1024, 1500, (24, 24, 24), dtype=np.int16)
+    out = np.asarray(corr(jnp.asarray(vol)))
+    np.testing.assert_allclose(out, vol - c * factor, atol=1e-2)
+
+
+def test_volume_smaller_than_patch(rng):
+    """Padding path: every dim smaller than the patch."""
+    corr = make_volume_corrector(
+        lambda x: jnp.zeros_like(x), patch_size=(16, 16, 16), batch_size=1
+    )
+    vol = rng.integers(-500, 500, (7, 9, 5), dtype=np.int16)
+    out = np.asarray(corr(jnp.asarray(vol)))
+    assert out.shape == (7, 9, 5)
+    np.testing.assert_allclose(out, vol, atol=1e-3)
+
+
+def test_num_patches():
+    assert num_patches((512, 512, 400), (128, 128, 128), overlap=0.5) == 7 * 7 * 6
+    assert num_patches((16, 16, 16), (16, 16, 16)) == 1
