@@ -1,0 +1,120 @@
+"""Turn an :class:`ExperimentConfig` into runnable objects (models,
+optimizers, step/trainer configs, loaders, logger) — the analogue of the
+reference's ``TrainManager`` wiring (``train.py:124-209``)."""
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from contrast_gan_3d_tpu.constants import DEFAULT_SEED
+from contrast_gan_3d_tpu.data.augment import AugmentConfig
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+from contrast_gan_3d_tpu.experiments.config import ExperimentConfig
+from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+from contrast_gan_3d_tpu.trainer.logger import (
+    ConsoleLogger,
+    HAS_WANDB,
+    LoggerInterface,
+    MultiThreadedLogger,
+    NoopLogger,
+    WandbLogger,
+)
+from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+from contrast_gan_3d_tpu.trainer.steps import StepConfig
+from contrast_gan_3d_tpu.trainer.trainer import TrainerConfig
+
+
+@dataclass
+class BuiltExperiment:
+    config: ExperimentConfig
+    generator: nn.Module
+    critic: nn.Module
+    gen_tx: optax.GradientTransformation
+    critic_tx: optax.GradientTransformation
+    step_config: StepConfig
+    trainer_config: TrainerConfig
+    scaler: FactorZeroCenterScaler
+    logger_interface: LoggerInterface
+    seed: int
+
+
+def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltExperiment:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    ndim = 2 if cfg.is_2d else 3
+
+    generator = ResnetGenerator(
+        ndim=ndim, dtype=dtype, **{k: v for k, v in cfg.generator_args.items() if k != "ndim"}
+    )
+    critic = PatchGANDiscriminator(
+        ndim=ndim, dtype=dtype, **{k: v for k, v in cfg.critic_args.items() if k != "ndim"}
+    )
+
+    gen_tx = make_optimizer(
+        cfg.optimizer, cfg.lr, cfg.betas, cfg.milestones, cfg.lr_gamma
+    )
+    critic_tx = make_optimizer(
+        cfg.optimizer, cfg.lr, cfg.betas, cfg.milestones, cfg.lr_gamma
+    )
+
+    scaler = FactorZeroCenterScaler(*cfg.HU_norm_range, cfg.max_HU_delta)
+
+    augment = None
+    if cfg.augment and not cfg.is_2d:
+        augment = AugmentConfig(
+            do_elastic=cfg.do_elastic,
+            deformation_scale=cfg.deformation_scale,
+            p_elastic=cfg.p_elastic,
+            do_scale=cfg.do_scale,
+            scale_range=cfg.scale_range,
+            p_scale=cfg.p_scale,
+            do_rotation=cfg.do_rotation,
+            angle=float(np.deg2rad(cfg.rotation_deg)),
+            p_rotation=cfg.p_rotation,
+        )
+
+    step_config = StepConfig(
+        weight_clip=cfg.weight_clip,
+        gp_weight=cfg.gp_weight,
+        hu_bounds=tuple(float(b) for b in cfg.desired_HU_bounds),
+        scaler=scaler,
+        augment=augment,
+        dtype=dtype,
+    )
+    trainer_config = TrainerConfig(
+        train_iterations=cfg.train_iterations,
+        train_critic_every=cfg.train_critic_every,
+        train_generator_every=cfg.train_generator_every,
+        val_every=cfg.validate_every,
+        val_iterations=cfg.val_iterations,
+        log_every=cfg.log_every,
+        log_images_every=cfg.log_images_every,
+        checkpoint_every=cfg.checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    seed = DEFAULT_SEED if cfg.seed is None else cfg.seed
+    rng = np.random.default_rng(seed)
+    if cfg.logger == "wandb" and HAS_WANDB:
+        logger_interface: LoggerInterface = MultiThreadedLogger(WandbLogger(scaler, rng=rng))
+    elif cfg.logger == "console" or (cfg.logger == "wandb" and not HAS_WANDB):
+        logger_interface = ConsoleLogger()
+    else:
+        logger_interface = NoopLogger()
+
+    return BuiltExperiment(
+        config=cfg,
+        generator=generator,
+        critic=critic,
+        gen_tx=gen_tx,
+        critic_tx=critic_tx,
+        step_config=step_config,
+        trainer_config=trainer_config,
+        scaler=scaler,
+        logger_interface=logger_interface,
+        seed=seed,
+    )

@@ -10,16 +10,54 @@ jnp.pad feeding a VALID conv (fused by XLA); a ``dtype`` knob enables bf16
 compute with f32 params.
 """
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from contrast_gan_3d_tpu.ops.s2d_conv import s2d_conv3d
 
 Padding = Union[int, str]
 
 
 def _pad_pairs(padding: int, ndim: int):
     return tuple((padding, padding) for _ in range(ndim))
+
+
+class S2DConv(nn.Module):
+    """Stride-1 SAME 3D conv computed via space-to-depth (``ops/s2d_conv``):
+    MXU-efficient for tiny channel counts. Param structure ("kernel"/"bias")
+    is identical to ``nn.Conv``, so checkpoints are interchangeable with the
+    direct-conv path."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    padding_mode: str = "zeros"
+    f: int = 4
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        return s2d_conv3d(
+            x,
+            kernel.astype(self.dtype),
+            None if bias is None else bias.astype(self.dtype),
+            f=self.f,
+            padding_mode=self.padding_mode,
+        )
 
 
 class ConvBlock(nn.Module):
@@ -36,6 +74,7 @@ class ConvBlock(nn.Module):
     activation: Optional[str] = "relu"  # relu | leaky_relu | tanh | None
     negative_slope: float = 0.2
     dropout_prob: float = 0.0
+    s2d: Optional[int] = None  # space-to-depth block factor (MXU-efficient path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,7 +83,23 @@ class ConvBlock(nn.Module):
         strides = (self.stride,) * self.ndim
         use_bias = self.norm is None
 
-        if self.transpose:
+        # space-to-depth path: stride-1 SAME 3D convs whose spatial dims
+        # divide the block factor (decided statically at trace time)
+        use_s2d = (
+            self.s2d is not None
+            and not self.transpose
+            and self.ndim == 3
+            and self.stride == 1
+            and self.padding == (self.kernel_size - 1) // 2
+            and all(d % self.s2d == 0 for d in x.shape[1:-1])
+        )
+
+        if use_s2d:
+            x = S2DConv(
+                self.features, ksize, padding_mode=self.padding_mode,
+                f=self.s2d, use_bias=use_bias, dtype=self.dtype, name="Conv_0",
+            )(x)
+        elif self.transpose:
             # 'SAME' transpose-conv: exact stride-x upsampling (torch
             # ConvTranspose k3 s2 p1 op1 equivalent shape semantics)
             x = nn.ConvTranspose(

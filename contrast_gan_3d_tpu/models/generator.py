@@ -26,6 +26,9 @@ class ResnetGenerator(nn.Module):
     resnet_dropout_prob: float = 0.0
     resnet_padding_mode: str = "zeros"
     norm: str = "batch"
+    # space-to-depth factor for the full-resolution 7^3 convs (stem + last):
+    # MXU-efficient equivalent conv (ops/s2d_conv); None = direct conv
+    s2d_factor: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -35,7 +38,8 @@ class ResnetGenerator(nn.Module):
 
         x = ConvBlock(
             c0, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
-            norm=self.norm, activation="relu", dtype=self.dtype, name="first",
+            norm=self.norm, activation="relu", s2d=self.s2d_factor,
+            dtype=self.dtype, name="first",
         )(x, train=train)
 
         for i in range(self.n_updownsample_blocks):
@@ -63,6 +67,7 @@ class ResnetGenerator(nn.Module):
         # final 7x7(x7) reflect-padded conv with bias, then tanh
         x = ConvBlock(
             1, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
-            norm=None, activation="tanh", dtype=self.dtype, name="last_conv",
+            norm=None, activation="tanh", s2d=self.s2d_factor,
+            dtype=self.dtype, name="last_conv",
         )(x, train=train)
         return x

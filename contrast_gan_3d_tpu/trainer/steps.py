@@ -143,13 +143,21 @@ def build_train_steps(
     gen_tx: optax.GradientTransformation,
     critic_tx: optax.GradientTransformation,
     cfg: StepConfig,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_axis: str = "data",
 ):
-    """Returns (critic_step, combined_step), both jitted with donated state.
+    """Returns (critic_step, combined_step, generator_only_step), all jitted
+    with donated state.
 
     critic_step: generator forward + critic update only (4 of 5 iterations
     under the default schedule).
     combined_step: critic update then generator update against the fresh
     critic params.
+
+    With ``mesh``, the same programs compile data-parallel over the mesh's
+    ``batch_axis`` (SURVEY.md §2.2): state replicated, batches sharded on
+    their leading axis, gradients/BatchNorm reductions turned into ICI
+    collectives by GSPMD — no NCCL analogue, no code change to the math.
     """
     hu_lo, hu_hi = cfg.hu_bounds_scaled
     use_gp = cfg.weight_clip is None
@@ -216,7 +224,20 @@ def build_train_steps(
         opt_hat = subopt_b - atten
         return state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp
 
-    @partial(jax.jit, donate_argnums=0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(batch_axis))
+        _jit = partial(
+            jax.jit,
+            donate_argnums=0,
+            in_shardings=(repl, batch_sh, batch_sh, batch_sh),
+        )
+    else:
+        _jit = partial(jax.jit, donate_argnums=0)
+
+    @_jit
     def critic_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
         state, opt_b, _, _, opt_hat, new_gen_stats, k_gp = _common(
             state, opt_b, subopt_b, subopt_mask
@@ -225,7 +246,7 @@ def build_train_steps(
         state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
         return state, {"D": loss_d}
 
-    @partial(jax.jit, donate_argnums=0)
+    @_jit
     def combined_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
         state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp = _common(
             state, opt_b, subopt_b, subopt_mask
@@ -234,7 +255,7 @@ def build_train_steps(
         state, metrics = update_generator(state, subopt_b, subopt_mask, new_gen_stats)
         return state, {"D": loss_d, **metrics}
 
-    @partial(jax.jit, donate_argnums=0)
+    @_jit
     def generator_only_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
         """For schedules where the critic skips an iteration
         (e.g. train_generator_more_3D: G every 1, D every 5)."""

@@ -78,21 +78,27 @@ class Trainer:
         logger_interface: Optional[LoggerInterface] = None,
         state: Optional[GANTrainState] = None,
         auto_resume: bool = True,
+        mesh=None,
     ):
         self.generator = generator
         self.critic = critic
         self.cfg = trainer_config
         self.step_cfg = step_config
         self.logger_interface = logger_interface or NoopLogger()
+        self.mesh = mesh
 
         self.state = state if state is not None else init_state(
             generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
         )
         if auto_resume and self.cfg.checkpoint_dir:
             self.state = ckpt_lib.maybe_restore(self.state, self.cfg.checkpoint_dir)
+        if mesh is not None:
+            from contrast_gan_3d_tpu.parallel.mesh import put_replicated
+
+            self.state = put_replicated(self.state, mesh)
 
         self.critic_step, self.combined_step, self.gen_only_step = build_train_steps(
-            generator, critic, gen_tx, critic_tx, step_config
+            generator, critic, gen_tx, critic_tx, step_config, mesh=mesh
         )
         self.val_opt_step, self.val_subopt_step = build_val_steps(
             generator, critic, step_config
@@ -103,19 +109,34 @@ class Trainer:
     def iteration(self) -> int:
         return int(jax.device_get(self.state.step))
 
-    @staticmethod
-    def _assemble(patches: Dict[int, Dict]) -> tuple:
+    def _assemble(self, patches: Dict[int, Dict]) -> tuple:
         """3-stream batches -> (opt, subopt, subopt_mask) device arrays.
         Sub-optimal streams concatenate in ScanType order LOW, HIGH
-        (reference Trainer.py:165-167)."""
+        (reference Trainer.py:165-167). Under a mesh, batches are padded to
+        the device count and placed batch-sharded."""
         import jax.numpy as jnp
+        import numpy as np
 
-        opt = jnp.asarray(patches[ScanType.OPT.value]["data"])
+        opt = patches[ScanType.OPT.value]["data"]
         low = patches[ScanType.LOW.value]
         high = patches[ScanType.HIGH.value]
-        subopt = jnp.concatenate([jnp.asarray(low["data"]), jnp.asarray(high["data"])])
-        mask = jnp.concatenate([jnp.asarray(low["seg"]), jnp.asarray(high["seg"])])
+        subopt = np.concatenate([np.asarray(low["data"]), np.asarray(high["data"])])
+        mask = np.concatenate([np.asarray(low["seg"]), np.asarray(high["seg"])])
         names = list(low.get("name", [])) + list(high.get("name", []))
+        if self.mesh is not None:
+            from contrast_gan_3d_tpu.parallel.mesh import (
+                pad_batch_to_multiple,
+                put_batch,
+            )
+
+            n = self.mesh.devices.size
+            opt = put_batch(pad_batch_to_multiple(np.asarray(opt), n), self.mesh)
+            subopt = put_batch(pad_batch_to_multiple(subopt, n), self.mesh)
+            mask = put_batch(pad_batch_to_multiple(mask, n), self.mesh)
+        else:
+            opt = jnp.asarray(opt)
+            subopt = jnp.asarray(subopt)
+            mask = jnp.asarray(mask)
         return opt, subopt, mask, names
 
     def train_step(self, patches: Dict[int, Dict], iteration: int):

@@ -17,6 +17,10 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# the axon sitecustomize sets jax_platforms programmatically (overriding the
+# env var) — force CPU again at config level before any backend initializes
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: repeated test runs skip recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

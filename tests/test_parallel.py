@@ -1,0 +1,91 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+multi-chip paths runnable anywhere via device-count override)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+from contrast_gan_3d_tpu.parallel import (
+    data_mesh,
+    make_sharded_volume_corrector,
+)
+from contrast_gan_3d_tpu.parallel.mesh import pad_batch_to_multiple, put_batch, put_replicated
+from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+from contrast_gan_3d_tpu.trainer.steps import StepConfig, build_train_steps, init_state
+
+PATCH = (16, 16, 16)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the multi-device CPU mesh"
+)
+
+
+def _tiny_models():
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    return gen, critic
+
+
+@pytest.mark.slow
+def test_data_parallel_step_matches_single_device(rng):
+    """The DP-compiled combined step must produce the same new params as the
+    single-device program on the same global batch (GSPMD correctness)."""
+    gen, critic = _tiny_models()
+    tx = make_optimizer(lr=1e-3)
+    cfg = StepConfig(augment=None)  # deterministic: no augmentation
+
+    opt_b = jnp.asarray(rng.integers(-500, 500, (8, *PATCH), dtype=np.int16))
+    subopt_b = jnp.asarray(rng.integers(-500, 500, (8, *PATCH), dtype=np.int16))
+    mask = jnp.asarray((rng.random((8, *PATCH)) < 0.01).astype(np.int16))
+
+    state1 = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    _, combined1, _ = build_train_steps(gen, critic, tx, tx, cfg)
+    state1, m1 = combined1(state1, opt_b, subopt_b, mask)
+
+    mesh = data_mesh()
+    state2 = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    state2 = put_replicated(state2, mesh)
+    _, combined2, _ = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh)
+    state2, m2 = combined2(
+        state2, put_batch(opt_b, mesh), put_batch(subopt_b, mesh), put_batch(mask, mesh)
+    )
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5)
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(state1.gen_params),
+        jax.tree_util.tree_leaves(state2.gen_params),
+    ):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_corrector_matches_single_chip(rng):
+    """Patch-grid sharding must be numerically equivalent to the single-chip
+    sliding window (identity + real generator)."""
+    from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
+
+    gen, _ = _tiny_models()
+    variables = gen.init(jax.random.key(1), jnp.zeros((1, *PATCH, 1)), train=False)
+    apply_fn = lambda x: gen.apply(variables, x, train=False)
+
+    vol = jnp.asarray(rng.integers(-1024, 1500, (24, 20, 18), dtype=np.int16))
+    single = make_volume_corrector(apply_fn, patch_size=PATCH, batch_size=2)
+    sharded = make_sharded_volume_corrector(
+        apply_fn, data_mesh(), patch_size=PATCH, batch_size=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(single(vol)), np.asarray(sharded(vol)), rtol=1e-4, atol=5e-2
+    )
+
+
+def test_pad_batch_to_multiple():
+    x = np.arange(10).reshape(5, 2)
+    out = pad_batch_to_multiple(x, 4)
+    assert out.shape == (8, 2)
+    np.testing.assert_array_equal(out[5:], np.repeat(x[:1], 3, axis=0))
+    assert pad_batch_to_multiple(x, 5) is x

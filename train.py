@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""CLI training entry point (reference ``train.py:212-265``).
+
+Orchestrates: config resolution (preset name or override file) -> seeding ->
+per-fold loaders -> Trainer -> fit, with optional wandb tracking, XProf
+profiling and data-parallel meshes. Cross-val splits come from a pickle of
+``{"train": [fold...], "test": [fold...]}`` (reference ``cross_val_splits``)
+or are built on the fly from labeled dataset sheets.
+"""
+
+import argparse
+import pickle
+import sys
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from contrast_gan_3d_tpu import config as paths
+from contrast_gan_3d_tpu.alias import FoldType
+from contrast_gan_3d_tpu.data.pipeline import create_loaders
+from contrast_gan_3d_tpu.experiments import ExperimentConfig, asdict_flat, load_config
+from contrast_gan_3d_tpu.experiments.builder import build
+from contrast_gan_3d_tpu.models.utils import count_parameters
+from contrast_gan_3d_tpu.trainer.steps import init_state
+from contrast_gan_3d_tpu.trainer.trainer import Trainer
+from contrast_gan_3d_tpu.utils import seed_everything
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name="train")
+
+
+class JaxProfiler:
+    """XProf/TensorBoard trace of the first ``n_steps`` train iterations
+    (TPU-native analogue of the reference's torch.profiler wiring,
+    reference train.py:33-55)."""
+
+    def __init__(self, logdir: str, n_steps: int = 20):
+        self.logdir = str(logdir)
+        self.n_steps = n_steps
+        self._count = 0
+        self._active = False
+
+    def step(self):
+        if self._count == 0:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+            logger.info("Profiler trace started -> %s", self.logdir)
+        self._count += 1
+        if self._active and self._count >= self.n_steps:
+            self.stop()
+
+    def stop(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info("Profiler trace written to %s", self.logdir)
+
+
+@dataclass
+class TrainManager:
+    """Per-fold experiment orchestration (reference train.py:58-209)."""
+
+    config: ExperimentConfig
+    train_folds: List[FoldType]
+    val_folds: List[FoldType]
+    checkpoint_root: Path = field(default_factory=lambda: paths.CHECKPOINTS_DIR)
+    run_id: Optional[str] = None
+    starting_fold: int = 0
+    max_folds: int = 1  # the reference breaks after fold 0 (train.py:209)
+    profiler: Optional[JaxProfiler] = None
+
+    def __call__(self):
+        for fold_idx, (train_fold, val_fold) in enumerate(
+            zip(self.train_folds, self.val_folds)
+        ):
+            if fold_idx < self.starting_fold:
+                continue
+            if fold_idx >= self.starting_fold + self.max_folds:
+                break
+            self.run_fold(fold_idx, train_fold, val_fold)
+
+    def run_fold(self, fold_idx: int, train_fold: FoldType, val_fold: FoldType):
+        cfg = self.config
+        run_name = self.run_id or f"{cfg.name}-fold{fold_idx}"
+        ckpt_dir = Path(self.checkpoint_root) / run_name
+        built = build(cfg, checkpoint_dir=str(ckpt_dir))
+        host_rng, key = seed_everything(built.seed)
+
+        mesh = None
+        if cfg.dp_devices is not None:
+            from contrast_gan_3d_tpu.parallel import data_mesh
+
+            mesh = data_mesh(cfg.dp_devices or None)
+            logger.info("Data-parallel mesh: %s", mesh)
+
+        train_loaders = create_loaders(
+            train_fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
+            num_threads=cfg.num_workers[0], prefetch=cfg.prefetch_depth,
+        )
+        val_loaders = None
+        if cfg.validate_every is not None and val_fold:
+            val_loaders = create_loaders(
+                val_fold, cfg.val_patch_size, cfg.val_batch_size, host_rng,
+                num_threads=cfg.num_workers[1], prefetch=1,
+            )
+
+        trainer = Trainer(
+            built.generator, built.critic, built.gen_tx, built.critic_tx,
+            built.step_config, built.trainer_config, key,
+            cfg.train_patch_size, logger_interface=built.logger_interface,
+        )
+        n_gen = count_parameters(trainer.state.gen_params)
+        n_critic = count_parameters(trainer.state.critic_params)
+        logger.info(
+            "Fold %d | G params %s | D params %s | config %s",
+            fold_idx, f"{n_gen:,}", f"{n_critic:,}", asdict_flat(cfg),
+        )
+
+        if cfg.logger == "wandb":
+            try:
+                import wandb
+
+                wandb.init(
+                    id=self.run_id, resume="allow", name=run_name,
+                    config=asdict_flat(cfg) | {"fold": fold_idx},
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb init failed (%s); continuing", e)
+
+        trainer.fit(train_loaders, val_loaders, profiler=self.profiler)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--conf", default=None,
+                   help="preset name or python override file (see experiments/)")
+    p.add_argument("--cval-splits", default=None,
+                   help="pickle of {'train': [fold..], 'test': [fold..]}")
+    p.add_argument("--checkpoint-root", default=None)
+    p.add_argument("--run-id", default=None, help="resume/track under this id")
+    p.add_argument("--starting-fold", type=int, default=0)
+    p.add_argument("--max-folds", type=int, default=1)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--logger", choices=["wandb", "console", "none"], default=None)
+    p.add_argument("--dp-devices", type=int, default=None,
+                   help="data-parallel over N devices (0 = all)")
+    p.add_argument("--profiler-dir", default=None)
+    p.add_argument("--profiler-steps", type=int, default=20)
+    p.add_argument("--debug", action="store_true",
+                   help="enable jax_debug_nans (reference --debug anomaly mode)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    cfg = load_config(args.conf)
+    overrides = {}
+    if args.iterations is not None:
+        overrides["train_iterations"] = args.iterations
+    if args.logger is not None:
+        overrides["logger"] = args.logger
+    if args.dp_devices is not None:
+        overrides["dp_devices"] = args.dp_devices
+    if overrides:
+        cfg = replace(cfg, **overrides)
+
+    if args.cval_splits:
+        with open(args.cval_splits, "rb") as fd:
+            splits = pickle.load(fd)
+        train_folds, val_folds = splits["train"], splits["test"]
+    elif cfg.dataset_paths:
+        from contrast_gan_3d_tpu.data.labeling import cross_val_splits
+
+        train_folds, val_folds = cross_val_splits(1, *cfg.dataset_paths, seed=cfg.seed)
+    else:
+        raise SystemExit("Provide --cval-splits or config dataset_paths")
+
+    profiler = (
+        JaxProfiler(args.profiler_dir, args.profiler_steps)
+        if args.profiler_dir
+        else None
+    )
+    manager = TrainManager(
+        cfg, train_folds, val_folds,
+        checkpoint_root=Path(args.checkpoint_root) if args.checkpoint_root else paths.CHECKPOINTS_DIR,
+        run_id=args.run_id,
+        starting_fold=args.starting_fold,
+        max_folds=args.max_folds,
+        profiler=profiler,
+    )
+    manager()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
