@@ -20,8 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from contrast_gan_3d_tpu.ops.resample import (
+    bilinear_sample,
     identity_grid,
+    identity_grid_2d,
     nearest_sample,
+    nearest_sample_2d,
     rotation_matrix,
     trilinear_sample,
 )
@@ -92,6 +95,53 @@ def augment_batch(
     data: jax.Array, seg: jax.Array, key: jax.Array, cfg: AugmentConfig = AugmentConfig()
 ):
     """Augment a (B, X, Y, Z) scan batch + its (B, X, Y, Z) mask batch with
-    per-sample random spatial transforms. Jit-safe; vmapped over the batch."""
+    per-sample random spatial transforms. Jit-safe; vmapped over the batch.
+    (B, X, Y) batches dispatch to the 2D path (conf_2D parity)."""
     keys = jax.random.split(key, data.shape[0])
+    if data.ndim == 3:
+        return jax.vmap(_augment2d_one, in_axes=(0, 0, 0, None))(data, seg, keys, cfg)
     return jax.vmap(_augment_one, in_axes=(0, 0, 0, None))(data, seg, keys, cfg)
+
+
+@dataclass(frozen=True)
+class Augment2DConfig(AugmentConfig):
+    """conf_2D augmentation (reference conf_2D.py:30-56): rotation only
+    (+-360 deg, p=0.5) plus axis mirroring (p=0.5 per sample, each axis
+    50/50 — batchgenerators MirrorTransform)."""
+
+    do_elastic: bool = False
+    do_scale: bool = False
+    do_rotation: bool = True
+    angle: float = float(2 * jnp.pi)
+    p_rotation: float = 0.5
+    do_mirror: bool = True
+    p_mirror: float = 0.5
+
+
+def _augment2d_one(data: jax.Array, seg: jax.Array, key: jax.Array, cfg: AugmentConfig):
+    """2D per-sample transform: in-plane rotation + optional mirroring."""
+    k_rot, k_rot_p, k_mir_p, k_mir_x, k_mir_y = jax.random.split(key, 5)
+    shape = data.shape
+    grid = identity_grid_2d(shape)
+    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
+    rel = grid - center
+
+    if cfg.do_rotation:
+        gate = jax.random.bernoulli(k_rot_p, cfg.p_rotation)
+        a = jnp.where(
+            gate, jax.random.uniform(k_rot, (), minval=-cfg.angle, maxval=cfg.angle), 0.0
+        )
+        c, s = jnp.cos(a), jnp.sin(a)
+        rot = jnp.array([[1.0, 0.0], [0.0, 1.0]]) * c + jnp.array(
+            [[0.0, -1.0], [1.0, 0.0]]
+        ) * s
+        rel = rel @ rot.T
+
+    if getattr(cfg, "do_mirror", False):
+        gate = jax.random.bernoulli(k_mir_p, getattr(cfg, "p_mirror", 0.5))
+        mx = jnp.where(gate & jax.random.bernoulli(k_mir_x, 0.5), -1.0, 1.0)
+        my = jnp.where(gate & jax.random.bernoulli(k_mir_y, 0.5), -1.0, 1.0)
+        rel = rel * jnp.array([1.0, 1.0]) * jnp.stack([mx, my])
+
+    coords = rel + center
+    return bilinear_sample(data, coords), nearest_sample_2d(seg, coords)

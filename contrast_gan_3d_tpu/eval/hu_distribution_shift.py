@@ -1,0 +1,101 @@
+"""HU-distribution-shift evaluation.
+
+Capability parity with reference ``eval/HU_distribution_shift.py``: for each
+evaluation scan, gather the CCTA voxel intensities under three anatomical
+masks — coronary centerlines, coronary ostia and (optionally) a myocardium
+segmentation — then aggregate per ScanType. Comparing the distributions of
+original vs corrected vs genuinely-optimal scans (KDE figure,
+``utils/visualization.hu_distribution_shift_plot``) quantifies how far the
+correction moves contrast toward the optimal 350-450 HU corridor. Host-side
+numpy (masked gathers over full volumes are I/O-bound, not compute-bound);
+patient fan-out uses a thread pool — the loads release the GIL, replacing the
+reference's process pool."""
+
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from contrast_gan_3d_tpu.alias import PathLike, ScanType
+from contrast_gan_3d_tpu.utils import geometry as geom
+from contrast_gan_3d_tpu.utils import io_utils
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+def collect_patient_voxels(
+    scan_path: PathLike,
+    centerline_path: PathLike,
+    myocardium_path: Optional[PathLike] = None,
+) -> Dict[str, np.ndarray]:
+    """HU values under centerline / ostia / myocardium masks for one scan
+    (reference ``collect_patient_voxels``, HU_distribution_shift.py:14-34)."""
+    ccta, meta = io_utils.load_scan(scan_path)
+    offset, spacing = meta["offset"], meta["spacing"]
+
+    centerlines_world = io_utils.load_centerlines(centerline_path)[..., :3]
+    ostia_world, _ = io_utils.load_mevis_coords(Path(centerline_path) / "ostia.xml")
+
+    masks = {
+        "centerlines": geom.world_to_grid_coords(
+            centerlines_world, offset, spacing, ccta.shape
+        ),
+        "ostia": geom.world_to_grid_coords(ostia_world, offset, spacing, ccta.shape),
+    }
+    if myocardium_path is not None:
+        myo, _ = io_utils.load_scan(myocardium_path, segmentation=True)
+        masks["myocardium"] = myo
+    return {k: ccta[m.astype(bool)] for k, m in masks.items()}
+
+
+def collect_voxels_intensity(
+    evaluation_paths: Sequence[Tuple[Sequence[PathLike], int]],
+    workers: int = 8,
+) -> Dict[ScanType, Dict[str, np.ndarray]]:
+    """Gather masked voxels for every (paths, label) pair and aggregate per
+    ScanType (reference ``collect_voxels_intensity``, :54-74)."""
+    labels = [label for _, label in evaluation_paths]
+    logger.info(
+        "Scans by label: %s",
+        {ScanType(k).name: labels.count(k) for k in set(labels)},
+    )
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(
+            pool.map(lambda a: (a[1], collect_patient_voxels(*a[0])), evaluation_paths)
+        )
+
+    grouped: Dict[ScanType, Dict[str, List[np.ndarray]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for label, by_region in results:
+        for region, vals in by_region.items():
+            grouped[ScanType(label)][region].append(vals)
+    out = {
+        st: {region: np.concatenate(vs) for region, vs in d.items()}
+        for st, d in grouped.items()
+    }
+    for st, d in out.items():
+        for region, vals in d.items():
+            logger.info("%s: %d voxels under %r", st.name, len(vals), region)
+    return out
+
+
+def summarize_hu_shift(
+    voxels: Dict[ScanType, Dict[str, np.ndarray]]
+) -> Dict[str, Dict[str, float]]:
+    """Per-(ScanType, region) mean/std/median HU — the quantitative companion
+    to the reference's KDE figure."""
+    out: Dict[str, Dict[str, float]] = {}
+    for st, by_region in voxels.items():
+        for region, vals in by_region.items():
+            vals = np.asarray(vals, np.float64)
+            out[f"{st.name}/{region}"] = {
+                "mean": float(vals.mean()) if vals.size else float("nan"),
+                "std": float(vals.std()) if vals.size else float("nan"),
+                "median": float(np.median(vals)) if vals.size else float("nan"),
+                "n": int(vals.size),
+            }
+    return out

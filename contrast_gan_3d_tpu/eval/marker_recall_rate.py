@@ -1,0 +1,133 @@
+"""Marker-recall-rate evaluation.
+
+Capability parity with reference ``eval/marker_recall_rate.py``: after the
+external centerline tracker re-extracts centerlines from corrected scans,
+measure — for each annotated coronary marker (IDR_CADRADS LAD/LCX/RCA x4 or
+ASOCA annotations) — the distance to the nearest extracted centerline point;
+recall = fraction within 5 mm (:33-34). Aggregation per ScanType plus the
+optimal-vs-suboptimal summary (:88-140). The pairwise distance is one einsum
+on host (tiny); patient fan-out is a thread pool."""
+
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from contrast_gan_3d_tpu.alias import PathLike, ScanType
+from contrast_gan_3d_tpu.utils import geometry as geom
+from contrast_gan_3d_tpu.utils import io_utils
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+RECALL_THRESHOLD_MM = 5.0
+
+
+def read_ASOCA_annotations(patient_dir: Path) -> Dict[str, np.ndarray]:
+    return {"centerlines": io_utils.load_ASOCA_annotated_centerlines(patient_dir)}
+
+
+def read_IDR_CADRADS_annotations(patient_dir: Path) -> Dict[str, np.ndarray]:
+    """LAD/LCX/RCA marker files, 4 annotations each (reference :18-30)."""
+    out = {}
+    for artery in ["LAD", "LCX", "RCA"]:
+        fname = Path(patient_dir) / f"{artery}.txt"
+        if not fname.is_file():
+            logger.warning("Skip missing annotation %r", str(fname))
+            continue
+        annots = np.loadtxt(fname, ndmin=2)
+        if len(annots) != 4:
+            logger.warning("%r has only %d annotations", str(fname), len(annots))
+        out[artery] = annots
+    return out
+
+
+def marker_recall_rate(
+    distance_to_marker: np.ndarray, threshold: float = RECALL_THRESHOLD_MM
+) -> float:
+    distance_to_marker = np.asarray(distance_to_marker)
+    return float((distance_to_marker <= threshold).sum() / len(distance_to_marker))
+
+
+def find_closest_centerlines_to_annotations(
+    annotations_dir: PathLike,
+    centerlines_dir: PathLike,
+    annot_read_fn: Callable[[Path], Dict[str, np.ndarray]] = read_IDR_CADRADS_annotations,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """{artery: {"z_idx": nearest centerline index, "dist": distance}} per
+    annotated marker (reference :37-63)."""
+    centerlines = io_utils.load_centerlines(centerlines_dir)[..., :3]
+    out = {}
+    for name, annots in annot_read_fn(Path(annotations_dir)).items():
+        annots = np.asarray(annots)[..., :3].reshape(-1, 3)
+        if not annots.size or not centerlines.size:
+            logger.warning("Missing annotations/centerlines for %r", str(annotations_dir))
+            continue
+        dists = geom.pointwise_euclidean_distance(centerlines, annots)
+        out[name] = {"z_idx": dists.argmin(0), "dist": dists.min(0)}
+    return out
+
+
+def eval_model_marker_recall_rate(
+    centerlines_root_dir: PathLike,
+    annotations_root_dir: PathLike,
+    labels_df: pd.DataFrame,
+    workers: int = 8,
+    **kwargs,
+) -> Tuple[Dict, Dict]:
+    """Fan out over patients found by name glob in both roots; aggregate
+    per-ScanType distances and recall (reference :66-128)."""
+    jobs = []
+    for label, name in labels_df[["label", "ID"]].values:
+        ap = sorted(Path(annotations_root_dir).glob(f"*{name}*"))
+        cp = sorted(Path(centerlines_root_dir).glob(f"*{name}*"))
+        if ap and cp:
+            jobs.append((int(label), ap[0], cp[0]))
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(
+            pool.map(
+                lambda j: (j[0], find_closest_centerlines_to_annotations(j[1], j[2], **kwargs)),
+                jobs,
+            )
+        )
+
+    collected: Dict[int, Dict[str, Dict[str, list]]] = defaultdict(
+        lambda: defaultdict(lambda: defaultdict(list))
+    )
+    for label, per_artery in results:
+        for artery, dd in per_artery.items():
+            for k, v in dd.items():
+                collected[label][artery][k].append(v)
+
+    distances: Dict[ScanType, Dict[str, Dict[str, np.ndarray]]] = {}
+    metrics: Dict[ScanType, Dict[str, float]] = defaultdict(dict)
+    for label, per_artery in collected.items():
+        st = ScanType(label)
+        distances[st] = {}
+        for artery, dd in per_artery.items():
+            distances[st][artery] = {k: np.concatenate(v) for k, v in dd.items()}
+            metrics[st][artery] = marker_recall_rate(distances[st][artery]["dist"])
+    return distances, dict(metrics)
+
+
+def summarize_marker_recall_rate(
+    distances: Dict[ScanType, Dict[str, Dict[str, np.ndarray]]]
+) -> Dict[str, Dict[str, float]]:
+    """Collapse LOW+HIGH into one 'suboptimal' bucket vs 'optimal'
+    (reference ``summarize_marker_recall_rate``, :130-140)."""
+    aggregated: Dict[str, Dict[str, float]] = {"optimal": {}}
+    subopt: Dict[str, list] = defaultdict(list)
+    for st, per_artery in distances.items():
+        for artery, dd in per_artery.items():
+            if st in (ScanType.LOW, ScanType.HIGH):
+                subopt[artery].append(dd["dist"])
+            else:
+                aggregated["optimal"][artery] = marker_recall_rate(dd["dist"])
+    aggregated["suboptimal"] = {
+        artery: marker_recall_rate(np.concatenate(v)) for artery, v in subopt.items()
+    }
+    return aggregated

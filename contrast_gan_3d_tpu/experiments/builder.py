@@ -64,7 +64,15 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
     scaler = FactorZeroCenterScaler(*cfg.HU_norm_range, cfg.max_HU_delta)
 
     augment = None
-    if cfg.augment and not cfg.is_2d:
+    if cfg.augment and cfg.is_2d:
+        from contrast_gan_3d_tpu.data.augment import Augment2DConfig
+
+        augment = Augment2DConfig(
+            do_rotation=cfg.do_rotation,
+            angle=float(np.deg2rad(cfg.rotation_deg)),
+            p_rotation=cfg.p_rotation,
+        )
+    elif cfg.augment:
         augment = AugmentConfig(
             do_elastic=cfg.do_elastic,
             deformation_scale=cfg.deformation_scale,

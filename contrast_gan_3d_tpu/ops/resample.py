@@ -79,6 +79,48 @@ def nearest_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
     return out if has_channels else out[..., 0]
 
 
+def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:
+    """2D counterpart of :func:`trilinear_sample`: sample ``image`` ((X, Y) or
+    (X, Y, C)) at fractional coords (..., 2), clamp-to-edge."""
+    has_channels = image.ndim == 3
+    if not has_channels:
+        image = image[..., None]
+    X, Y, C = image.shape
+    xs, ys = coords[..., 0], coords[..., 1]
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, X - 1)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, Y - 1)
+    x1 = jnp.minimum(x0 + 1, X - 1)
+    y1 = jnp.minimum(y0 + 1, Y - 1)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    flat = image.reshape(-1, C)
+    gather = lambda ix, iy: jnp.take(flat, ix * Y + iy, axis=0)
+    out = (
+        gather(x0, y0) * (1 - fx) * (1 - fy)
+        + gather(x1, y0) * fx * (1 - fy)
+        + gather(x0, y1) * (1 - fx) * fy
+        + gather(x1, y1) * fx * fy
+    )
+    return out if has_channels else out[..., 0]
+
+
+def nearest_sample_2d(image: jax.Array, coords: jax.Array) -> jax.Array:
+    has_channels = image.ndim == 3
+    if not has_channels:
+        image = image[..., None]
+    X, Y, C = image.shape
+    ix = jnp.clip(jnp.round(coords[..., 0]).astype(jnp.int32), 0, X - 1)
+    iy = jnp.clip(jnp.round(coords[..., 1]).astype(jnp.int32), 0, Y - 1)
+    out = jnp.take(image.reshape(-1, C), ix * Y + iy, axis=0)
+    return out if has_channels else out[..., 0]
+
+
+def identity_grid_2d(shape: Tuple[int, int]) -> jax.Array:
+    ax = [jnp.arange(s, dtype=jnp.float32) for s in shape]
+    gx, gy = jnp.meshgrid(*ax, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
 def identity_grid(shape: Tuple[int, int, int]) -> jax.Array:
     """(X, Y, Z, 3) grid of voxel coordinates."""
     ax = [jnp.arange(s, dtype=jnp.float32) for s in shape]
