@@ -42,12 +42,18 @@ def main():
     vol = jnp.asarray(
         np.random.default_rng(0).integers(-1024, 1500, shape, dtype=np.int16)
     )
-    correct(vol).block_until_ready()  # compile + warmup
 
+    def run_one():
+        # block_until_ready does not actually block on the axon tunnel;
+        # fetching one element forces completion of the whole program
+        out = correct(vol)
+        float(out[0, 0, 0])
+
+    run_one()  # compile + warmup
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        correct(vol).block_until_ready()
+        run_one()
         times.append(time.perf_counter() - t0)
     latency = min(times)
 

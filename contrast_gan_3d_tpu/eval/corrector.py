@@ -57,6 +57,11 @@ class CCTAContrastCorrector:
         def apply_fn(x):
             return generator.apply(variables, x, train=False)
 
+        # the params-baked apply — reusable by the sharded corrector
+        self.apply_fn = apply_fn
+        self.inference_patch_size = tuple(inference_patch_size)
+        self.overlap = overlap
+
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
         else:

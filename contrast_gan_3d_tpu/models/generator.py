@@ -12,6 +12,8 @@ Default config (4 resnet blocks, 2 up/down, 16 stem channels, 3D) has exactly
 1,035,297 parameters, matching the reference (BASELINE.md).
 """
 
+from typing import Optional
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,7 +30,7 @@ class ResnetGenerator(nn.Module):
     norm: str = "batch"
     # space-to-depth factor for the full-resolution 7^3 convs (stem + last):
     # MXU-efficient equivalent conv (ops/s2d_conv); None = direct conv
-    s2d_factor: int = 4
+    s2d_factor: Optional[int] = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

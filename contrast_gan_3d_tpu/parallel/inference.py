@@ -20,7 +20,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler, Scaler
-from contrast_gan_3d_tpu.ops.sliding_window import _plan_grid, gaussian_weights
+from contrast_gan_3d_tpu.ops.sliding_window import (
+    _plan_grid,
+    _weight_field,
+    gaussian_weights,
+)
 from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -42,7 +46,9 @@ def make_sharded_volume_corrector(
     n_dev = mesh.shape[axis]
 
     @partial(jax.jit, static_argnums=1)
-    def _correct(volume: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
+    def _correct(
+        volume: jax.Array, shape: Tuple[int, int, int], weight_sum: jax.Array
+    ) -> jax.Array:
         pad_cfg = [
             (
                 max(0, patch_size[i] - shape[i]) // 2,
@@ -70,12 +76,10 @@ def make_sharded_volume_corrector(
 
         def local(vol, starts_b, valid_b):
             """Per-chip scan over its share of patch batches; psum partials."""
-            # accumulators are device-varying (each chip sums its own share)
+            # accumulator is device-varying (each chip sums its own share)
             atten_acc = jax.lax.pvary(jnp.zeros(padded_shape, jnp.float32), (axis,))
-            weight_acc = jax.lax.pvary(jnp.zeros(padded_shape, jnp.float32), (axis,))
 
-            def body(carry, inp):
-                a_acc, w_acc = carry
+            def body(a_acc, inp):
                 starts, valid = inp
                 patches = jax.vmap(
                     lambda s: jax.lax.dynamic_slice(vol, s, patch_size)
@@ -83,40 +87,36 @@ def make_sharded_volume_corrector(
                 atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
                 atten = atten.astype(jnp.float32)
 
-                def scatter(i, accs):
-                    a, w = accs
+                def scatter(i, a):
                     s = starts[i]
-                    wgt = gw * valid[i]
                     cur_a = jax.lax.dynamic_slice(a, s, patch_size)
-                    cur_w = jax.lax.dynamic_slice(w, s, patch_size)
-                    a = jax.lax.dynamic_update_slice(a, cur_a + atten[i] * wgt, s)
-                    w = jax.lax.dynamic_update_slice(w, cur_w + wgt, s)
-                    return a, w
+                    return jax.lax.dynamic_update_slice(
+                        a, cur_a + atten[i] * (gw * valid[i]), s
+                    )
 
-                return jax.lax.fori_loop(0, batch_size, scatter, (a_acc, w_acc)), None
+                return jax.lax.fori_loop(0, batch_size, scatter, a_acc), None
 
-            (atten_acc, weight_acc), _ = jax.lax.scan(
-                body, (atten_acc, weight_acc), (starts_b, valid_b)
-            )
-            return (
-                jax.lax.psum(atten_acc, axis),
-                jax.lax.psum(weight_acc, axis),
-            )
+            atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+            return jax.lax.psum(atten_acc, axis)
 
-        atten_acc, weight_acc = jax.shard_map(
+        atten_acc = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis)),
-            out_specs=(P(), P()),
+            out_specs=P(),
         )(vol, starts_b, valid_b)
 
-        corrected = vol - atten_acc / jnp.maximum(weight_acc, 1e-8)
+        corrected = vol - atten_acc / weight_sum
         corrected = jax.lax.dynamic_slice(
             corrected, tuple(p[0] for p in pad_cfg), shape
         )
         return scaler.unscale(corrected)
 
     def correct(volume: jax.Array) -> jax.Array:
-        return _correct(volume, tuple(volume.shape))
+        shape = tuple(volume.shape)
+        padded_shape = tuple(max(s_, p) for s_, p in zip(shape, patch_size))
+        # computed eagerly (outside the trace), cached per shape
+        weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)
+        return _correct(volume, shape, weight_sum)
 
     return correct

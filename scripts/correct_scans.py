@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Batch full-volume correction driver (reference ``eval/utils.py`` +
+eval notebooks): load a trained generator checkpoint and correct a list of
+scans / preprocessed patients, writing .mhd outputs."""
+
+import argparse
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+from contrast_gan_3d_tpu.eval.utils import correct_patients
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint_dir", type=Path)
+    p.add_argument("out_dir", type=Path)
+    p.add_argument("scans", nargs="+", help="scan files or preprocessed patients")
+    p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--patch-size", type=int, nargs=3, default=(128, 128, 128))
+    p.add_argument("--overlap", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard each volume's patch grid over all local devices")
+    args = p.parse_args()
+
+    corrector = CCTAContrastCorrector.from_checkpoint(
+        args.checkpoint_dir,
+        iteration=args.iteration,
+        inference_patch_size=tuple(args.patch_size),
+        overlap=args.overlap,
+        batch_size=args.batch_size,
+    )
+    if args.sharded:
+        from contrast_gan_3d_tpu.parallel import data_mesh, make_sharded_volume_corrector
+
+        corrector.correct_volume = make_sharded_volume_corrector(
+            corrector.apply_fn,
+            data_mesh(),
+            patch_size=tuple(args.patch_size),
+            overlap=args.overlap,
+            batch_size=args.batch_size,
+        )
+    correct_patients(corrector, args.out_dir, args.scans)
+
+
+if __name__ == "__main__":
+    main()

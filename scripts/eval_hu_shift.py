@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""HU-distribution-shift evaluation driver (replaces reference
+``notebooks/eval_HU_distribution_shift.ipynb``): collect masked voxel
+intensities for original and corrected scans, print summary statistics and
+write the KDE comparison figure."""
+
+import argparse
+import json
+from pathlib import Path
+
+from contrast_gan_3d_tpu.eval.hu_distribution_shift import (
+    collect_voxels_intensity,
+    summarize_hu_shift,
+)
+from contrast_gan_3d_tpu.utils import visualization as viz
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name="eval_hu_shift")
+
+
+def _load_eval_list(path: Path):
+    """JSON list of [[scan_path, centerline_dir, myocardium_path|null], label]."""
+    entries = json.loads(Path(path).read_text())
+    return [
+        (tuple(p for p in paths if p is not None), int(label))
+        for paths, label in entries
+    ]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("eval_list", type=Path, help="JSON eval list (see _load_eval_list)")
+    p.add_argument("out_dir", type=Path)
+    p.add_argument("--tag", default="original", help="series name in outputs")
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+
+    voxels = collect_voxels_intensity(_load_eval_list(args.eval_list), args.workers)
+    summary = summarize_hu_shift(voxels)
+    out_json = args.out_dir / f"hu_shift_{args.tag}.json"
+    out_json.write_text(json.dumps(summary, indent=2))
+    logger.info("Wrote %s", out_json)
+
+    series = {f"{args.tag}/{st.name}": by for st, by in voxels.items()}
+    fig = viz.hu_distribution_shift_plot(series, regions=("centerlines", "ostia"))
+    fig.savefig(args.out_dir / f"hu_shift_{args.tag}.png", dpi=120)
+    logger.info("Wrote %s", args.out_dir / f"hu_shift_{args.tag}.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Offline preprocessing driver (replaces reference ``notebooks/
+preprocessing.ipynb``): walk a dataset root of raw CCTA scans + centerline
+dirs + ostia markers and produce packed ``.npy`` patients.
+
+Expected layout per patient (ASOCA/MMWHS style):
+  <root>/<name>.mhd (or .nii.gz)           the scan
+  <root>/<name>/vessel[0-9]*.txt           centerline point clouds
+  <root>/<name>/ostia.xml                  MeVisLab ostia markers
+"""
+
+import argparse
+from pathlib import Path
+
+from contrast_gan_3d_tpu.data.preprocess import create_patient
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name="preprocess")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("root", type=Path, help="dataset root")
+    p.add_argument("out_dir", type=Path, help="output directory for .npy patients")
+    p.add_argument("--glob", default="*.mhd", help="scan file glob")
+    args = p.parse_args()
+
+    scans = sorted(args.root.glob(args.glob))
+    logger.info("Found %d scans under %s", len(scans), args.root)
+    failures = []
+    for scan in scans:
+        pdir = scan.parent / scan.stem
+        ostia = pdir / "ostia.xml"
+        if not pdir.is_dir() or not ostia.is_file():
+            logger.warning("Skipping %s: missing centerlines dir or ostia.xml", scan)
+            continue
+        try:
+            create_patient(scan, pdir, ostia, args.out_dir)
+        except Exception as e:  # keep batch preprocessing going
+            logger.error("FAILED %s: %s", scan, e)
+            failures.append(scan)
+    if failures:
+        logger.error("%d failures: %s", len(failures), [str(f) for f in failures])
+
+
+if __name__ == "__main__":
+    main()
