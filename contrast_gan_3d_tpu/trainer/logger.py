@@ -122,6 +122,38 @@ class WandbLogger(LoggerInterface):
         wandb.log(payload)
 
 
+class WandbLogger2D(WandbLogger):
+    """2D variant (reference ``WandbLogger2D``, WandbLogger.py:150-156): the
+    batch axis IS the slice axis, so render the batch as one grid."""
+
+    def log_images(
+        self, sample, reconstruction, attenuation, masks, names, step, stage="train"
+    ):
+        from contrast_gan_3d_tpu.utils import visualization as viz
+
+        payload = {"iteration": step}
+        for tag, batch in [
+            ("sample", sample), ("reconstruction", reconstruction),
+            ("attenuation", attenuation),
+        ]:
+            if batch is None:
+                continue
+            imgs = np.asarray(batch).squeeze()  # (B, W, H) -> axial stack
+            is_atten = tag == "attenuation"
+            vol = np.moveaxis(imgs, 0, -1)
+            img = vol if is_atten else np.asarray(self.scaler.unscale(vol))
+            fig = viz.plot_axial_slices(
+                img,
+                cmap="RdBu" if is_atten else "gray",
+                max_slices=self.max_slices,
+                title=f"{stage}/{tag} @ {step}",
+                rng=self.rng,
+            )
+            payload[f"{stage}/{tag}"] = wandb.Image(fig)
+            viz.close(fig)
+        wandb.log(payload)
+
+
 class MultiThreadedLogger(LoggerInterface):
     """Wrap a logger; image logging (host fetch + matplotlib render + upload)
     runs on a named daemon thread per event, joined at ``end_hook``."""
