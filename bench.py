@@ -35,8 +35,8 @@ def bench_train():
     patch = (128, 128, 128)
     use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    gen = ResnetGenerator(dtype=jnp.bfloat16)
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
+    gen = ResnetGenerator(dtype=jnp.bfloat16, remat=True)
+    critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=True)
     tx = make_optimizer()
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
@@ -44,7 +44,12 @@ def bench_train():
         dtype=jnp.bfloat16,
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
-    _, combined, _ = build_train_steps(gen, critic, tx, tx, cfg)
+    steps = build_train_steps(gen, critic, tx, tx, cfg)
+
+    def combined(state, opt, sub, msk):
+        state, m1, sub_s, msk_s = steps.critic_phase(state, opt, sub, msk)
+        state, m2 = steps.generator_phase(state, sub_s, msk_s)
+        return state, {**m1, **m2}
 
     rng = np.random.default_rng(0)
     opt = jnp.asarray(rng.integers(-1024, 1500, (6, *patch), dtype=np.int16))

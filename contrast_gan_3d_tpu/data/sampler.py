@@ -70,24 +70,21 @@ class CCTAPatchSampler:
 
     # ------------------------------------------------------------------
     def _sample_3d(self, data_and_seg: np.ndarray, meta: Dict) -> np.ndarray:
-        target = geom.np.broadcast_to(np.asarray(self.patch_shape), (3,))
+        """Random crop from the (virtually) center-padded volume: one native
+        zero-padding window copy straight out of the mmap (only the cropped
+        pages fault in); numpy fallback inside ``native.crop_pad_int16``."""
+        from contrast_gan_3d_tpu import native
+
+        target = np.broadcast_to(np.asarray(self.patch_shape), (3,))
         padded_shape = np.maximum(data_and_seg.shape[:3], target)
-        starts = [
-            int(self.rng.integers(0, padded_shape[i] - target[i] + 1)) for i in range(3)
-        ]
-        # crop from the (virtually) padded volume: compute the overlap of the
-        # crop window with the real data, read only those pages from the mmap
-        out = np.zeros((*target, 2), dtype=np.int16)
-        src_slices, dst_slices = [], []
-        for i in range(3):
-            off = (padded_shape[i] - data_and_seg.shape[i]) // 2  # center pad
-            s = starts[i] - off
-            src_lo, src_hi = max(0, s), min(data_and_seg.shape[i], s + target[i])
-            dst_lo = src_lo - s
-            src_slices.append(slice(src_lo, src_hi))
-            dst_slices.append(slice(dst_lo, dst_lo + (src_hi - src_lo)))
-        out[tuple(dst_slices)] = data_and_seg[tuple(src_slices)]
-        return out
+        start = np.array(
+            [
+                int(self.rng.integers(0, padded_shape[i] - target[i] + 1))
+                - (padded_shape[i] - data_and_seg.shape[i]) // 2  # center pad
+                for i in range(3)
+            ]
+        )
+        return native.crop_pad_int16(data_and_seg, start, target)
 
     def _sample_2d(self, data_and_seg: np.ndarray, meta: Dict) -> np.ndarray:
         """50%: slice through a random centerline point, cropped around it;

@@ -47,11 +47,16 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     ndim = 2 if cfg.is_2d else 3
 
+    # remat for 3D training: a 128^3 batch-12 WGAN step otherwise exceeds a
+    # 16 GB chip's HBM (activation liveness through the double backward)
+    remat = not cfg.is_2d
     generator = ResnetGenerator(
-        ndim=ndim, dtype=dtype, **{k: v for k, v in cfg.generator_args.items() if k != "ndim"}
+        ndim=ndim, dtype=dtype, remat=remat,
+        **{k: v for k, v in cfg.generator_args.items() if k != "ndim"},
     )
     critic = PatchGANDiscriminator(
-        ndim=ndim, dtype=dtype, **{k: v for k, v in cfg.critic_args.items() if k != "ndim"}
+        ndim=ndim, dtype=dtype, remat=remat,
+        **{k: v for k, v in cfg.critic_args.items() if k != "ndim"},
     )
 
     gen_tx = make_optimizer(

@@ -25,27 +25,31 @@ class PatchGANDiscriminator(nn.Module):
     kernel_size: int = 4
     negative_slope: float = 0.2
     norm: Optional[str] = "batch"
+    # rematerialize blocks in the backward (see ResnetGenerator.remat; the
+    # critic additionally appears in the gradient-penalty double backward)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ConvBlock(
+        CB = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+        x = CB(
             self.init_channels_out, self.kernel_size, ndim=self.ndim, stride=2,
             padding=1, norm=None, activation="leaky_relu",
             negative_slope=self.negative_slope, dtype=self.dtype, name="first",
-        )(x, train=train)
+        )(x, train)
 
         for n in range(self.discriminator_depth):
             out = min(2 ** (n + 1), 8) * self.init_channels_out
-            x = ConvBlock(
+            x = CB(
                 out, self.kernel_size, ndim=self.ndim, stride=2, padding=1,
                 norm=self.norm, activation="leaky_relu",
                 negative_slope=self.negative_slope, dtype=self.dtype,
                 name=f"middle_{n}",
-            )(x, train=train)
+            )(x, train)
 
-        x = ConvBlock(
+        x = CB(
             1, self.kernel_size, ndim=self.ndim, stride=1, padding=1,
             norm=None, activation=None, dtype=self.dtype, name="last",
-        )(x, train=train)
+        )(x, train)
         return x

@@ -31,45 +31,51 @@ class ResnetGenerator(nn.Module):
     # space-to-depth factor for the full-resolution 7^3 convs (stem + last):
     # MXU-efficient equivalent conv (ops/s2d_conv); None = direct conv
     s2d_factor: Optional[int] = 4
+    # rematerialize each block in the backward pass: the full train step at
+    # 128^3 batch 12 otherwise overflows a 16 GB chip (activations of the
+    # full-resolution stages dominate); ~zero cost for inference-only graphs
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.n_resnet_blocks > 0
         c0 = self.init_channels_out
+        CB = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
+        RB = nn.remat(ResNetBlock, static_argnums=(2,)) if self.remat else ResNetBlock
 
-        x = ConvBlock(
+        x = CB(
             c0, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
             norm=self.norm, activation="relu", s2d=self.s2d_factor,
             dtype=self.dtype, name="first",
-        )(x, train=train)
+        )(x, train)
 
         for i in range(self.n_updownsample_blocks):
-            x = ConvBlock(
+            x = CB(
                 c0 * 2 ** (i + 1), 3, ndim=self.ndim, stride=2, padding=1,
                 norm=self.norm, activation="relu", dtype=self.dtype,
                 name=f"down_{i}",
-            )(x, train=train)
+            )(x, train)
 
         bottleneck = c0 * 2**self.n_updownsample_blocks
         for i in range(self.n_resnet_blocks):
-            x = ResNetBlock(
+            x = RB(
                 bottleneck, ndim=self.ndim, dropout_prob=self.resnet_dropout_prob,
                 padding_mode=self.resnet_padding_mode, norm=self.norm,
                 dtype=self.dtype, name=f"resnet_{i}",
-            )(x, train=train)
+            )(x, train)
 
         for i in range(self.n_updownsample_blocks, 0, -1):
-            x = ConvBlock(
+            x = CB(
                 c0 * 2 ** (i - 1), 3, ndim=self.ndim, stride=2, transpose=True,
                 norm=self.norm, activation="relu", dtype=self.dtype,
                 name=f"up_{i - 1}",
-            )(x, train=train)
+            )(x, train)
 
         # final 7x7(x7) reflect-padded conv with bias, then tanh
-        x = ConvBlock(
+        x = CB(
             1, 7, ndim=self.ndim, padding=3, padding_mode="reflect",
             norm=None, activation="tanh", s2d=self.s2d_factor,
             dtype=self.dtype, name="last_conv",
-        )(x, train=train)
+        )(x, train)
         return x

@@ -1,0 +1,126 @@
+"""Native (C++) host-side data ops with transparent numpy fallback.
+
+Build-on-first-use: ``csrc/hostops.cpp`` compiles with ``g++ -O3 -shared``
+into a per-user cache; loaded via ctypes (the image has no pybind11). If a
+toolchain is unavailable the numpy implementations are used — same results,
+same API. See ``csrc/hostops.cpp`` for why this exists (SURVEY.md §2: the
+reference's host data path rides native wheels; this is our equivalent)."""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+_SRC = Path(__file__).parent / "csrc" / "hostops.cpp"
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("CGAN3D_NO_NATIVE"):
+        return None
+    try:
+        src = _SRC.read_bytes()
+        tag = hashlib.sha1(src).hexdigest()[:12]
+        cache = Path(
+            os.environ.get("CGAN3D_NATIVE_CACHE", Path(tempfile.gettempdir()) / "cgan3d_native")
+        )
+        cache.mkdir(parents=True, exist_ok=True)
+        so_path = cache / f"hostops_{tag}.so"
+        if not so_path.exists():
+            tmp = so_path.with_suffix(".so.tmp")
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 str(_SRC), "-o", str(tmp)],
+                check=True, capture_output=True,
+            )
+            tmp.rename(so_path)
+            logger.info("Built native hostops -> %s", so_path)
+        lib = ctypes.CDLL(str(so_path))
+        lib.crop_pad_int16.restype = ctypes.c_long
+        lib.crop_pad_int16.argtypes = [
+            ctypes.c_void_p, *([ctypes.c_long] * 10), ctypes.c_void_p,
+        ]
+        lib.trilinear_f32.restype = None
+        lib.trilinear_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except Exception as e:  # no toolchain / build failure -> numpy fallback
+        logger.warning("Native hostops unavailable (%s); using numpy fallback", e)
+    return _LIB
+
+
+def has_native() -> bool:
+    return _build_and_load() is not None
+
+
+def crop_pad_int16(
+    volume: np.ndarray, start, patch_size, out: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Crop a zero-padded (px, py, pz, C) int16 window whose ``start`` may be
+    negative / overhang the (W, H, D, C) ``volume``."""
+    assert volume.ndim == 4 and volume.dtype == np.int16
+    px, py, pz = (int(p) for p in patch_size)
+    C = volume.shape[3]
+    if out is None:
+        out = np.empty((px, py, pz, C), np.int16)
+    lib = _build_and_load()
+    if lib is not None and volume.flags["C_CONTIGUOUS"]:
+        lib.crop_pad_int16(
+            volume.ctypes.data,
+            *(int(d) for d in volume.shape),
+            int(start[0]), int(start[1]), int(start[2]),
+            px, py, pz,
+            out.ctypes.data,
+        )
+        return out
+    # numpy fallback
+    out[:] = 0
+    W, H, D = volume.shape[:3]
+    src_sl, dst_sl = [], []
+    for s, p, dim in zip(start, (px, py, pz), (W, H, D)):
+        lo, hi = max(0, int(s)), min(dim, int(s) + p)
+        src_sl.append(slice(lo, hi))
+        dst_sl.append(slice(lo - int(s), lo - int(s) + max(0, hi - lo)))
+    if all(sl.stop > sl.start for sl in src_sl):
+        out[tuple(dst_sl)] = volume[tuple(src_sl)]
+    return out
+
+
+def trilinear_f32(
+    volume: np.ndarray, xs: np.ndarray, ys: np.ndarray, zs: np.ndarray
+) -> np.ndarray:
+    """Native trilinear interpolation; falls back to the numpy geometry
+    engine when the library is unavailable."""
+    lib = _build_and_load()
+    vol = np.ascontiguousarray(volume, dtype=np.float32)
+    xs = np.ascontiguousarray(xs, dtype=np.float32).ravel()
+    ys = np.ascontiguousarray(ys, dtype=np.float32).ravel()
+    zs = np.ascontiguousarray(zs, dtype=np.float32).ravel()
+    if lib is None:
+        from contrast_gan_3d_tpu.utils.geometry import trilinear_interpolate
+
+        return trilinear_interpolate(vol, xs, ys, zs).astype(np.float32)
+    out = np.empty(xs.shape, np.float32)
+    lib.trilinear_f32(
+        vol.ctypes.data, *(int(d) for d in vol.shape),
+        xs.ctypes.data, ys.ctypes.data, zs.ctypes.data,
+        len(xs), out.ctypes.data,
+    )
+    return out

@@ -1,0 +1,101 @@
+// Native host-side data ops for the input pipeline.
+//
+// The reference outsources its host data path to native wheels
+// (batchgenerators' C-backed numpy crops, SimpleITK's ITK C++ core —
+// SURVEY.md §2). This library is the framework's own native runtime piece:
+// zero-copy-ish patch cropping out of memory-mapped (W, H, D, C) int16
+// patient arrays (the train-time hot path feeding the TPU) and a vectorized
+// trilinear resampler (ostia-patch extraction during labeling). Bound via
+// ctypes; built on demand with g++ -O3 (no pybind11 in the image).
+//
+// Layout contract: volumes are C-contiguous (W, H, D, C) int16 — a crop's
+// innermost (z, c) extent is a single contiguous run, so each (x, y) pair
+// costs one memcpy.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+extern "C" {
+
+// Copy a (px, py, pz, C) window starting at (sx, sy, sz) — which MAY be
+// negative or overhang — from a (W, H, D, C) int16 volume into `out`,
+// zero-filling voxels outside the volume. Returns copied voxel count.
+long crop_pad_int16(
+    const int16_t* __restrict src,
+    long W, long H, long D, long C,
+    long sx, long sy, long sz,
+    long px, long py, long pz,
+    int16_t* __restrict out)
+{
+    std::memset(out, 0, sizeof(int16_t) * px * py * pz * C);
+
+    const long x_lo = std::max(sx, 0L), x_hi = std::min(sx + px, W);
+    const long y_lo = std::max(sy, 0L), y_hi = std::min(sy + py, H);
+    const long z_lo = std::max(sz, 0L), z_hi = std::min(sz + pz, D);
+    if (x_lo >= x_hi || y_lo >= y_hi || z_lo >= z_hi) return 0;
+
+    const long run = (z_hi - z_lo) * C;           // contiguous int16s per (x, y)
+    const long src_y_stride = D * C;
+    const long src_x_stride = H * D * C;
+    const long out_y_stride = pz * C;
+    const long out_x_stride = py * pz * C;
+
+    for (long x = x_lo; x < x_hi; ++x) {
+        const int16_t* sp = src + x * src_x_stride + y_lo * src_y_stride + z_lo * C;
+        int16_t* op = out + (x - sx) * out_x_stride + (y_lo - sy) * out_y_stride
+                      + (z_lo - sz) * C;
+        for (long y = y_lo; y < y_hi; ++y) {
+            std::memcpy(op, sp, sizeof(int16_t) * run);
+            sp += src_y_stride;
+            op += out_y_stride;
+        }
+    }
+    return (x_hi - x_lo) * (y_hi - y_lo) * (z_hi - z_lo);
+}
+
+// Vectorized trilinear interpolation of a (W, H, D) float32 volume at n
+// fractional coordinates, clamp-to-edge (reference fast_trilinear,
+// geometry.py:30-58 semantics).
+void trilinear_f32(
+    const float* __restrict vol,
+    long W, long H, long D,
+    const float* __restrict xs,
+    const float* __restrict ys,
+    const float* __restrict zs,
+    long n,
+    float* __restrict out)
+{
+    const long sy = D, sx = H * D;
+    for (long i = 0; i < n; ++i) {
+        float xf = xs[i], yf = ys[i], zf = zs[i];
+        // clamp the floor FIRST, then take the fraction against the clamped
+        // base (reference fast_trilinear / geometry.trilinear_interpolate
+        // semantics for out-of-range coordinates)
+        const long x0 = std::min(std::max((long)std::floor(xf), 0L), W - 1);
+        const long y0 = std::min(std::max((long)std::floor(yf), 0L), H - 1);
+        const long z0 = std::min(std::max((long)std::floor(zf), 0L), D - 1);
+        const float fx = xf - x0, fy = yf - y0, fz = zf - z0;
+        const long x1 = std::min(x0 + 1L, W - 1);
+        const long y1 = std::min(y0 + 1L, H - 1);
+        const long z1 = std::min(z0 + 1L, D - 1);
+
+        const float c000 = vol[x0 * sx + y0 * sy + z0];
+        const float c100 = vol[x1 * sx + y0 * sy + z0];
+        const float c010 = vol[x0 * sx + y1 * sy + z0];
+        const float c001 = vol[x0 * sx + y0 * sy + z1];
+        const float c110 = vol[x1 * sx + y1 * sy + z0];
+        const float c101 = vol[x1 * sx + y0 * sy + z1];
+        const float c011 = vol[x0 * sx + y1 * sy + z1];
+        const float c111 = vol[x1 * sx + y1 * sy + z1];
+
+        const float gx = 1.0f - fx, gy = 1.0f - fy, gz = 1.0f - fz;
+        out[i] = c000 * gx * gy * gz + c100 * fx * gy * gz
+               + c010 * gx * fy * gz + c001 * gx * gy * fz
+               + c110 * fx * fy * gz + c101 * fx * gy * fz
+               + c011 * gx * fy * fz + c111 * fx * fy * fz;
+    }
+}
+
+}  // extern "C"

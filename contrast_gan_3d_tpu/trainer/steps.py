@@ -21,7 +21,7 @@ Batches arrive as raw int16 HU patches; f32 cast + scaling happen on device
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +135,16 @@ def _prepare_batches(cfg: StepConfig, key, opt, subopt, subopt_mask):
     subopt = cfg.scaler(subopt).astype(cfg.dtype)[..., None]
     subopt_mask = subopt_mask[..., None]
     return opt, subopt, subopt_mask
+
+
+class TrainSteps(NamedTuple):
+    """The compiled per-iteration programs (see ``build_train_steps``)."""
+
+    critic_step: Callable      # generator fwd + critic update only
+    combined_step: Callable    # critic then generator update, one program
+    generator_only_step: Callable
+    critic_phase: Callable     # combined split in two: lower peak HBM —
+    generator_phase: Callable  # critic_phase hands the prepared batch over
 
 
 def build_train_steps(
@@ -265,7 +275,47 @@ def build_train_steps(
         state, metrics = update_generator(state, subopt_b, subopt_mask, new_gen_stats)
         return state, metrics
 
-    return critic_step, combined_step, generator_only_step
+    # --- split variants: same iteration as combined_step but as TWO
+    # sequential programs, so peak HBM liveness is max(phase) rather than
+    # their union (a 128^3 batch-12 combined step overflows a 16 GB chip
+    # even with remat). The critic phase hands the prepared (augmented +
+    # scaled) sub-optimal batch to the generator phase — identical semantics
+    # to combined_step / the reference's single-batch iteration.
+
+    @_jit
+    def critic_phase(state: GANTrainState, opt_b, subopt_b, subopt_mask):
+        state, opt_b, subopt_s, mask_s, opt_hat, new_gen_stats, k_gp = _common(
+            state, opt_b, subopt_b, subopt_mask
+        )
+        state = state.replace(gen_stats=new_gen_stats)
+        state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
+        return state, {"D": loss_d}, subopt_s, mask_s
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _jit_gen = partial(
+            jax.jit,
+            donate_argnums=0,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(batch_axis)),
+                NamedSharding(mesh, P(batch_axis)),
+            ),
+        )
+    else:
+        _jit_gen = partial(jax.jit, donate_argnums=0)
+
+    @_jit_gen
+    def generator_phase(state: GANTrainState, subopt_s, mask_s):
+        """Generator update against the (already prepared) sub-optimal batch;
+        rng/step were advanced by the critic phase."""
+        state, metrics = update_generator(state, subopt_s, mask_s, state.gen_stats)
+        return state, metrics
+
+    return TrainSteps(
+        critic_step, combined_step, generator_only_step, critic_phase, generator_phase
+    )
 
 
 def build_val_steps(generator: nn.Module, critic: nn.Module, cfg: StepConfig):

@@ -79,6 +79,7 @@ class Trainer:
         state: Optional[GANTrainState] = None,
         auto_resume: bool = True,
         mesh=None,
+        split_combined: bool = True,
     ):
         self.generator = generator
         self.critic = critic
@@ -86,6 +87,7 @@ class Trainer:
         self.step_cfg = step_config
         self.logger_interface = logger_interface or NoopLogger()
         self.mesh = mesh
+        self.split_combined = split_combined
 
         self.state = state if state is not None else init_state(
             generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
@@ -97,7 +99,7 @@ class Trainer:
 
             self.state = put_replicated(self.state, mesh)
 
-        self.critic_step, self.combined_step, self.gen_only_step = build_train_steps(
+        self.steps = build_train_steps(
             generator, critic, gen_tx, critic_tx, step_config, mesh=mesh
         )
         self.val_opt_step, self.val_subopt_step = build_val_steps(
@@ -145,11 +147,19 @@ class Trainer:
         critic_due = _due(iteration, self.cfg.train_critic_every, skip_zero=False)
         gen_due = _due(iteration, self.cfg.train_generator_every, skip_zero=False)
         if critic_due and gen_due:
-            self.state, metrics = self.combined_step(self.state, opt, subopt, mask)
+            if self.split_combined:
+                # two sequential programs: peak HBM = max(phase), not union
+                self.state, m1, subopt_s, mask_s = self.steps.critic_phase(
+                    self.state, opt, subopt, mask
+                )
+                self.state, m2 = self.steps.generator_phase(self.state, subopt_s, mask_s)
+                metrics = {**m1, **m2}
+            else:
+                self.state, metrics = self.steps.combined_step(self.state, opt, subopt, mask)
         elif critic_due:
-            self.state, metrics = self.critic_step(self.state, opt, subopt, mask)
+            self.state, metrics = self.steps.critic_step(self.state, opt, subopt, mask)
         elif gen_due:
-            self.state, metrics = self.gen_only_step(self.state, opt, subopt, mask)
+            self.state, metrics = self.steps.generator_only_step(self.state, opt, subopt, mask)
         else:
             metrics = {}
         return metrics, (subopt, mask, names)

@@ -43,13 +43,13 @@ def test_data_parallel_step_matches_single_device(rng):
     mask = jnp.asarray((rng.random((8, *PATCH)) < 0.01).astype(np.int16))
 
     state1 = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
-    _, combined1, _ = build_train_steps(gen, critic, tx, tx, cfg)
+    combined1 = build_train_steps(gen, critic, tx, tx, cfg).combined_step
     state1, m1 = combined1(state1, opt_b, subopt_b, mask)
 
     mesh = data_mesh()
     state2 = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
     state2 = put_replicated(state2, mesh)
-    _, combined2, _ = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh)
+    combined2 = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh).combined_step
     state2, m2 = combined2(
         state2, put_batch(opt_b, mesh), put_batch(subopt_b, mesh), put_batch(mask, mesh)
     )
