@@ -35,6 +35,11 @@ def bench_train():
     patch = (128, 128, 128)
     use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 4 OPT + 2 LOW + 2 HIGH per step: the largest 128^3 batch whose
+    # generator-update backward fits 16 GB HBM (reference default 6+3+3 ran
+    # on a 24 GB+ GPU); throughput normalizes to patches/sec
+    n_opt = int(os.environ.get("BENCH_OPT", "4"))
+    n_sub = int(os.environ.get("BENCH_SUB", "4"))
     gen = ResnetGenerator(dtype=jnp.bfloat16, remat=True)
     critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=True)
     tx = make_optimizer()
@@ -52,9 +57,9 @@ def bench_train():
         return state, {**m1, **m2}
 
     rng = np.random.default_rng(0)
-    opt = jnp.asarray(rng.integers(-1024, 1500, (6, *patch), dtype=np.int16))
-    sub = jnp.asarray(rng.integers(-1024, 1500, (6, *patch), dtype=np.int16))
-    msk = jnp.asarray((rng.random((6, *patch)) < 0.001).astype(np.int16))
+    opt = jnp.asarray(rng.integers(-1024, 1500, (n_opt, *patch), dtype=np.int16))
+    sub = jnp.asarray(rng.integers(-1024, 1500, (n_sub, *patch), dtype=np.int16))
+    msk = jnp.asarray((rng.random((n_sub, *patch)) < 0.001).astype(np.int16))
 
     state, m = combined(state, opt, sub, msk)
     float(m["D"])  # compile + warmup
@@ -65,7 +70,7 @@ def bench_train():
         float(m["D"])
         times.append(time.perf_counter() - t0)
     sec = min(times)
-    patches_per_sec = 12 / sec  # 6 OPT + 6 sub-optimal 128^3 patches per step
+    patches_per_sec = (n_opt + n_sub) / sec  # 128^3 patches per step
     print(json.dumps({
         "metric": f"train_patches_per_sec_128c_{'gp' if use_gp else 'wc'}",
         "value": round(patches_per_sec, 2),

@@ -1,0 +1,46 @@
+"""Split critic/generator phases must equal the single combined program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+from contrast_gan_3d_tpu.trainer.steps import StepConfig, build_train_steps, init_state
+
+PATCH = (16, 16, 16)
+
+
+@pytest.mark.parametrize("weight_clip", [0.01, None])
+def test_split_equals_combined(rng, weight_clip):
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    cfg = StepConfig(weight_clip=weight_clip, augment=None)
+    steps = build_train_steps(gen, critic, tx, tx, cfg)
+
+    opt = jnp.asarray(rng.integers(-500, 500, (2, *PATCH), dtype=np.int16))
+    sub = jnp.asarray(rng.integers(-500, 500, (2, *PATCH), dtype=np.int16))
+    msk = jnp.asarray((rng.random((2, *PATCH)) < 0.05).astype(np.int16))
+
+    s_combined = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    s_combined, m_combined = steps.combined_step(s_combined, opt, sub, msk)
+
+    s_split = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    s_split, m1, sub_s, msk_s = steps.critic_phase(s_split, opt, sub, msk)
+    s_split, m2 = steps.generator_phase(s_split, sub_s, msk_s)
+    m_split = {**m1, **m2}
+
+    assert set(m_combined) == set(m_split)
+    for k in m_combined:
+        np.testing.assert_allclose(
+            float(m_combined[k]), float(m_split[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves((s_combined.gen_params, s_combined.critic_params)),
+        jax.tree_util.tree_leaves((s_split.gen_params, s_split.critic_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
+    assert int(s_split.step) == int(s_combined.step) == 1
