@@ -43,9 +43,14 @@ def bench_train():
     gen = ResnetGenerator(dtype=jnp.bfloat16, remat=True)
     critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=True)
     tx = make_optimizer()
+    # augmentation runs on HOST (native C++ warp in the prefetch pipeline,
+    # overlapped with device compute — the default augment_backend); the
+    # device step itself is augmentation-free. BENCH_DEVICE_AUG=1 measures
+    # the on-device warp variant instead.
+    device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
-        augment=AugmentConfig(),
+        augment=AugmentConfig() if device_aug else None,
         dtype=jnp.bfloat16,
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)

@@ -109,15 +109,20 @@ def create_loaders(
     num_threads: int = 2,
     prefetch: int = 3,
     to_device: bool = True,
+    augmenter=None,
 ) -> Dict[int, PrefetchLoader]:
     """One prefetching loader per ScanType label in the fold (reference
-    ``create_dataloaders``, trainer/utils.py:44-107)."""
+    ``create_dataloaders``, trainer/utils.py:44-107). ``augmenter`` is a
+    per-sample host transform (``host_augment.HostAugmenter``) applied in
+    the prefetch workers."""
     from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
 
     by_label = divide_scans_in_fold(fold)
     loaders = {}
     for label, paths in by_label.items():
-        sampler = CCTAPatchSampler(paths, patch_shape, batch_sizes[label], rng=rng)
+        sampler = CCTAPatchSampler(
+            paths, patch_shape, batch_sizes[label], rng=rng, augmenter=augmenter
+        )
         loaders[label] = PrefetchLoader(
             sampler, num_threads=num_threads, prefetch=prefetch, to_device=to_device
         )

@@ -44,6 +44,7 @@ class CCTAPatchSampler:
         rng: Optional[np.random.Generator] = None,
         shuffle: bool = True,
         infinite: bool = True,
+        augmenter=None,  # HostAugmenter: native C++ warp per sample
     ):
         assert len(paths) > 0, "empty patient list"
         self.paths = list(paths)
@@ -53,6 +54,7 @@ class CCTAPatchSampler:
         self.rng = rng or np.random.default_rng()
         self.shuffle = shuffle
         self.infinite = infinite
+        self.augmenter = augmenter
         self._order: List[int] = []
 
     def __len__(self) -> int:
@@ -114,6 +116,9 @@ class CCTAPatchSampler:
     def sample_one(self, path: str) -> Tuple[np.ndarray, str]:
         data_and_seg, meta = load_patient(path)  # (W, H, D, 2) int16 memmap
         patch = (self._sample_2d if self.is_2d else self._sample_3d)(data_and_seg, meta)
+        if self.augmenter is not None and not self.is_2d:
+            scan, seg = self.augmenter(patch[..., 0], patch[..., 1])
+            patch = np.stack([scan, seg], axis=-1)
         return patch, meta["name"]
 
     def next_batch(self) -> Dict[str, np.ndarray]:

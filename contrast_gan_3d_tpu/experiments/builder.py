@@ -41,6 +41,7 @@ class BuiltExperiment:
     scaler: FactorZeroCenterScaler
     logger_interface: LoggerInterface
     seed: int
+    host_augmenter: object = None  # HostAugmenter for the train loaders
 
 
 def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltExperiment:
@@ -69,6 +70,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
     scaler = FactorZeroCenterScaler(*cfg.HU_norm_range, cfg.max_HU_delta)
 
     augment = None
+    host_augmenter = None
     if cfg.augment and cfg.is_2d:
         from contrast_gan_3d_tpu.data.augment import Augment2DConfig
 
@@ -89,6 +91,16 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
             angle=float(np.deg2rad(cfg.rotation_deg)),
             p_rotation=cfg.p_rotation,
         )
+        if cfg.augment_backend == "host":
+            from contrast_gan_3d_tpu import native
+
+            if native.has_native():
+                from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
+
+                host_augmenter = HostAugmenter(
+                    augment, np.random.default_rng(cfg.seed)
+                )
+                augment = None  # warp happens in the prefetch workers
 
     step_config = StepConfig(
         weight_clip=cfg.weight_clip,
@@ -130,4 +142,5 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         scaler=scaler,
         logger_interface=logger_interface,
         seed=seed,
+        host_augmenter=host_augmenter,
     )

@@ -99,6 +99,11 @@ class ExperimentConfig:
     rotation_deg: float = 30.0
     p_rotation: float = 0.2
 
+    # spatial augmentation executor: "host" = native C++ warp in the
+    # prefetch workers (overlapped with device compute; TPUs are slow at
+    # data-dependent gathers); "device" = jitted warp inside the train step
+    augment_backend: str = "host"
+
     # logging backend: wandb | console | none
     logger: str = "console"
 

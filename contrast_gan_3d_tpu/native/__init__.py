@@ -60,6 +60,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_long, ctypes.c_void_p,
         ]
+        lib.warp_augment_int16.restype = None
+        lib.warp_augment_int16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         logger.warning("Native hostops unavailable (%s); using numpy fallback", e)
@@ -101,6 +108,42 @@ def crop_pad_int16(
     if all(sl.stop > sl.start for sl in src_sl):
         out[tuple(dst_sl)] = volume[tuple(src_sl)]
     return out
+
+
+def warp_augment_int16(
+    scan: np.ndarray,
+    seg: np.ndarray,
+    affine: np.ndarray,
+    coarse_field: Optional[np.ndarray] = None,
+    amplitude: Optional[np.ndarray] = None,
+):
+    """Fused spatial-augmentation warp of one (W, H, D) int16 scan + mask
+    pair: ``src = affine @ (dst - center) + center + amp * elastic(dst)``,
+    trilinear for the scan, nearest for the mask (see csrc/hostops.cpp).
+    Requires the native library (call :func:`has_native` first)."""
+    lib = _build_and_load()
+    assert lib is not None, "native hostops unavailable"
+    scan = np.ascontiguousarray(scan, np.int16)
+    seg = np.ascontiguousarray(seg, np.int16)
+    affine = np.ascontiguousarray(affine, np.float32)
+    assert affine.shape == (3, 3)
+    out_scan = np.empty_like(scan)
+    out_seg = np.empty_like(seg)
+    if coarse_field is not None:
+        coarse_field = np.ascontiguousarray(coarse_field, np.float32)
+        G = coarse_field.shape[0]
+        assert coarse_field.shape == (G, G, G, 3)
+        amp = np.ascontiguousarray(amplitude, np.float32)
+        cf_ptr, amp_ptr = coarse_field.ctypes.data, amp.ctypes.data
+    else:
+        G, cf_ptr, amp_ptr = 0, None, None
+    lib.warp_augment_int16(
+        scan.ctypes.data, seg.ctypes.data,
+        *(int(d) for d in scan.shape),
+        affine.ctypes.data, cf_ptr, G, amp_ptr,
+        out_scan.ctypes.data, out_seg.ctypes.data,
+    )
+    return out_scan, out_seg
 
 
 def trilinear_f32(

@@ -98,4 +98,94 @@ void trilinear_f32(
     }
 }
 
+// Fused spatial-augmentation warp of one (W, H, D) int16 scan + mask pair:
+//   src = A @ (dst - center) + center + amp * elastic(dst)
+// where elastic(dst) trilinearly upsamples a coarse (G, G, G, 3) noise field
+// on the fly. Scan is trilinearly resampled, mask nearest-neighbour (clamped
+// edges). This replaces the device-side gather (TPUs are very slow at
+// data-dependent gathers: measured 1.4 s for 8x128^3 on v5e) — it runs in
+// the async host prefetch pipeline, fully overlapped with device compute.
+void warp_augment_int16(
+    const int16_t* __restrict scan,
+    const int16_t* __restrict seg,
+    long W, long H, long D,
+    const float* __restrict affine,   // row-major 3x3
+    const float* __restrict coarse,   // (G, G, G, 3) or NULL
+    long G,
+    const float* __restrict amp,      // (3,) elastic amplitude, voxels
+    int16_t* __restrict out_scan,
+    int16_t* __restrict out_seg)
+{
+    const float cx = (W - 1) * 0.5f, cy = (H - 1) * 0.5f, cz = (D - 1) * 0.5f;
+    const long sy = D, sx = H * D;
+    const float gsx = G > 1 ? (float)(G - 1) / (float)(W - 1) : 0.f;
+    const float gsy = G > 1 ? (float)(G - 1) / (float)(H - 1) : 0.f;
+    const float gsz = G > 1 ? (float)(G - 1) / (float)(D - 1) : 0.f;
+
+    for (long x = 0; x < W; ++x) {
+        const float rx = x - cx;
+        for (long y = 0; y < H; ++y) {
+            const float ry = y - cy;
+            for (long z = 0; z < D; ++z) {
+                const float rz = z - cz;
+                float xs = affine[0] * rx + affine[1] * ry + affine[2] * rz + cx;
+                float ys = affine[3] * rx + affine[4] * ry + affine[5] * rz + cy;
+                float zs = affine[6] * rx + affine[7] * ry + affine[8] * rz + cz;
+
+                if (coarse) {
+                    // trilinear sample of the coarse field at (x, y, z)
+                    float fx = x * gsx, fy = y * gsy, fz = z * gsz;
+                    long gx = (long)fx, gy = (long)fy, gz = (long)fz;
+                    if (gx > G - 2) gx = G - 2;
+                    if (gy > G - 2) gy = G - 2;
+                    if (gz > G - 2) gz = G - 2;
+                    const float ax = fx - gx, ay = fy - gy, az = fz - gz;
+                    const long gs = G * 3, gss = G * G * 3;
+                    for (int c = 0; c < 3; ++c) {
+                        const float* f = coarse + c;
+                        const float c00 = f[gx*gss + gy*gs + gz*3] * (1-ax) + f[(gx+1)*gss + gy*gs + gz*3] * ax;
+                        const float c10 = f[gx*gss + (gy+1)*gs + gz*3] * (1-ax) + f[(gx+1)*gss + (gy+1)*gs + gz*3] * ax;
+                        const float c01 = f[gx*gss + gy*gs + (gz+1)*3] * (1-ax) + f[(gx+1)*gss + gy*gs + (gz+1)*3] * ax;
+                        const float c11 = f[gx*gss + (gy+1)*gs + (gz+1)*3] * (1-ax) + f[(gx+1)*gss + (gy+1)*gs + (gz+1)*3] * ax;
+                        const float v = (c00 * (1-ay) + c10 * ay) * (1-az)
+                                      + (c01 * (1-ay) + c11 * ay) * az;
+                        if (c == 0) xs += v * amp[0];
+                        else if (c == 1) ys += v * amp[1];
+                        else zs += v * amp[2];
+                    }
+                }
+
+                // trilinear scan sample, clamped (fraction vs clamped floor)
+                long x0 = (long)std::floor(xs), y0 = (long)std::floor(ys), z0 = (long)std::floor(zs);
+                x0 = std::min(std::max(x0, 0L), W - 1);
+                y0 = std::min(std::max(y0, 0L), H - 1);
+                z0 = std::min(std::max(z0, 0L), D - 1);
+                const float fxw = xs - x0, fyw = ys - y0, fzw = zs - z0;
+                const long x1 = std::min(x0 + 1L, W - 1);
+                const long y1 = std::min(y0 + 1L, H - 1);
+                const long z1 = std::min(z0 + 1L, D - 1);
+                const float gxw = 1.f - fxw, gyw = 1.f - fyw, gzw = 1.f - fzw;
+
+                const float v =
+                      scan[x0*sx + y0*sy + z0] * gxw * gyw * gzw
+                    + scan[x1*sx + y0*sy + z0] * fxw * gyw * gzw
+                    + scan[x0*sx + y1*sy + z0] * gxw * fyw * gzw
+                    + scan[x0*sx + y0*sy + z1] * gxw * gyw * fzw
+                    + scan[x1*sx + y1*sy + z0] * fxw * fyw * gzw
+                    + scan[x1*sx + y0*sy + z1] * fxw * gyw * fzw
+                    + scan[x0*sx + y1*sy + z1] * gxw * fyw * fzw
+                    + scan[x1*sx + y1*sy + z1] * fxw * fyw * fzw;
+                out_scan[x*sx + y*sy + z] = (int16_t)std::lround(v);
+
+                // nearest-neighbour mask sample
+                long xn = (long)std::lround(xs), yn = (long)std::lround(ys), zn = (long)std::lround(zs);
+                xn = std::min(std::max(xn, 0L), W - 1);
+                yn = std::min(std::max(yn, 0L), H - 1);
+                zn = std::min(std::max(zn, 0L), D - 1);
+                out_seg[x*sx + y*sy + z] = seg[xn*sx + yn*sy + zn];
+            }
+        }
+    }
+}
+
 }  // extern "C"

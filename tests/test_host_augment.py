@@ -1,0 +1,85 @@
+"""Host (native C++) augmentation warp tests: must match the device
+resampler for identical transform parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu import native
+from contrast_gan_3d_tpu.data.augment import AugmentConfig
+from contrast_gan_3d_tpu.data.host_augment import HostAugmenter, rotation_matrix_np
+from contrast_gan_3d_tpu.ops.resample import identity_grid, nearest_sample, trilinear_sample
+
+pytestmark = pytest.mark.skipif(not native.has_native(), reason="no native lib")
+
+SHAPE = (12, 12, 12)
+
+
+def _device_warp(scan, seg, affine):
+    grid = identity_grid(SHAPE)
+    center = (jnp.asarray(SHAPE, jnp.float32) - 1.0) / 2.0
+    coords = (grid - center) @ jnp.asarray(affine, jnp.float32).T + center
+    out = trilinear_sample(jnp.asarray(scan, jnp.float32), coords)
+    out_seg = nearest_sample(jnp.asarray(seg, jnp.float32), coords)
+    return np.asarray(out), np.asarray(out_seg)
+
+
+def test_identity_affine_roundtrip(rng):
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = (rng.random(SHAPE) < 0.1).astype(np.int16)
+    out_scan, out_seg = native.warp_augment_int16(scan, seg, np.eye(3))
+    np.testing.assert_array_equal(out_scan, scan)
+    np.testing.assert_array_equal(out_seg, seg)
+
+
+def test_rotation_matches_device(rng):
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = (rng.random(SHAPE) < 0.1).astype(np.int16)
+    affine = rotation_matrix_np(np.array([0.3, -0.2, 0.5]))
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, affine)
+    ref_scan, ref_seg = _device_warp(scan, seg, affine)
+    # int16 rounding in the native path vs float device path
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
+def test_scale_matches_device(rng):
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = np.zeros(SHAPE, np.int16)
+    affine = np.eye(3) * 1.3
+    got_scan, _ = native.warp_augment_int16(scan, seg, affine)
+    ref_scan, _ = _device_warp(scan, seg, affine)
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+
+
+def test_elastic_displaces(rng):
+    """A constant coarse field of +1 with amplitude a shifts sampling by a."""
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = (rng.random(SHAPE) < 0.1).astype(np.int16)
+    coarse = np.ones((4, 4, 4, 3), np.float32)
+    amp = np.array([2.0, 0.0, 0.0], np.float32)
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, np.eye(3), coarse, amp)
+    # interior voxels: sampled from x+2
+    np.testing.assert_array_equal(got_scan[:-2, :, :], scan[2:, :, :])
+    np.testing.assert_array_equal(got_seg[:-2, :, :], seg[2:, :, :])
+
+
+def test_host_augmenter_probabilities(rng):
+    """With all probabilities zero the augmenter is the identity; with p=1
+    something changes."""
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = (rng.random(SHAPE) < 0.1).astype(np.int16)
+    never = HostAugmenter(
+        AugmentConfig(p_elastic=0.0, p_scale=0.0, p_rotation=0.0),
+        np.random.default_rng(0),
+    )
+    s2, g2 = never(scan, seg)
+    np.testing.assert_array_equal(s2, scan)
+
+    always = HostAugmenter(
+        AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0, elastic_grid=4),
+        np.random.default_rng(0),
+    )
+    s3, _ = always(scan, seg)
+    assert not np.array_equal(s3, scan)

@@ -100,6 +100,7 @@ class TrainManager:
         train_loaders = create_loaders(
             train_fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
             num_threads=cfg.num_workers[0], prefetch=cfg.prefetch_depth,
+            augmenter=built.host_augmenter,
         )
         val_loaders = None
         if cfg.validate_every is not None and val_fold:
@@ -112,6 +113,7 @@ class TrainManager:
             built.generator, built.critic, built.gen_tx, built.critic_tx,
             built.step_config, built.trainer_config, key,
             cfg.train_patch_size, logger_interface=built.logger_interface,
+            mesh=mesh,
         )
         n_gen = count_parameters(trainer.state.gen_params)
         n_critic = count_parameters(trainer.state.critic_params)
