@@ -15,7 +15,7 @@ from typing import Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
-from contrast_gan_3d_tpu.ops.s2d_conv import s2d_conv3d
+from contrast_gan_3d_tpu.ops.s2d_conv import d2s_tconv3d, s2d_conv3d
 
 Padding = Union[int, str]
 
@@ -60,6 +60,35 @@ class S2DConv(nn.Module):
         )
 
 
+class D2STConv(nn.Module):
+    """Stride-2 SAME 3D transpose conv computed as a dense stride-1 conv with
+    s^3-packed output channels + depth-to-space (``ops/s2d_conv.d2s_tconv3d``)
+    — MXU-shaped. Param structure identical to ``nn.ConvTranspose``."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: int = 2
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return d2s_tconv3d(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias, stride=self.stride
+        )
+
+
 class ConvBlock(nn.Module):
     """conv -> norm -> activation, N-dimensional (ndim spatial dims)."""
 
@@ -94,10 +123,19 @@ class ConvBlock(nn.Module):
             and all(d % self.s2d == 0 for d in x.shape[1:-1])
         )
 
+        # d2s path for transpose convs: dense stride-1 conv with s^3-packed
+        # output channels (MXU-shaped), exactly equal to nn.ConvTranspose
+        use_d2s = self.s2d is not None and self.transpose and self.ndim == 3
+
         if use_s2d:
             x = S2DConv(
                 self.features, ksize, padding_mode=self.padding_mode,
                 f=self.s2d, use_bias=use_bias, dtype=self.dtype, name="Conv_0",
+            )(x)
+        elif use_d2s:
+            x = D2STConv(
+                self.features, ksize, stride=self.stride, use_bias=use_bias,
+                dtype=self.dtype, name="ConvTranspose_0",
             )(x)
         elif self.transpose:
             # 'SAME' transpose-conv: exact stride-x upsampling (torch

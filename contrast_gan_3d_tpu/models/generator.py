@@ -65,6 +65,10 @@ class ResnetGenerator(nn.Module):
                 dtype=self.dtype, name=f"resnet_{i}",
             )(x, train)
 
+        # NOTE: d2s transpose convs (ops/s2d_conv.d2s_tconv3d) measured SLOWER
+        # here (198 vs 172 ms/batch-8: the (K*s/k)^3 = 2.37x FLOP overhead
+        # outweighs the MXU-shape gain at 64->32->16 channels) — direct
+        # nn.ConvTranspose stays the fast path for the upsampling stage
         for i in range(self.n_updownsample_blocks, 0, -1):
             x = CB(
                 c0 * 2 ** (i - 1), 3, ndim=self.ndim, stride=2, transpose=True,

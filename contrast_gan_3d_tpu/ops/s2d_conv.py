@@ -84,6 +84,60 @@ def depth_to_space(x: jax.Array, f: int) -> jax.Array:
     return x.reshape(b, X * f, Y * f, Z * f, c)
 
 
+def _tconv_axis_map(k: int = 3, s: int = 2) -> np.ndarray:
+    """(K, s, k) 0/1 tensor A[j, r, T] = [s*j - r == T] for the flax
+    ``ConvTranspose(kernel=k, stride=s, padding='SAME')`` convention
+    o[s*Y + r] = sum_j K[s*j - r] x[Y - 1 + j] (probed numerically —
+    tests/test_s2d_conv.py locks it)."""
+    K = (k - 1) // s + 1
+    A = np.zeros((K, s, k), np.float32)
+    for j in range(K):
+        for r in range(s):
+            T = s * j - r
+            if 0 <= T < k:
+                A[j, r, T] = 1.0
+    return A
+
+
+def d2s_tconv3d(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 2,
+    precision=None,
+) -> jax.Array:
+    """Exact flax ``ConvTranspose(k, strides=s, padding='SAME')`` as a
+    stride-1 conv producing s^3-packed channels + depth-to-space.
+
+    The transpose conv's scattered writes become one dense conv with
+    contraction k'^3*Ci and output s^3*Co channels — MXU-shaped (the
+    generator's upsampling layers: 8x the output channels). x: (B, X, Y, Z,
+    Ci); w: (k, k, k, Ci, Co); output (B, sX, sY, sZ, Co).
+    """
+    kx, ky, kz, ci, co = w.shape
+    s = stride
+    A = _tconv_axis_map(kx, s)
+    # W''[jx,jy,jz, ci, rx,ry,rz, co]
+    wp = jnp.einsum(
+        "jrx,ksy,ltz,xyzio->jklirsto",
+        jnp.asarray(A), jnp.asarray(_tconv_axis_map(ky, s)),
+        jnp.asarray(_tconv_axis_map(kz, s)), w,
+    )
+    K = A.shape[0]
+    wp = wp.reshape(K, K, K, ci, s * s * s * co).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (K - 1, 0), (K - 1, 0), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        xp, wp, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=precision,
+        preferred_element_type=x.dtype,
+    )
+    out = depth_to_space(out, s)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
 def s2d_conv3d(
     x: jax.Array,
     w: jax.Array,

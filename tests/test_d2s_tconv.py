@@ -1,0 +1,39 @@
+"""d2s transpose-conv exactness vs flax nn.ConvTranspose (the probed index
+convention is locked here — if flax changes, this catches it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from contrast_gan_3d_tpu.ops.s2d_conv import d2s_tconv3d
+
+
+@pytest.mark.parametrize("ci,co,N", [(64, 32, 8), (32, 16, 12), (3, 5, 6)])
+def test_d2s_tconv_matches_flax(rng, ci, co, N):
+    x = jnp.asarray(rng.normal(size=(2, N, N, N, ci)), jnp.float32)
+    ct = nn.ConvTranspose(co, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+    v = ct.init(jax.random.key(0), x)
+    ref = np.asarray(ct.apply(v, x))
+    got = np.asarray(d2s_tconv3d(x, v["params"]["kernel"], v["params"]["bias"]))
+    assert got.shape == (2, 2 * N, 2 * N, 2 * N, co)
+    np.testing.assert_allclose(ref, got, atol=2e-4)
+
+
+def test_generator_with_d2s_ups_matches_direct(rng):
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)), jnp.float32)
+    g_fast = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=4, s2d_factor=4
+    )
+    g_ref = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=4, s2d_factor=None
+    )
+    v = g_fast.init(jax.random.key(0), x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(g_fast.apply(v, x, train=False)),
+        np.asarray(g_ref.apply(v, x, train=False)),
+        atol=2e-5,
+    )
