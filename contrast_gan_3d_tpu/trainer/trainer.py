@@ -221,6 +221,11 @@ class Trainer:
         for i, st in itertools.product(range(self.cfg.val_iterations), ScanType):
             batch = next(val_loaders[st.value])
             data = batch["data"]
+            if self.mesh is not None:
+                # val steps are compiled without shardings — feed replicated
+                from contrast_gan_3d_tpu.parallel.mesh import put_replicated
+
+                data = put_replicated(np.asarray(data), self.mesh)
             if st == ScanType.OPT:
                 loss_real_C -= float(jax.device_get(self.val_opt_step(self.state, data)))
             else:

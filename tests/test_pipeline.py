@@ -1,0 +1,74 @@
+"""Prefetch pipeline tests (reference capability: batchgenerators
+NonDetMultiThreadedAugmenter lifecycle, trainer/utils.py:44-107)."""
+
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.data.pipeline import PrefetchLoader, create_loaders
+from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+from tests.synth import make_dataset
+
+PATCH = (16, 16, 16)
+
+
+def test_prefetch_loader_lifecycle(tmp_path, rng):
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, PATCH, batch_size=2, rng=rng)
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=2, to_device=False)
+    loader.start()
+    for _ in range(3):
+        batch = next(loader)
+        assert batch["data"].shape == (2, *PATCH)
+        assert batch["data"].dtype == np.int16
+        assert batch["seg"].shape == (2, *PATCH)
+        assert set(np.unique(batch["seg"])) <= {0, 1}
+    loader.stop()
+    assert not loader._threads
+    # restartable (reference augmenter restart semantics)
+    loader.start()
+    assert next(loader)["data"].shape == (2, *PATCH)
+    loader.stop()
+
+
+def test_create_loaders_per_scantype(tmp_path, rng):
+    fold = make_dataset(tmp_path, rng, n_per_label=2)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 3}, rng, num_threads=1, to_device=False
+    )
+    assert set(loaders) == {0, -1, 1}
+    try:
+        assert next(loaders[0])["data"].shape[0] == 2
+        assert next(loaders[-1])["data"].shape[0] == 1
+        assert next(loaders[1])["data"].shape[0] == 3
+    finally:
+        for l in loaders.values():
+            l.stop()
+
+
+def test_loader_with_host_augmenter(tmp_path, rng):
+    from contrast_gan_3d_tpu import native
+
+    if not native.has_native():
+        pytest.skip("no native lib")
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    aug = HostAugmenter(
+        AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0, elastic_grid=4),
+        np.random.default_rng(3),
+    )
+    loaders = create_loaders(
+        fold, PATCH, {0: 1, -1: 1, 1: 1}, rng, num_threads=1,
+        to_device=False, augmenter=aug,
+    )
+    try:
+        batch = next(loaders[0])
+        assert batch["data"].shape == (1, *PATCH)
+        assert np.isfinite(batch["data"]).all()
+        assert set(np.unique(batch["seg"])) <= {0, 1}
+    finally:
+        for l in loaders.values():
+            l.stop()
