@@ -35,11 +35,11 @@ def bench_train():
     patch = (128, 128, 128)
     use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # 4 OPT + 2 LOW + 2 HIGH per step: the largest 128^3 batch whose
-    # generator-update backward fits 16 GB HBM (reference default 6+3+3 ran
-    # on a 24 GB+ GPU); throughput normalizes to patches/sec
-    n_opt = int(os.environ.get("BENCH_OPT", "4"))
-    n_sub = int(os.environ.get("BENCH_SUB", "4"))
+    # reference default batch: 6 OPT + 3 LOW + 3 HIGH 128^3 patches per
+    # iteration (fits 16 GB HBM thanks to the memory-lean BatchNorm + block
+    # remat + split critic/generator phases)
+    n_opt = int(os.environ.get("BENCH_OPT", "6"))
+    n_sub = int(os.environ.get("BENCH_SUB", "6"))
     gen = ResnetGenerator(dtype=jnp.bfloat16, remat=True)
     critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=True)
     tx = make_optimizer()

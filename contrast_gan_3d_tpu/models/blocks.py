@@ -155,9 +155,11 @@ class ConvBlock(nn.Module):
             )(x)
 
         if self.norm == "batch":
-            x = nn.BatchNorm(
+            from contrast_gan_3d_tpu.models.norm import BatchNorm
+
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype,
+                dtype=self.dtype, name="BatchNorm_0",
             )(x)
         elif self.norm == "layer":
             x = nn.LayerNorm(dtype=self.dtype)(x)
