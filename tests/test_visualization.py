@@ -1,0 +1,44 @@
+"""Visualization smoke tests (reference capability: utils/visualization.py)."""
+
+import numpy as np
+
+from contrast_gan_3d_tpu.utils import visualization as viz
+
+
+def test_plot_axial_slices(rng):
+    vol = rng.normal(0, 300, (16, 16, 9)).astype(np.float32)
+    mask = (rng.random((16, 16, 9)) < 0.05).astype(np.uint8)
+    fig = viz.plot_axial_slices(vol, mask=mask, max_slices=4, title="t")
+    assert fig.axes  # rendered something
+    viz.close(fig)
+
+
+def test_plot_attenuation_colormap(rng):
+    vol = rng.normal(0, 0.3, (8, 8, 4)).astype(np.float32)
+    fig = viz.plot_axial_slices(vol, cmap="RdBu", max_slices=4)
+    viz.close(fig)
+
+
+def test_three_views(rng):
+    fig = viz.plot_three_views(rng.normal(0, 300, (12, 10, 8)))
+    assert len(fig.axes) == 3
+    viz.close(fig)
+
+
+def test_gmm_fit_plot(rng):
+    from contrast_gan_3d_tpu.data.labeling import gmm_grid_search
+
+    vals = np.concatenate([rng.normal(100, 20, 200), rng.normal(420, 30, 200)])
+    gmm = gmm_grid_search(vals, max_components=3, seed=0)
+    fig = viz.plot_GMM_fit(vals, gmm)
+    viz.close(fig)
+
+
+def test_hu_shift_plot(rng):
+    data = {
+        "low": {"centerlines": rng.normal(250, 40, 500), "ostia": rng.normal(260, 30, 100)},
+        "low-corrected": {"centerlines": rng.normal(400, 40, 500), "ostia": rng.normal(395, 30, 100)},
+        "opt": {"centerlines": rng.normal(410, 35, 500), "ostia": rng.normal(400, 30, 100)},
+    }
+    fig = viz.hu_distribution_shift_plot(data, regions=("centerlines", "ostia"))
+    viz.close(fig)
