@@ -1,0 +1,53 @@
+"""End-to-end eval integration: synthetic scans -> corrector -> saved .mhd ->
+HU-shift metrics over original vs corrected (reference capability: the
+eval notebooks' full pipeline)."""
+
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.alias import ScanType
+from contrast_gan_3d_tpu.eval import hu_distribution_shift as hds
+from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+from contrast_gan_3d_tpu.eval.utils import correct_patients
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+from tests.test_eval_metrics import _write_synth_patient
+
+
+@pytest.mark.slow
+def test_correct_then_measure_hu_shift(tmp_path, rng):
+    import jax
+    import jax.numpy as jnp
+
+    # two synthetic "patients" on disk with centerlines + ostia
+    p0, _ = _write_synth_patient(tmp_path, rng, "p0", vessel_hu=250)  # LOW-ish
+    p1, _ = _write_synth_patient(tmp_path, rng, "p1", vessel_hu=420)  # OPT-ish
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=(16, 16, 16), batch_size=2,
+    )
+
+    out_dir = tmp_path / "corrected"
+    saved = correct_patients(corrector, out_dir, [p0 / "p0.mhd", p1 / "p1.mhd"])
+    assert all(p.exists() for p in saved)
+
+    # metrics over original and corrected series
+    orig = hds.collect_voxels_intensity(
+        [((p0 / "p0.mhd", p0), -1), ((p1 / "p1.mhd", p1), 0)], workers=2
+    )
+    corr = hds.collect_voxels_intensity(
+        [((saved[0], p0), -1), ((saved[1], p1), 0)], workers=2
+    )
+    for series in (orig, corr):
+        assert set(series) == {ScanType.LOW, ScanType.OPT}
+    # the untrained generator's attenuation is bounded: corrected stays
+    # within +-600 HU of the original at the centerline voxels
+    d = corr[ScanType.LOW]["centerlines"].astype(np.float64) - orig[
+        ScanType.LOW
+    ]["centerlines"].astype(np.float64)
+    assert np.abs(d).max() <= 600 + 1
+    summary = hds.summarize_hu_shift(corr)
+    assert all(np.isfinite(v["mean"]) for v in summary.values())

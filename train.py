@@ -153,7 +153,8 @@ def parse_args(argv=None):
     p.add_argument("--profiler-dir", default=None)
     p.add_argument("--profiler-steps", type=int, default=20)
     p.add_argument("--debug", action="store_true",
-                   help="enable jax_debug_nans (reference --debug anomaly mode)")
+                   help="enable jax_debug_nans (reference --debug anomaly mode; "
+                        "see utils/debug.checkify_step for located errors)")
     return p.parse_args(argv)
 
 
