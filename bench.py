@@ -55,11 +55,15 @@ def bench_train():
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
-
-    def combined(state, opt, sub, msk):
-        state, m1, sub_s, msk_s = steps.critic_phase(state, opt, sub, msk)
-        state, m2 = steps.generator_phase(state, sub_s, msk_s)
-        return state, {**m1, **m2}
+    # fused combined step: ONE generator forward via saved vjp (falls back
+    # to the split phases with BENCH_SPLIT=1 if it exceeds HBM)
+    if os.environ.get("BENCH_SPLIT") == "1":
+        def combined(state, opt, sub, msk):
+            state, m1, sub_s, msk_s = steps.critic_phase(state, opt, sub, msk)
+            state, m2 = steps.generator_phase(state, sub_s, msk_s)
+            return state, {**m1, **m2}
+    else:
+        combined = steps.combined_step
 
     rng = np.random.default_rng(0)
     opt = jnp.asarray(rng.integers(-1024, 1500, (n_opt, *patch), dtype=np.int16))

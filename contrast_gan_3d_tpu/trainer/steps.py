@@ -258,11 +258,46 @@ def build_train_steps(
 
     @_jit
     def combined_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
-        state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp = _common(
-            state, opt_b, subopt_b, subopt_mask
+        """ONE generator forward per iteration (the reference's retain_graph
+        pattern, reference Trainer.py:170-184, done the JAX way): capture the
+        forward's vjp, update the critic on the stop-gradded output, then
+        pull the generator-loss cotangent back through the saved vjp — no
+        re-forward in the generator update."""
+        rng, k_aug, k_gp = jax.random.split(state.rng, 3)
+        state = state.replace(rng=rng, step=state.step + 1)
+        opt_b, subopt_b, subopt_mask = _prepare_batches(
+            cfg, k_aug, opt_b, subopt_b, subopt_mask
         )
-        state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
-        state, metrics = update_generator(state, subopt_b, subopt_mask, new_gen_stats)
+
+        def gen_fwd(g_params):
+            atten, new_stats = _apply_mutable(
+                generator, g_params, state.gen_stats, subopt_b
+            )
+            return subopt_b - atten, new_stats
+
+        opt_hat, gen_vjp, new_gen_stats = jax.vjp(
+            gen_fwd, state.gen_params, has_aux=True
+        )
+        state = state.replace(gen_stats=new_gen_stats)
+        state, loss_d = update_critic(
+            state, opt_b, jax.lax.stop_gradient(opt_hat), k_gp
+        )
+
+        def gen_head(oh):
+            fake_logits = _apply(
+                critic, state.critic_params, state.critic_stats, oh, train=True
+            )
+            loss_g = cfg.gan_loss_weight * -losses.wasserstein_loss(fake_logits)
+            loss_sim = cfg.sim_loss_weight * losses.zncc_loss(oh, subopt_b)
+            loss_hu = cfg.hu_loss_weight * losses.hu_loss(oh, subopt_mask, hu_lo, hu_hi)
+            full = loss_g + loss_sim + loss_hu
+            return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
+
+        (_, metrics), d_opt_hat = jax.value_and_grad(gen_head, has_aux=True)(opt_hat)
+        (g_grads,) = gen_vjp(d_opt_hat)
+        updates, new_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+        new_params = optax.apply_updates(state.gen_params, updates)
+        state = state.replace(gen_params=new_params, gen_opt=new_opt)
         return state, {"D": loss_d, **metrics}
 
     @_jit

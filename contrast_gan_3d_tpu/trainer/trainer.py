@@ -79,7 +79,7 @@ class Trainer:
         state: Optional[GANTrainState] = None,
         auto_resume: bool = True,
         mesh=None,
-        split_combined: bool = True,
+        split_combined: bool = False,
     ):
         self.generator = generator
         self.critic = critic
@@ -148,7 +148,9 @@ class Trainer:
         gen_due = _due(iteration, self.cfg.train_generator_every, skip_zero=False)
         if critic_due and gen_due:
             if self.split_combined:
-                # two sequential programs: peak HBM = max(phase), not union
+                # fallback: two sequential programs (peak HBM = max(phase));
+                # the default fused combined_step does ONE generator forward
+                # via saved vjp and fits 16 GB at the reference batch
                 self.state, m1, subopt_s, mask_s = self.steps.critic_phase(
                     self.state, opt, subopt, mask
                 )
