@@ -40,8 +40,9 @@ def bench_train():
     # remat + split critic/generator phases)
     n_opt = int(os.environ.get("BENCH_OPT", "6"))
     n_sub = int(os.environ.get("BENCH_SUB", "6"))
-    gen = ResnetGenerator(dtype=jnp.bfloat16, remat=True)
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=True)
+    remat = os.environ.get("BENCH_REMAT") == "1"
+    gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat)
+    critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
     tx = make_optimizer()
     # augmentation runs on HOST (native C++ warp in the prefetch pipeline,
     # overlapped with device compute — the default augment_backend); the

@@ -48,9 +48,16 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     ndim = 2 if cfg.is_2d else 3
 
-    # remat for 3D training: a 128^3 batch-12 WGAN step otherwise exceeds a
-    # 16 GB chip's HBM (activation liveness through the double backward)
-    remat = not cfg.is_2d
+    # remat auto policy: needed only when the per-iteration voxel volume
+    # exceeds the reference default (the fused step + lean BatchNorm fit
+    # 16 GB at 6+3+3 x 128^3 without it, and no-remat is ~18% faster)
+    if cfg.remat is not None:
+        remat = cfg.remat
+    else:
+        voxels = sum(cfg.train_batch_size.values()) * int(
+            np.prod(cfg.train_patch_size)
+        )
+        remat = (not cfg.is_2d) and voxels > 30_000_000
     generator = ResnetGenerator(
         ndim=ndim, dtype=dtype, remat=remat,
         **{k: v for k, v in cfg.generator_args.items() if k != "ndim"},
