@@ -1,0 +1,64 @@
+"""Multi-host (multi-process) initialization helpers.
+
+Scaling beyond one host follows the standard JAX recipe: every host runs the
+same program, ``jax.distributed.initialize`` wires the processes into one
+runtime, ``jax.devices()`` then spans the whole pod, and the SAME mesh /
+sharding code used single-host (``parallel/mesh.py``) compiles programs whose
+collectives ride ICI within a slice and DCN across slices — no NCCL/MPI
+analogue to manage (SURVEY.md §2.2). Data feeding is per-host: each process
+loads only the batch shard for its addressable devices
+(``host_local_batch_slice``).
+
+Untestable in this single-chip environment; kept deliberately thin so the
+driver's multi-chip dry run (virtual mesh) exercises the same downstream
+code paths.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join this process into the distributed JAX runtime. With no arguments,
+    cluster auto-detection (TPU metadata / env vars) is used — the normal
+    path on Cloud TPU pods."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def host_local_batch_slice(global_batch: int) -> slice:
+    """The slice of a globally-indexed batch this host should load: batches
+    shard over the leading axis in process order (matches ``put_batch``'s
+    mesh layout built from ``jax.devices()``)."""
+    per = global_batch // jax.process_count()
+    assert global_batch % jax.process_count() == 0, (global_batch, jax.process_count())
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
+def make_global_batch(host_local: np.ndarray, mesh) -> jax.Array:
+    """Assemble a globally-sharded device array from this host's local shard
+    (``jax.make_array_from_process_local_data`` under a batch sharding)."""
+    from contrast_gan_3d_tpu.parallel.mesh import shard_batch
+
+    return jax.make_array_from_process_local_data(
+        shard_batch(mesh), host_local
+    )
