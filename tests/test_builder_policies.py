@@ -1,0 +1,50 @@
+"""Builder policy tests: remat auto heuristic, augment backend selection."""
+
+from dataclasses import replace
+
+from contrast_gan_3d_tpu.experiments import load_config
+from contrast_gan_3d_tpu.experiments.builder import build
+
+
+def test_remat_auto_off_at_reference_batch():
+    built = build(load_config("basic_3d"))
+    assert built.generator.remat is False  # 25M voxels/iter fits 16 GB
+
+
+def test_remat_auto_on_for_oversized_configs():
+    built = build(load_config("small_patch"))  # 80 x (128,128,32) = 42M voxels
+    assert built.generator.remat is True
+    assert built.critic.remat is True
+
+
+def test_remat_explicit_override_wins():
+    cfg = replace(load_config("small_patch"), remat=False)
+    assert build(cfg).generator.remat is False
+    cfg = replace(load_config("basic_3d"), remat=True)
+    assert build(cfg).generator.remat is True
+
+
+def test_host_augmenter_selected_when_native():
+    from contrast_gan_3d_tpu import native
+
+    built = build(load_config("basic_3d"))
+    if native.has_native():
+        assert built.host_augmenter is not None
+        assert built.step_config.augment is None  # warp moved off-device
+    else:
+        assert built.step_config.augment is not None
+
+
+def test_device_backend_keeps_jitted_augment():
+    cfg = replace(load_config("basic_3d"), augment_backend="device")
+    built = build(cfg)
+    assert built.host_augmenter is None
+    assert built.step_config.augment is not None
+
+
+def test_2d_config_uses_2d_augment():
+    from contrast_gan_3d_tpu.data.augment import Augment2DConfig
+
+    built = build(load_config("conf_2d"))
+    assert isinstance(built.step_config.augment, Augment2DConfig)
+    assert built.generator.remat is False  # 2D never remats
