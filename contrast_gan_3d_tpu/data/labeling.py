@@ -8,7 +8,6 @@ whose fitted std >= 500 are dropped. Splits are stratified k-fold over
 (path, label) pairs.
 """
 
-from pathlib import Path
 from typing import Iterable, List, Optional, Tuple
 
 import numpy as np

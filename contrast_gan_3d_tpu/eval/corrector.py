@@ -11,7 +11,7 @@ per-slice python loop (reference :83-99).
 """
 
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ on host (tiny); patient fan-out is a thread pool."""
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 import pandas as pd

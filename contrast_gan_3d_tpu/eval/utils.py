@@ -9,7 +9,7 @@ generator, not the host), optionally sharding each volume's patch grid across
 the mesh (``parallel/inference``)."""
 
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -3,7 +3,7 @@ optimizers, step/trainer configs, loaders, logger) — the analogue of the
 reference's ``TrainManager`` wiring (``train.py:124-209``)."""
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ import dataclasses
 import importlib.util
 from dataclasses import dataclass, field, replace
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 from contrast_gan_3d_tpu.constants import (
     DESIRED_HU_BOUNDS,

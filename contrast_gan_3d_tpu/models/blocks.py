@@ -10,7 +10,7 @@ jnp.pad feeding a VALID conv (fused by XLA); a ``dtype`` knob enables bf16
 compute with f32 params.
 """
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

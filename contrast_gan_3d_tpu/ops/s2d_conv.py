@@ -19,7 +19,6 @@ The block kernel size is K = (f-1 + k-1)//f + 1 and xp is right-padded with
 zeros to a multiple of f (those voxels are provably never read).
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

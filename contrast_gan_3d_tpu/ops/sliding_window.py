@@ -22,7 +22,7 @@ averaging (reference aggregates with equal weights).
 
 import math
 from functools import lru_cache, partial
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

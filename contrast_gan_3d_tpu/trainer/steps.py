@@ -21,7 +21,7 @@ Batches arrive as raw int16 HU patches; f32 cast + scaling happen on device
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ asynchronous.
 """
 
 import itertools
-from dataclasses import dataclass, field
-from pathlib import Path
+from dataclasses import dataclass
 from typing import Dict, Iterable, Optional
 
 import jax

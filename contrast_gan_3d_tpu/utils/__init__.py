@@ -1,6 +1,6 @@
 """Misc utilities (reference: ``contrast_gan_3D/utils/__init__.py:13-71``)."""
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

@@ -25,7 +25,6 @@ from contrast_gan_3d_tpu.data.pipeline import create_loaders
 from contrast_gan_3d_tpu.experiments import ExperimentConfig, asdict_flat, load_config
 from contrast_gan_3d_tpu.experiments.builder import build
 from contrast_gan_3d_tpu.models.utils import count_parameters
-from contrast_gan_3d_tpu.trainer.steps import init_state
 from contrast_gan_3d_tpu.trainer.trainer import Trainer
 from contrast_gan_3d_tpu.utils import seed_everything
 from contrast_gan_3d_tpu.utils.logging_utils import create_logger
