@@ -14,3 +14,26 @@ patch blending; scale-out is data-parallel over a ``jax.sharding.Mesh``.
 __version__ = "0.1.0"
 
 from contrast_gan_3d_tpu.alias import ScanType  # noqa: F401
+
+
+# lazy top-level API (heavy modules import on first access)
+_API = {
+    "CCTAContrastCorrector": "contrast_gan_3d_tpu.eval.corrector",
+    "ResnetGenerator": "contrast_gan_3d_tpu.models.generator",
+    "PatchGANDiscriminator": "contrast_gan_3d_tpu.models.discriminator",
+    "Trainer": "contrast_gan_3d_tpu.trainer.trainer",
+    "TrainerConfig": "contrast_gan_3d_tpu.trainer.trainer",
+    "StepConfig": "contrast_gan_3d_tpu.trainer.steps",
+    "build_train_steps": "contrast_gan_3d_tpu.trainer.steps",
+    "init_state": "contrast_gan_3d_tpu.trainer.steps",
+    "load_config": "contrast_gan_3d_tpu.experiments",
+    "FactorZeroCenterScaler": "contrast_gan_3d_tpu.data.scaler",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
