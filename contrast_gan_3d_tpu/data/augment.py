@@ -78,7 +78,9 @@ def _sample_coords(key: jax.Array, shape: Tuple[int, int, int], cfg: AugmentConf
         )
         g = cfg.elastic_grid
         coarse = jax.random.uniform(k_el, (g, g, g, 3), minval=-1.0, maxval=1.0)
-        field = jax.image.resize(coarse, (*shape, 3), method="cubic")
+        # linear upsample matches the native host warp's on-the-fly trilinear
+        # field interpolation, so augment_backend="host"/"device" agree
+        field = jax.image.resize(coarse, (*shape, 3), method="linear")
         # displacement magnitude: fraction of the patch extent per axis
         amplitude = mag_frac * jnp.asarray(shape, jnp.float32) / 4.0
         coords = coords + jnp.where(gate, 1.0, 0.0) * field * amplitude
