@@ -156,7 +156,8 @@ def s2d_conv3d(
     blocks.py:29-53).
     """
     kx, ky, kz = w.shape[:3]
-    assert kx % 2 and ky % 2 and kz % 2, "odd kernels only"
+    # even kernels use torch-style padding p=(k-1)//2 (e.g. the critic's
+    # k4 s2 p1 convs) — the index derivation is padding-agnostic
     b, X, Y, Z, ci = x.shape
     s = stride
     out_dims = (X // s, Y // s, Z // s)

@@ -36,6 +36,8 @@ CASES = [
     (5, 3, 5, 12, "reflect", 2, 1),
     (3, 16, 32, 16, "zeros", 4, 2),    # strided (down-conv shape)
     (3, 8, 8, 24, "reflect", 2, 2),
+    (4, 1, 8, 32, "zeros", 4, 2),      # even kernel: critic first conv shape
+    (4, 8, 16, 16, "zeros", 2, 2),     # even kernel, strided
 ]
 
 
