@@ -302,12 +302,43 @@ def build_train_steps(
 
     @_jit
     def generator_only_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
-        """For schedules where the critic skips an iteration
-        (e.g. train_generator_more_3D: G every 1, D every 5)."""
-        state, _, subopt_b, subopt_mask, _, new_gen_stats, _ = _common(
-            state, opt_b, subopt_b, subopt_mask
+        """For schedules where the critic skips an iteration (e.g.
+        train_generator_more_3D: G every 1, D every 5). Single generator
+        forward via saved vjp (same structure as combined_step minus the
+        critic update)."""
+        rng, k_aug, _ = jax.random.split(state.rng, 3)
+        state = state.replace(rng=rng, step=state.step + 1)
+        _, subopt_b, subopt_mask = _prepare_batches(
+            cfg, k_aug, opt_b, subopt_b, subopt_mask
         )
-        state, metrics = update_generator(state, subopt_b, subopt_mask, new_gen_stats)
+
+        def gen_fwd(g_params):
+            atten, new_stats = _apply_mutable(
+                generator, g_params, state.gen_stats, subopt_b
+            )
+            return subopt_b - atten, new_stats
+
+        opt_hat, gen_vjp, new_gen_stats = jax.vjp(
+            gen_fwd, state.gen_params, has_aux=True
+        )
+        state = state.replace(gen_stats=new_gen_stats)
+
+        def gen_head(oh):
+            fake_logits = _apply(
+                critic, state.critic_params, state.critic_stats, oh, train=True
+            )
+            loss_g = cfg.gan_loss_weight * -losses.wasserstein_loss(fake_logits)
+            loss_sim = cfg.sim_loss_weight * losses.zncc_loss(oh, subopt_b)
+            loss_hu = cfg.hu_loss_weight * losses.hu_loss(oh, subopt_mask, hu_lo, hu_hi)
+            full = loss_g + loss_sim + loss_hu
+            return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
+
+        (_, metrics), d_opt_hat = jax.value_and_grad(gen_head, has_aux=True)(opt_hat)
+        (g_grads,) = gen_vjp(d_opt_hat)
+        updates, new_opt = gen_tx.update(g_grads, state.gen_opt, state.gen_params)
+        state = state.replace(
+            gen_params=optax.apply_updates(state.gen_params, updates), gen_opt=new_opt
+        )
         return state, metrics
 
     # --- split variants: same iteration as combined_step but as TWO
