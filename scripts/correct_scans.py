@@ -3,6 +3,12 @@
 eval notebooks): load a trained generator checkpoint and correct a list of
 scans / preprocessed patients, writing .mhd outputs."""
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

@@ -5,6 +5,12 @@ preprocessed patient, GMM-label contrast quality at the aortic root, write
 the labeled dataset sheet and the stratified cross-validation split pickle.
 """
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import pickle
 from pathlib import Path

@@ -4,6 +4,12 @@
 intensities for original and corrected scans, print summary statistics and
 write the KDE comparison figure."""
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 from pathlib import Path

@@ -4,6 +4,12 @@
 centerline tracker on corrected scans (``scripts/centerlines_autoextract.sh``),
 score annotated markers against the re-extracted centerlines."""
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 from pathlib import Path

@@ -9,6 +9,12 @@ Expected layout per patient (ASOCA/MMWHS style):
   <root>/<name>/ostia.xml                  MeVisLab ostia markers
 """
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 from pathlib import Path
 

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Learning-convergence validation on synthetic data.
+
+Builds a synthetic cohort where LOW scans carry under-enhanced vessels
+(~250 HU) and OPT scans optimal ones (~400 HU), trains a small WGAN with the
+real pipeline (host-augmented loaders, fused jitted steps, checkpointing),
+then corrects a held-out LOW scan with the sliding-window corrector and
+measures the centerline HU shift — the framework's whole loop, shown to
+actually learn the contrast correction. Prints a JSON summary.
+"""
+
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import tempfile
+from dataclasses import replace
+from pathlib import Path
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def synth_patient(rng, shape, vessel_hu):
+    vol = rng.normal(50.0, 20.0, shape).astype(np.float32)
+    vol[0, 0, 0] = -1000
+    n = 60
+    t = np.linspace(0, 1, n)
+    pts = np.stack(
+        [
+            (0.15 + 0.7 * t) * shape[0],
+            (0.5 + 0.25 * np.sin(2 * np.pi * t)) * shape[1],
+            (0.15 + 0.7 * t) * shape[2],
+        ],
+        axis=-1,
+    )
+    mask = np.zeros(shape, np.uint8)
+    ijk = np.clip(np.round(pts).astype(int), 0, np.asarray(shape) - 1)
+    for x, y, z in ijk:
+        # a small bright blob around each centerline point
+        xs, ys, zs = (
+            slice(max(0, x - 1), x + 2),
+            slice(max(0, y - 1), y + 2),
+            slice(max(0, z - 1), z + 2),
+        )
+        vol[xs, ys, zs] = vessel_hu + rng.normal(0, 10)
+        mask[x, y, z] = 1
+    meta = {
+        "spacing": np.ones(3), "offset": np.zeros(3),
+        "ostia_world": pts[:2].astype(np.float32),
+        "centerlines_world": np.concatenate(
+            [pts, np.full((n, 1), 1.0)], -1
+        ).astype(np.float32),
+    }
+    return vol.astype(np.int16), mask, meta
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iterations", type=int, default=400)
+    p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
+    p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
+    p.add_argument("--out", type=Path, default=None)
+    args = p.parse_args()
+
+    from contrast_gan_3d_tpu.data.pipeline import create_loaders
+    from contrast_gan_3d_tpu.data.preprocess import write_patient
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.experiments import load_config
+    from contrast_gan_3d_tpu.experiments.builder import build
+    from contrast_gan_3d_tpu.trainer.trainer import Trainer
+    from contrast_gan_3d_tpu.utils import seed_everything
+
+    tmp = Path(tempfile.mkdtemp(prefix="cgan3d_validate_"))
+    rng = np.random.default_rng(0)
+    fold = []
+    vessel_by_label = {0: 400, -1: 250, 1: 550}
+    for label, hu in vessel_by_label.items():
+        for i in range(3):
+            vol, mask, meta = synth_patient(rng, tuple(args.shape), hu)
+            path = write_patient(vol, mask, meta, f"s{label}_{i}", tmp / "data")
+            fold.append((str(path), label))
+
+    cfg = replace(
+        load_config("basic_3d"),
+        train_iterations=args.iterations,
+        validate_every=None,
+        checkpoint_every=args.iterations,
+        log_every=max(1, args.iterations // 10),
+        log_images_every=None,
+        train_patch_size=tuple(args.patch),
+        train_batch_size={0: 4, -1: 2, 1: 2},
+        generator_args={"n_resnet_blocks": 2, "n_updownsample_blocks": 1,
+                        "init_channels_out": 8},
+        critic_args={"init_channels_out": 4, "discriminator_depth": 2},
+        lr=1e-3,
+        milestones=(),
+        num_workers=(2, 1),
+        logger="console",
+    )
+    built = build(cfg, checkpoint_dir=str(tmp / "ckpt"))
+    host_rng, key = seed_everything(built.seed)
+    loaders = create_loaders(
+        fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
+        num_threads=2, augmenter=built.host_augmenter,
+    )
+    trainer = Trainer(
+        built.generator, built.critic, built.gen_tx, built.critic_tx,
+        built.step_config, built.trainer_config, key, cfg.train_patch_size,
+        logger_interface=built.logger_interface,
+    )
+    trainer.fit(loaders)
+
+    # held-out LOW scan -> correct -> measure centerline HU
+    vol, mask, meta = synth_patient(rng, tuple(args.shape), 250)
+    corrector = CCTAContrastCorrector.from_checkpoint(
+        tmp / "ckpt", generator=built.generator,
+        inference_patch_size=tuple(args.patch), batch_size=4,
+    )
+    corrected = np.asarray(corrector(vol))
+    m = mask.astype(bool)
+    before = float(vol[m].mean())
+    after = float(corrected[m].mean())
+    lo, hi = cfg.desired_HU_bounds
+    summary = {
+        "centerline_mean_hu_before": round(before, 1),
+        "centerline_mean_hu_after": round(after, 1),
+        "target_corridor": [lo, hi],
+        "moved_toward_corridor": bool(abs(after - (lo + hi) / 2) < abs(before - (lo + hi) / 2)),
+        "iterations": args.iterations,
+    }
+    print(json.dumps(summary))
+    if args.out:
+        args.out.write_text(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

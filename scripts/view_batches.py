@@ -3,6 +3,12 @@
 pull batches through the real sampler + on-device augmentation stack and save
 axial-slice grids for eyeballing."""
 
+import sys
+from pathlib import Path
+
+# allow running pre-install: repo root on sys.path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import pickle
 from pathlib import Path
