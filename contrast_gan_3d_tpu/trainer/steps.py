@@ -2,21 +2,25 @@
 
 TPU-native re-design of the reference train loop (``trainer/Trainer.py:
 108-203``): instead of eager torch calls with retain_graph bookkeeping, the
-whole iteration — on-device augmentation, HU scaling, generator forward,
-critic update (Wasserstein loss + weight clipping OR gradient penalty),
-generator update (adversarial + ZNCC + HU-corridor losses), both optax
-updates and BatchNorm state threading — is ONE compiled XLA program with
-donated state. The critic-every-1 / generator-every-5 alternation (reference
-basic_conf.py:23-24) is a *static* schedule, so we compile two programs
-(critic-only and critic+generator) and pick per-iteration on host — no
-lax.cond over dead branches.
+whole iteration — HU scaling, (optional) on-device augmentation, generator
+forward, critic update (Wasserstein loss + weight clipping OR gradient
+penalty), generator update (adversarial + ZNCC + HU-corridor losses), both
+optax updates and BatchNorm state threading — is ONE compiled XLA program
+with donated state. The critic-every-1 / generator-every-5 alternation
+(reference basic_conf.py:23-24) is a *static* schedule: one program per
+branch (:class:`TrainSteps`), picked per-iteration on host — no lax.cond
+over dead branches.
 
 Update order matches the reference: the critic trains first on (real,
 stop-grad fake); the generator then trains against the *updated* critic
-(Trainer.py:179-184). Gradient penalty is a nested jax.grad through the
-critic wrt its input (model/utils.py:12-41) — no retain_graph gymnastics.
-Batches arrive as raw int16 HU patches; f32 cast + scaling happen on device
-(half the host->HBM bytes of the reference's float pipeline).
+(Trainer.py:179-184). The generator runs ONE forward per iteration — its
+vjp is captured and the generator-loss cotangent is pulled back through it
+after the critic update (the reference's retain_graph pattern, the JAX way).
+Gradient penalty is a nested jax.grad through the critic wrt its input
+(model/utils.py:12-41). Batches arrive as raw int16 HU patches; f32 cast +
+scaling happen on device (half the host->HBM bytes of a float pipeline).
+The split ``critic_phase``/``generator_phase`` pair trades one extra
+generator forward for lower peak HBM (oversized configs).
 """
 
 from dataclasses import dataclass, field
