@@ -145,6 +145,13 @@ def make_volume_corrector(
             starts, valid = inp  # (B, 3), (B,)
             patches = jax.vmap(gather_one)(starts)  # (B, *patch)
             atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
+            if atten.shape[1:] != patch_size:
+                # non-divisible patch sizes: the generator ceil-rounds its
+                # output; resize back (reference auto-inserts nn.Upsample,
+                # CCTAContrastCorrector.py:42-52)
+                atten = jax.image.resize(
+                    atten, (atten.shape[0], *patch_size), method="trilinear"
+                )
             atten = atten.astype(jnp.float32)
 
             def scatter(i, a_acc):

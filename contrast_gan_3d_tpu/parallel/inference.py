@@ -85,6 +85,11 @@ def make_sharded_volume_corrector(
                     lambda s: jax.lax.dynamic_slice(vol, s, patch_size)
                 )(starts)
                 atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
+                if atten.shape[1:] != patch_size:
+                    # reference auto-upsample analogue (non-divisible patches)
+                    atten = jax.image.resize(
+                        atten, (atten.shape[0], *patch_size), method="trilinear"
+                    )
                 atten = atten.astype(jnp.float32)
 
                 def scatter(i, a):

@@ -74,3 +74,20 @@ def test_volume_smaller_than_patch(rng):
 def test_num_patches():
     assert num_patches((512, 512, 400), (128, 128, 128), overlap=0.5) == 7 * 7 * 6
     assert num_patches((16, 16, 16), (16, 16, 16)) == 1
+
+
+def test_non_divisible_patch_auto_upsample(rng):
+    """Patch sizes the generator can't preserve (odd dims) resize back —
+    reference auto-inserts nn.Upsample (CCTAContrastCorrector.py:42-52)."""
+    import jax
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    v = gen.init(jax.random.key(0), jnp.zeros((1, 20, 20, 20, 1)), train=False)
+    corr = make_volume_corrector(
+        lambda x: gen.apply(v, x, train=False), patch_size=(19, 19, 19), batch_size=2
+    )
+    vol = rng.integers(-500, 500, (25, 23, 21), dtype=np.int16)
+    out = np.asarray(corr(jnp.asarray(vol)))
+    assert out.shape == vol.shape
+    assert np.isfinite(out).all()
