@@ -10,7 +10,8 @@ train step — while the C++ warp is ~30 ms/patch on host and fully overlaps
 with device compute. The device path remains available (StepConfig.augment)
 for hosts without a toolchain."""
 
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import numpy as np
@@ -32,10 +33,12 @@ def rotation_matrix_np(angles: np.ndarray) -> np.ndarray:
 
 @dataclass
 class HostAugmenter:
-    """Per-sample random spatial transforms applied via the native warp."""
+    """Per-sample random spatial transforms applied via the native warp.
+    Thread-safe: parameter draws are locked; the warp itself runs outside."""
 
     cfg: AugmentConfig
     rng: np.random.Generator
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def sample_params(
         self, shape: Tuple[int, int, int]
@@ -65,7 +68,8 @@ class HostAugmenter:
 
     def __call__(self, scan: np.ndarray, seg: np.ndarray):
         """Maybe-augment one (W, H, D) int16 scan + mask pair in place-ish."""
-        affine, coarse, amp, any_transform = self.sample_params(scan.shape)
+        with self._lock:
+            affine, coarse, amp, any_transform = self.sample_params(scan.shape)
         if not any_transform:
             return scan, seg
         return native.warp_augment_int16(scan, seg, affine, coarse, amp)

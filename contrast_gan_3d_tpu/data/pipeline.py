@@ -115,13 +115,25 @@ def create_loaders(
     ``create_dataloaders``, trainer/utils.py:44-107). ``augmenter`` is a
     per-sample host transform (``host_augment.HostAugmenter``) applied in
     the prefetch workers."""
+    import dataclasses
+
     from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
 
     by_label = divide_scans_in_fold(fold)
     loaders = {}
     for label, paths in by_label.items():
+        # np.random.Generator is NOT thread-safe and loaders sample from
+        # worker threads concurrently: every sampler (and its augmenter)
+        # gets an independent child generator
+        child_rng, aug_rng = rng.spawn(2)
+        loader_augmenter = (
+            dataclasses.replace(augmenter, rng=aug_rng)
+            if augmenter is not None
+            else None
+        )
         sampler = CCTAPatchSampler(
-            paths, patch_shape, batch_sizes[label], rng=rng, augmenter=augmenter
+            paths, patch_shape, batch_sizes[label], rng=child_rng,
+            augmenter=loader_augmenter,
         )
         loaders[label] = PrefetchLoader(
             sampler, num_threads=num_threads, prefetch=prefetch, to_device=to_device

@@ -13,6 +13,7 @@ thin thread-based prefetcher (``pipeline.py``): mmap page-in releases the GIL,
 and the heavy augmentation work has moved to the TPU.
 """
 
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -56,18 +57,23 @@ class CCTAPatchSampler:
         self.infinite = infinite
         self.augmenter = augmenter
         self._order: List[int] = []
+        # prefetch workers sample concurrently; np.random.Generator is not
+        # thread-safe, so all draws go through this lock (the heavy crop /
+        # warp work happens outside it)
+        self._rng_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def _next_indices(self) -> List[int]:
         out = []
-        while len(out) < self.batch_size:
-            if not self._order:
-                self._order = list(range(len(self.paths)))
-                if self.shuffle:
-                    self.rng.shuffle(self._order)
-            out.append(self._order.pop())
+        with self._rng_lock:
+            while len(out) < self.batch_size:
+                if not self._order:
+                    self._order = list(range(len(self.paths)))
+                    if self.shuffle:
+                        self.rng.shuffle(self._order)
+                out.append(self._order.pop())
         return out
 
     # ------------------------------------------------------------------
@@ -79,13 +85,14 @@ class CCTAPatchSampler:
 
         target = np.broadcast_to(np.asarray(self.patch_shape), (3,))
         padded_shape = np.maximum(data_and_seg.shape[:3], target)
-        start = np.array(
-            [
-                int(self.rng.integers(0, padded_shape[i] - target[i] + 1))
-                - (padded_shape[i] - data_and_seg.shape[i]) // 2  # center pad
-                for i in range(3)
-            ]
-        )
+        with self._rng_lock:
+            start = np.array(
+                [
+                    int(self.rng.integers(0, padded_shape[i] - target[i] + 1))
+                    - (padded_shape[i] - data_and_seg.shape[i]) // 2  # center pad
+                    for i in range(3)
+                ]
+            )
         return native.crop_pad_int16(data_and_seg, start, target)
 
     def _sample_2d(self, data_and_seg: np.ndarray, meta: Dict) -> np.ndarray:
@@ -93,12 +100,17 @@ class CCTAPatchSampler:
         50%: random z slice, random crop (reference CCTADataLoader.py:51-69)."""
         W, H, D = data_and_seg.shape[:3]
         pw, ph = self.patch_shape
-        along_centerline = (
-            self.rng.random() < 0.5 and len(meta.get("centerlines_world", ())) > 0
-        )
+        with self._rng_lock:
+            along_centerline = (
+                self.rng.random() < 0.5 and len(meta.get("centerlines_world", ())) > 0
+            )
+            idx = (
+                int(self.rng.integers(0, len(meta["centerlines_world"])))
+                if along_centerline
+                else 0
+            )
         if along_centerline:
             ctls = meta["centerlines_world"]
-            idx = int(self.rng.integers(0, len(ctls)))
             x, y, z = geom.world_to_image_coords(
                 ctls[idx, :3], meta["offset"], meta["spacing"]
             )
@@ -106,10 +118,12 @@ class CCTAPatchSampler:
             sl = np.asarray(data_and_seg[:, :, z])  # (W, H, 2)
             bbox = geom.get_patch_bounds((pw, ph), sl.shape[:2], np.array([x, y]))
             return sl[bbox[0, 0] : bbox[0, 1], bbox[1, 0] : bbox[1, 1]]
-        z = int(self.rng.integers(0, D))
+        with self._rng_lock:
+            z = int(self.rng.integers(0, D))
         sl = _pad_to(np.asarray(data_and_seg[:, :, z]), (pw, ph))
-        sx = int(self.rng.integers(0, sl.shape[0] - pw + 1))
-        sy = int(self.rng.integers(0, sl.shape[1] - ph + 1))
+        with self._rng_lock:
+            sx = int(self.rng.integers(0, sl.shape[0] - pw + 1))
+            sy = int(self.rng.integers(0, sl.shape[1] - ph + 1))
         return sl[sx : sx + pw, sy : sy + ph]
 
     # ------------------------------------------------------------------
