@@ -66,6 +66,7 @@ def main():
     p.add_argument("--iterations", type=int, default=400)
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
     p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
+    p.add_argument("--gp", action="store_true", help="gradient-penalty mode")
     p.add_argument("--out", type=Path, default=None)
     args = p.parse_args()
 
@@ -88,7 +89,7 @@ def main():
             fold.append((str(path), label))
 
     cfg = replace(
-        load_config("basic_3d"),
+        load_config("gradient_penalty" if args.gp else "basic_3d"),
         train_iterations=args.iterations,
         validate_every=None,
         checkpoint_every=args.iterations,
@@ -99,7 +100,9 @@ def main():
         generator_args={"n_resnet_blocks": 2, "n_updownsample_blocks": 1,
                         "init_channels_out": 8},
         critic_args={"init_channels_out": 4, "discriminator_depth": 2},
-        lr=1e-3,
+        # WC converges fast at 1e-3; GP keeps its paper hyperparams (1e-4,
+        # betas (0, 0.9)) — a hot lr destabilizes the unnormalized critic
+        lr=1e-4 if args.gp else 1e-3,
         milestones=(),
         num_workers=(2, 1),
         logger="console",
@@ -134,6 +137,7 @@ def main():
         "target_corridor": [lo, hi],
         "moved_toward_corridor": bool(abs(after - (lo + hi) / 2) < abs(before - (lo + hi) / 2)),
         "iterations": args.iterations,
+        "mode": "gp" if args.gp else "wc",
     }
     print(json.dumps(summary))
     if args.out:
