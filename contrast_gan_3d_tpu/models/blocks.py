@@ -162,7 +162,14 @@ class ConvBlock(nn.Module):
                 dtype=self.dtype, name="BatchNorm_0",
             )(x)
         elif self.norm == "layer":
-            x = nn.LayerNorm(dtype=self.dtype)(x)
+            # reference gp_layernorm variant: per-sample normalization over
+            # the WHOLE feature map (torch LayerNorm((C, *spatial)),
+            # elementwise_affine=False — gp_layernorm.py:10-13), not just
+            # the channel axis
+            x = nn.LayerNorm(
+                reduction_axes=tuple(range(1, x.ndim)),
+                use_bias=False, use_scale=False, dtype=self.dtype,
+            )(x)
         elif self.norm == "instance":
             # normalize over spatial dims only, per sample per channel
             x = nn.GroupNorm(num_groups=None, group_size=1, dtype=self.dtype)(x)
