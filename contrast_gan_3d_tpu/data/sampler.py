@@ -57,6 +57,7 @@ class CCTAPatchSampler:
         self.infinite = infinite
         self.augmenter = augmenter
         self._order: List[int] = []
+        self._epoch_done = False
         # prefetch workers sample concurrently; np.random.Generator is not
         # thread-safe, so all draws go through this lock (the heavy crop /
         # warp work happens outside it)
@@ -70,7 +71,10 @@ class CCTAPatchSampler:
         with self._rng_lock:
             while len(out) < self.batch_size:
                 if not self._order:
+                    if self._epoch_done and not self.infinite:
+                        raise StopIteration  # one full pass (eval-style)
                     self._order = list(range(len(self.paths)))
+                    self._epoch_done = True
                     if self.shuffle:
                         self.rng.shuffle(self._order)
                 out.append(self._order.pop())

@@ -58,3 +58,7 @@ def correct_patients(
         logger.info("Correcting %r", str(p))
         out.append(correct_patient(corrector, savedir, p))
     return out
+
+
+# reference-familiar alias (eval/utils.py:27-39); same device-streaming design
+parallel_correct_patients = correct_patients

@@ -43,3 +43,7 @@ def to_host(tree):
 
 def object_name(o) -> str:
     return getattr(o, "__name__", type(o).__name__)
+
+
+# reference-familiar alias (utils/__init__.py to_CPU)
+to_CPU = to_host

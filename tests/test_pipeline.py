@@ -72,3 +72,15 @@ def test_loader_with_host_augmenter(tmp_path, rng):
     finally:
         for l in loaders.values():
             l.stop()
+
+
+def test_finite_sampler_single_epoch(tmp_path, rng):
+    """infinite=False: one full pass over the patient list, then StopIteration
+    (eval-style iteration)."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)  # 3 patients
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, PATCH, batch_size=3, rng=rng, infinite=False)
+    batch = sampler.next_batch()
+    assert batch["data"].shape[0] == 3
+    with pytest.raises(StopIteration):
+        sampler.next_batch()
