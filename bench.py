@@ -71,8 +71,15 @@ def bench_train():
     sub = jnp.asarray(rng.integers(-1024, 1500, (n_sub, *patch), dtype=np.int16))
     msk = jnp.asarray((rng.random((n_sub, *patch)) < 0.001).astype(np.int16))
 
-    state, m = combined(state, opt, sub, msk)
-    float(m["D"])  # compile + warmup
+    for attempt in (0, 1):  # retry transient tunnel errors
+        try:
+            state, m = combined(state, opt, sub, msk)
+            float(m["D"])  # compile + warmup
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(20)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -126,7 +133,15 @@ def main():
         out = correct(vol)
         float(out[0, 0, 0])
 
-    run_one()  # compile + warmup
+    # one retry: the axon remote-compile tunnel occasionally 500s transiently
+    for attempt in (0, 1):
+        try:
+            run_one()  # compile + warmup
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(20)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
