@@ -41,13 +41,20 @@ class PrefetchLoader:
         self._queue: Optional[queue.Queue] = None
         self._threads = []
         self._stop = threading.Event()
+        # finite samplers (infinite=False) raise StopIteration in the
+        # workers; each exhausted worker posts one sentinel so __next__ can
+        # terminate instead of spinning on an empty queue forever
+        self._sentinel = object()
+        self._done_workers = 0
+        self._done_lock = threading.Lock()
 
     # -- lifecycle (reference augmenters use restart/_finish) -------------
     def start(self):
         if self._threads:
             return
         self._stop.clear()
-        self._queue = queue.Queue(maxsize=self.prefetch)
+        self._done_workers = 0
+        self._queue = queue.Queue(maxsize=self.prefetch + self.num_threads)
         for i in range(self.num_threads):
             t = threading.Thread(target=self._worker, name=f"prefetch-{i}", daemon=True)
             t.start()
@@ -68,7 +75,13 @@ class PrefetchLoader:
 
     def _worker(self):
         while not self._stop.is_set():
-            batch = self.sampler.next_batch()
+            try:
+                batch = self.sampler.next_batch()
+            except StopIteration:
+                with self._done_lock:
+                    self._done_workers += 1
+                self._queue.put(self._sentinel)  # space reserved in maxsize
+                return
             if self.to_device:
                 batch = dict(batch)
                 put = (
@@ -91,11 +104,21 @@ class PrefetchLoader:
             self.start()
         while True:
             try:
-                return self._queue.get(timeout=1.0)
+                item = self._queue.get(timeout=1.0)
             except queue.Empty:
                 if self._stop.is_set():
                     raise StopIteration
+                with self._done_lock:
+                    if self._done_workers >= len(self._threads):
+                        raise StopIteration  # all finite workers exhausted
                 continue
+            if item is self._sentinel:
+                with self._done_lock:
+                    all_done = self._done_workers >= len(self._threads)
+                if all_done and self._queue.empty():
+                    raise StopIteration
+                continue
+            return item
 
     def __iter__(self) -> Iterator[Dict]:
         return self

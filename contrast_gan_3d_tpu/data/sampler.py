@@ -72,6 +72,8 @@ class CCTAPatchSampler:
             while len(out) < self.batch_size:
                 if not self._order:
                     if self._epoch_done and not self.infinite:
+                        if out:  # short final batch: the one-full-pass
+                            return out  # semantics keep every patient
                         raise StopIteration  # one full pass (eval-style)
                     self._order = list(range(len(self.paths)))
                     self._epoch_done = True
@@ -140,12 +142,15 @@ class CCTAPatchSampler:
         return patch, meta["name"]
 
     def next_batch(self) -> Dict[str, np.ndarray]:
-        """{"data": (B, *patch) int16, "seg": (B, *patch) int16, "name", "path"}."""
-        shape = (self.batch_size, *self.patch_shape)
+        """{"data": (B, *patch) int16, "seg": (B, *patch) int16, "name", "path"}.
+        In finite mode the last batch of the pass may be short (the epoch's
+        trailing ``len(paths) % batch_size`` patients are still sampled)."""
+        indices = self._next_indices()
+        shape = (len(indices), *self.patch_shape)
         data = np.empty(shape, dtype=np.int16)
         seg = np.empty(shape, dtype=np.int16)
         names, paths = [], []
-        for i, idx in enumerate(self._next_indices()):
+        for i, idx in enumerate(indices):
             patch, name = self.sample_one(self.paths[idx])
             data[i], seg[i] = patch[..., 0], patch[..., 1]
             names.append(name)

@@ -23,6 +23,7 @@ from contrast_gan_3d_tpu.trainer.logger import (
     MultiThreadedLogger,
     NoopLogger,
     WandbLogger,
+    WandbLogger2D,
 )
 from contrast_gan_3d_tpu.trainer.optim import make_optimizer
 from contrast_gan_3d_tpu.trainer.steps import StepConfig
@@ -132,7 +133,9 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
     seed = DEFAULT_SEED if cfg.seed is None else cfg.seed
     rng = np.random.default_rng(seed)
     if cfg.logger == "wandb" and HAS_WANDB:
-        logger_interface: LoggerInterface = MultiThreadedLogger(WandbLogger(scaler, rng=rng))
+        # 2D runs render the batch as one slice grid (reference WandbLogger2D)
+        wandb_cls = WandbLogger2D if cfg.is_2d else WandbLogger
+        logger_interface: LoggerInterface = MultiThreadedLogger(wandb_cls(scaler, rng=rng))
     elif cfg.logger == "console" or (cfg.logger == "wandb" and not HAS_WANDB):
         logger_interface = ConsoleLogger()
     else:

@@ -9,8 +9,8 @@ reference's host data path rides native wheels; this is our equivalent)."""
 import ctypes
 import hashlib
 import os
+import stat
 import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional
 
@@ -35,10 +35,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     try:
         src = _SRC.read_bytes()
         tag = hashlib.sha1(src).hexdigest()[:12]
-        cache = Path(
-            os.environ.get("CGAN3D_NATIVE_CACHE", Path(tempfile.gettempdir()) / "cgan3d_native")
-        )
+        # per-user cache (0700): a world-writable shared dir such as
+        # /tmp/cgan3d_native would let another local user pre-plant a
+        # hostops_<tag>.so that CDLL then executes in our process
+        default_cache = Path.home() / ".cache" / "cgan3d_native"
+        cache = Path(os.environ.get("CGAN3D_NATIVE_CACHE", default_cache))
         cache.mkdir(parents=True, exist_ok=True)
+        os.chmod(cache, 0o700)
+        st = cache.stat()
+        if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            raise RuntimeError(
+                f"refusing native cache '{cache}': not owned by us or group/other-writable"
+            )
         so_path = cache / f"hostops_{tag}.so"
         if not so_path.exists():
             tmp = so_path.with_suffix(".so.tmp")
@@ -49,6 +57,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             )
             tmp.rename(so_path)
             logger.info("Built native hostops -> %s", so_path)
+        so_st = so_path.stat()
+        if so_st.st_uid != os.getuid() or (so_st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            raise RuntimeError(f"refusing to load '{so_path}': not ours or writable by others")
         lib = ctypes.CDLL(str(so_path))
         lib.crop_pad_int16.restype = ctypes.c_long
         lib.crop_pad_int16.argtypes = [

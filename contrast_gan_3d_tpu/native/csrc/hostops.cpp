@@ -118,9 +118,13 @@ void warp_augment_int16(
 {
     const float cx = (W - 1) * 0.5f, cy = (H - 1) * 0.5f, cz = (D - 1) * 0.5f;
     const long sy = D, sx = H * D;
-    const float gsx = G > 1 ? (float)(G - 1) / (float)(W - 1) : 0.f;
-    const float gsy = G > 1 ? (float)(G - 1) / (float)(H - 1) : 0.f;
-    const float gsz = G > 1 ? (float)(G - 1) / (float)(D - 1) : 0.f;
+    // half-pixel coarse-field upsampling — the exact convention of
+    // jax.image.resize(method="linear"), so the host and device augmenters
+    // produce IDENTICAL elastic displacement fields for the same noise:
+    //   src = clamp((dst + 0.5) * G / W - 0.5, 0, G - 1)
+    const float gsx = (float)G / (float)W;
+    const float gsy = (float)G / (float)H;
+    const float gsz = (float)G / (float)D;
 
     for (long x = 0; x < W; ++x) {
         const float rx = x - cx;
@@ -133,20 +137,29 @@ void warp_augment_int16(
                 float zs = affine[6] * rx + affine[7] * ry + affine[8] * rz + cz;
 
                 if (coarse) {
-                    // trilinear sample of the coarse field at (x, y, z)
-                    float fx = x * gsx, fy = y * gsy, fz = z * gsz;
-                    long gx = (long)fx, gy = (long)fy, gz = (long)fz;
-                    if (gx > G - 2) gx = G - 2;
-                    if (gy > G - 2) gy = G - 2;
-                    if (gz > G - 2) gz = G - 2;
+                    // trilinear sample of the coarse field at (x, y, z),
+                    // half-pixel mapping clamped to [0, G-1] (truncated
+                    // edge kernels renormalize to exactly this)
+                    float fx = (x + 0.5f) * gsx - 0.5f;
+                    float fy = (y + 0.5f) * gsy - 0.5f;
+                    float fz = (z + 0.5f) * gsz - 0.5f;
+                    fx = std::min(std::max(fx, 0.f), (float)(G - 1));
+                    fy = std::min(std::max(fy, 0.f), (float)(G - 1));
+                    fz = std::min(std::max(fz, 0.f), (float)(G - 1));
+                    long gx = std::min(std::max((long)fx, 0L), std::max(G - 2, 0L));
+                    long gy = std::min(std::max((long)fy, 0L), std::max(G - 2, 0L));
+                    long gz = std::min(std::max((long)fz, 0L), std::max(G - 2, 0L));
+                    const long gx1 = std::min(gx + 1, G - 1);
+                    const long gy1 = std::min(gy + 1, G - 1);
+                    const long gz1 = std::min(gz + 1, G - 1);
                     const float ax = fx - gx, ay = fy - gy, az = fz - gz;
                     const long gs = G * 3, gss = G * G * 3;
                     for (int c = 0; c < 3; ++c) {
                         const float* f = coarse + c;
-                        const float c00 = f[gx*gss + gy*gs + gz*3] * (1-ax) + f[(gx+1)*gss + gy*gs + gz*3] * ax;
-                        const float c10 = f[gx*gss + (gy+1)*gs + gz*3] * (1-ax) + f[(gx+1)*gss + (gy+1)*gs + gz*3] * ax;
-                        const float c01 = f[gx*gss + gy*gs + (gz+1)*3] * (1-ax) + f[(gx+1)*gss + gy*gs + (gz+1)*3] * ax;
-                        const float c11 = f[gx*gss + (gy+1)*gs + (gz+1)*3] * (1-ax) + f[(gx+1)*gss + (gy+1)*gs + (gz+1)*3] * ax;
+                        const float c00 = f[gx*gss + gy*gs + gz*3] * (1-ax) + f[gx1*gss + gy*gs + gz*3] * ax;
+                        const float c10 = f[gx*gss + gy1*gs + gz*3] * (1-ax) + f[gx1*gss + gy1*gs + gz*3] * ax;
+                        const float c01 = f[gx*gss + gy*gs + gz1*3] * (1-ax) + f[gx1*gss + gy*gs + gz1*3] * ax;
+                        const float c11 = f[gx*gss + gy1*gs + gz1*3] * (1-ax) + f[gx1*gss + gy1*gs + gz1*3] * ax;
                         const float v = (c00 * (1-ay) + c10 * ay) * (1-az)
                                       + (c01 * (1-ay) + c11 * ay) * az;
                         if (c == 0) xs += v * amp[0];

@@ -77,7 +77,9 @@ def make_sharded_volume_corrector(
         def local(vol, starts_b, valid_b):
             """Per-chip scan over its share of patch batches; psum partials."""
             # accumulator is device-varying (each chip sums its own share)
-            atten_acc = jax.lax.pvary(jnp.zeros(padded_shape, jnp.float32), (axis,))
+            atten_acc = jax.lax.pcast(
+                jnp.zeros(padded_shape, jnp.float32), (axis,), to="varying"
+            )
 
             def body(a_acc, inp):
                 starts, valid = inp

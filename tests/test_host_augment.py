@@ -65,6 +65,24 @@ def test_elastic_displaces(rng):
     np.testing.assert_array_equal(got_seg[:-2, :, :], seg[2:, :, :])
 
 
+def test_elastic_matches_device(rng):
+    """Random coarse noise field: the native warp's on-the-fly half-pixel
+    upsample must equal the device path's jax.image.resize(method='linear')
+    elastic field — identical displacement, identical resample."""
+    scan = rng.integers(-500, 500, SHAPE).astype(np.int16)
+    seg = (rng.random(SHAPE) < 0.1).astype(np.int16)
+    coarse = rng.uniform(-1.0, 1.0, (4, 4, 4, 3)).astype(np.float32)
+    amp = np.array([2.5, 1.5, 3.0], np.float32)
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, np.eye(3), coarse, amp)
+
+    field = jax.image.resize(jnp.asarray(coarse), (*SHAPE, 3), method="linear")
+    coords = identity_grid(SHAPE) + field * jnp.asarray(amp)
+    ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))
+    ref_seg = np.asarray(nearest_sample(jnp.asarray(seg, jnp.float32), coords))
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
 def test_host_augmenter_probabilities(rng):
     """With all probabilities zero the augmenter is the identity; with p=1
     something changes."""

@@ -84,3 +84,29 @@ def test_finite_sampler_single_epoch(tmp_path, rng):
     assert batch["data"].shape[0] == 3
     with pytest.raises(StopIteration):
         sampler.next_batch()
+
+
+def test_finite_sampler_short_final_batch(tmp_path, rng):
+    """infinite=False with len(paths) % batch_size != 0: the trailing partial
+    batch is returned short, so every patient appears exactly once."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)  # 3 patients
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, PATCH, batch_size=2, rng=rng, infinite=False)
+    b1 = sampler.next_batch()
+    b2 = sampler.next_batch()
+    assert b1["data"].shape[0] == 2 and b2["data"].shape[0] == 1
+    assert sorted(b1["path"] + b2["path"]) == sorted(paths)
+    with pytest.raises(StopIteration):
+        sampler.next_batch()
+
+
+def test_prefetch_loader_finite_terminates(tmp_path, rng):
+    """A finite sampler behind PrefetchLoader must terminate iteration (not
+    hang): workers post sentinels and __next__ raises StopIteration."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, PATCH, batch_size=2, rng=rng, infinite=False)
+    loader = PrefetchLoader(sampler, num_threads=2, prefetch=2, to_device=False)
+    seen = sum(b["data"].shape[0] for b in loader)
+    assert seen == len(paths)
+    loader.stop()
