@@ -138,10 +138,18 @@ class ConvBlock(nn.Module):
                 dtype=self.dtype, name="ConvTranspose_0",
             )(x)
         elif self.transpose:
-            # 'SAME' transpose-conv: exact stride-x upsampling (torch
-            # ConvTranspose k3 s2 p1 op1 equivalent shape semantics)
+            # exact stride-x upsampling with the torch ConvTranspose
+            # (k, s, p=(k-1)//2, output_padding=s-1) window placement:
+            # lax pads (k-1-p, k-1-p+op). flax's "SAME" puts the extra
+            # padding on the LOW side instead — one-voxel shift — which
+            # would break weight-port parity with reference checkpoints
+            # (torch ConvTranspose weights are spatially flipped into this
+            # kernel by utils/torch_port.py).
+            p_eff = (self.kernel_size - 1) // 2
+            lo = self.kernel_size - 1 - p_eff
+            pad = tuple((lo, lo + self.stride - 1) for _ in range(self.ndim))
             x = nn.ConvTranspose(
-                self.features, ksize, strides=strides, padding="SAME",
+                self.features, ksize, strides=strides, padding=pad,
                 use_bias=use_bias, dtype=self.dtype,
             )(x)
         else:

@@ -79,6 +79,7 @@ def gradient_penalty(
     fake: jax.Array,
     key: jax.Array,
     lambda_: float = 10.0,
+    eps: Optional[jax.Array] = None,
 ) -> jax.Array:
     """WGAN-GP on eps-interpolated samples.
 
@@ -93,8 +94,9 @@ def gradient_penalty(
         kr, kf, key = jax.random.split(key, 3)
         real = real[jax.random.randint(kr, (n,), 0, real.shape[0])]
         fake = fake[jax.random.randint(kf, (n,), 0, fake.shape[0])]
-    eps_shape = (n,) + (1,) * (real.ndim - 1)
-    eps = jax.random.uniform(key, eps_shape, dtype=real.dtype)
+    if eps is None:  # fixed eps: deterministic penalty (parity tests)
+        eps_shape = (n,) + (1,) * (real.ndim - 1)
+        eps = jax.random.uniform(key, eps_shape, dtype=real.dtype)
     interp = eps * real + (1.0 - eps) * fake
 
     def critic_sum(x):

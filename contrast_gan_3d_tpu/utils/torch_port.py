@@ -1,0 +1,143 @@
+"""Port reference PyTorch checkpoints into this framework's flax pytrees.
+
+The reference trains ``ResnetGenerator`` / ``PatchGANDiscriminator`` in torch
+(reference ``model/generator.py:9-90``, ``model/discriminator.py:9-84``) and
+checkpoints raw ``state_dict``s (``trainer/Trainer.py:310-327``). This module
+maps those state_dicts onto our channels-last flax modules exactly:
+
+- ``Conv{2,3}d.weight``  (O, I, *k)  ->  ``Conv_0/kernel``  (*k, I, O)
+- ``ConvTranspose{2,3}d.weight`` (I, O, *k) -> ``ConvTranspose_0/kernel``
+  (*k_flipped, I, O): torch transpose-conv is the *gradient* of a conv, i.e.
+  a fractionally-strided correlation with the spatially FLIPPED kernel —
+  verified numerically in ``tests/test_reference_parity.py`` together with
+  the (k-1-p, k-1-p+op) padding placement baked into ``blocks.ConvBlock``.
+- ``BatchNorm.{weight,bias}`` -> ``BatchNorm_0/{scale,bias}`` params;
+  ``running_{mean,var}`` -> batch_stats ``BatchNorm_0/{mean,var}``.
+
+The mapping is layout-only (transpose + flip), so it can also be applied to
+*gradients* to compare autodiff between frameworks. Works on plain numpy
+mappings — torch is NOT imported here; call ``numpy_state_dict`` on a torch
+state_dict first if needed.
+"""
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+def numpy_state_dict(state_dict: Mapping) -> Dict[str, np.ndarray]:
+    """Detach a torch state_dict (or any mapping of array-likes) to numpy."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """(O, I, *k) -> (*k, I, O)."""
+    nd = w.ndim - 2
+    return np.ascontiguousarray(w.transpose(*range(2, 2 + nd), 1, 0))
+
+
+def _tconv_kernel(w: np.ndarray) -> np.ndarray:
+    """(I, O, *k) -> spatially flipped (*k, I, O)."""
+    nd = w.ndim - 2
+    w = w.transpose(*range(2, 2 + nd), 0, 1)
+    return np.ascontiguousarray(w[(slice(None, None, -1),) * nd])
+
+
+def _conv_block(
+    sd: Mapping[str, np.ndarray], prefix: str, transpose: bool = False
+) -> Tuple[Dict, Optional[Dict]]:
+    """One reference ConvBlock (conv + optional BatchNorm) -> (params, stats)."""
+    to_kernel = _tconv_kernel if transpose else _conv_kernel
+    conv_name = "ConvTranspose_0" if transpose else "Conv_0"
+    conv = {"kernel": to_kernel(sd[f"{prefix}.conv.weight"])}
+    if f"{prefix}.conv.bias" in sd:
+        conv["bias"] = sd[f"{prefix}.conv.bias"]
+    params = {conv_name: conv}
+    stats = None
+    if f"{prefix}.normalization.weight" in sd:
+        params["BatchNorm_0"] = {
+            "scale": sd[f"{prefix}.normalization.weight"],
+            "bias": sd[f"{prefix}.normalization.bias"],
+        }
+        stats = {
+            "BatchNorm_0": {
+                "mean": sd[f"{prefix}.normalization.running_mean"],
+                "var": sd[f"{prefix}.normalization.running_var"],
+            }
+        }
+    return params, stats
+
+
+def generator_variables_from_torch(
+    state_dict: Mapping,
+    n_resnet_blocks: int = 4,
+    n_updownsample_blocks: int = 2,
+) -> Dict:
+    """Reference ``ResnetGenerator.state_dict()`` -> flax ``{"params", ...}``
+    variables for :class:`models.generator.ResnetGenerator` (same
+    architecture hyper-parameters)."""
+    sd = numpy_state_dict(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name: str, prefix: str, transpose: bool = False):
+        p, s = _conv_block(sd, prefix, transpose)
+        params[name] = p
+        if s is not None:
+            stats[name] = s
+
+    put("first", "model.first")
+    for i in range(n_updownsample_blocks):
+        put(f"down_{i}", f"model.downsampling.{i}")
+    for i in range(n_resnet_blocks):
+        p0, s0 = _conv_block(sd, f"model.resnet_backbone.{i}.block0")
+        p1, s1 = _conv_block(sd, f"model.resnet_backbone.{i}.block1")
+        params[f"resnet_{i}"] = {"ConvBlock_0": p0, "ConvBlock_1": p1}
+        if s0 is not None or s1 is not None:
+            stats[f"resnet_{i}"] = {"ConvBlock_0": s0 or {}, "ConvBlock_1": s1 or {}}
+    # torch upsampling.j runs wide->narrow; our names count channels down
+    # (up_{n-1} is the widest) — reference generator.py:61-77 loop order
+    for j in range(n_updownsample_blocks):
+        put(f"up_{n_updownsample_blocks - 1 - j}", f"model.upsampling.{j}", transpose=True)
+    params["last_conv"] = {
+        "Conv_0": {
+            "kernel": _conv_kernel(sd["model.last_conv.weight"]),
+            "bias": sd["model.last_conv.bias"],
+        }
+    }
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def critic_variables_from_torch(
+    state_dict: Mapping, discriminator_depth: int = 3
+) -> Dict:
+    """Reference ``PatchGANDiscriminator.state_dict()`` -> flax variables for
+    :class:`models.discriminator.PatchGANDiscriminator`."""
+    sd = numpy_state_dict(state_dict)
+    params: Dict = {}
+    stats: Dict = {}
+    p, _ = _conv_block(sd, "model.first")
+    params["first"] = p
+    for n in range(discriminator_depth):
+        p, s = _conv_block(sd, f"model.middle.{n}")
+        params[f"middle_{n}"] = p
+        if s is not None:
+            stats[f"middle_{n}"] = s
+    params["last"] = {
+        "Conv_0": {
+            "kernel": _conv_kernel(sd["model.last.weight"]),
+            "bias": sd["model.last.bias"],
+        }
+    }
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
