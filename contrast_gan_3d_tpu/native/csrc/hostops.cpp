@@ -16,6 +16,11 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -100,11 +105,32 @@ void trilinear_f32(
 
 // Fused spatial-augmentation warp of one (W, H, D) int16 scan + mask pair:
 //   src = A @ (dst - center) + center + amp * elastic(dst)
-// where elastic(dst) trilinearly upsamples a coarse (G, G, G, 3) noise field
-// on the fly. Scan is trilinearly resampled, mask nearest-neighbour (clamped
-// edges). This replaces the device-side gather (TPUs are very slow at
-// data-dependent gathers: measured 1.4 s for 8x128^3 on v5e) — it runs in
-// the async host prefetch pipeline, fully overlapped with device compute.
+// where elastic(dst) upsamples a coarse (G, G, G, 3) noise field with the
+// half-pixel convention of jax.image.resize(method="linear") — identical to
+// the device augmenter. Scan is trilinearly resampled, mask
+// nearest-neighbour (clamped edges). This replaces the device-side gather
+// (TPUs are very slow at data-dependent gathers: measured 1.4 s for
+// 8x128^3 on v5e) — it runs in the async host prefetch pipeline, fully
+// overlapped with device compute.
+//
+// Performance structure (the train-time hot path on small hosts):
+// - OpenMP slab-split over x (one patch warp scales across host cores;
+//   additionally, whole patches parallelize across prefetch threads since
+//   ctypes releases the GIL).
+// - The coarse-field interpolation is separable: per-axis (cell, frac)
+//   pairs are precomputed once, and per (x, y) the field collapses to G
+//   xy-bilerped z-line values, so the inner z loop does 3 lerps instead of
+//   a 24-load trilinear gather.
+// - Affine coordinates accumulate incrementally along z (one FMA per axis).
+
+long warp_num_threads() {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
 void warp_augment_int16(
     const int16_t* __restrict scan,
     const int16_t* __restrict seg,
@@ -118,54 +144,76 @@ void warp_augment_int16(
 {
     const float cx = (W - 1) * 0.5f, cy = (H - 1) * 0.5f, cz = (D - 1) * 0.5f;
     const long sy = D, sx = H * D;
-    // half-pixel coarse-field upsampling — the exact convention of
-    // jax.image.resize(method="linear"), so the host and device augmenters
-    // produce IDENTICAL elastic displacement fields for the same noise:
-    //   src = clamp((dst + 0.5) * G / W - 0.5, 0, G - 1)
-    const float gsx = (float)G / (float)W;
-    const float gsy = (float)G / (float)H;
-    const float gsz = (float)G / (float)D;
 
+    // per-axis half-pixel coarse-field cells and fractions:
+    //   src = clamp((dst + 0.5) * G / dim - 0.5, 0, G - 1)
+    std::vector<long> gxs, gys, gzs;
+    std::vector<float> axs, ays, azs;
+    if (coarse) {
+        auto fill = [G](std::vector<long>& cells, std::vector<float>& fracs, long dim) {
+            cells.resize(dim);
+            fracs.resize(dim);
+            const float scale = (float)G / (float)dim;
+            for (long i = 0; i < dim; ++i) {
+                float f = (i + 0.5f) * scale - 0.5f;
+                f = std::min(std::max(f, 0.f), (float)(G - 1));
+                long c = std::min(std::max((long)f, 0L), std::max(G - 2, 0L));
+                cells[i] = c;
+                fracs[i] = f - c;
+            }
+        };
+        fill(gxs, axs, W);
+        fill(gys, ays, H);
+        fill(gzs, azs, D);
+    }
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (long x = 0; x < W; ++x) {
         const float rx = x - cx;
+        // xy-bilerped coarse z-lines for the current (x, y): Ez[gz*3 + c]
+        std::vector<float> Ez(coarse ? (size_t)G * 3 : 0);
         for (long y = 0; y < H; ++y) {
             const float ry = y - cy;
+            // affine coords accumulate along z: p(z) = b + a_col2 * z
+            const float bx = affine[0] * rx + affine[1] * ry + affine[2] * (0.f - cz) + cx;
+            const float by = affine[3] * rx + affine[4] * ry + affine[5] * (0.f - cz) + cy;
+            const float bz = affine[6] * rx + affine[7] * ry + affine[8] * (0.f - cz) + cz;
+
+            if (coarse) {
+                const long gx = gxs[x], gy = gys[y];
+                const float ax = axs[x], ay = ays[y];
+                const long gx1 = std::min(gx + 1, G - 1);
+                const long gy1 = std::min(gy + 1, G - 1);
+                const float w00 = (1 - ax) * (1 - ay), w10 = ax * (1 - ay);
+                const float w01 = (1 - ax) * ay, w11 = ax * ay;
+                const long gs = G * 3, gss = G * G * 3;
+                const float* r00 = coarse + gx * gss + gy * gs;
+                const float* r10 = coarse + gx1 * gss + gy * gs;
+                const float* r01 = coarse + gx * gss + gy1 * gs;
+                const float* r11 = coarse + gx1 * gss + gy1 * gs;
+                for (long gz = 0; gz < G; ++gz)
+                    for (int c = 0; c < 3; ++c)
+                        Ez[gz * 3 + c] = w00 * r00[gz * 3 + c] + w10 * r10[gz * 3 + c]
+                                       + w01 * r01[gz * 3 + c] + w11 * r11[gz * 3 + c];
+            }
+
+            int16_t* __restrict os = out_scan + x * sx + y * sy;
+            int16_t* __restrict og = out_seg + x * sx + y * sy;
             for (long z = 0; z < D; ++z) {
-                const float rz = z - cz;
-                float xs = affine[0] * rx + affine[1] * ry + affine[2] * rz + cx;
-                float ys = affine[3] * rx + affine[4] * ry + affine[5] * rz + cy;
-                float zs = affine[6] * rx + affine[7] * ry + affine[8] * rz + cz;
+                float xs = bx + affine[2] * z;
+                float ys = by + affine[5] * z;
+                float zs = bz + affine[8] * z;
 
                 if (coarse) {
-                    // trilinear sample of the coarse field at (x, y, z),
-                    // half-pixel mapping clamped to [0, G-1] (truncated
-                    // edge kernels renormalize to exactly this)
-                    float fx = (x + 0.5f) * gsx - 0.5f;
-                    float fy = (y + 0.5f) * gsy - 0.5f;
-                    float fz = (z + 0.5f) * gsz - 0.5f;
-                    fx = std::min(std::max(fx, 0.f), (float)(G - 1));
-                    fy = std::min(std::max(fy, 0.f), (float)(G - 1));
-                    fz = std::min(std::max(fz, 0.f), (float)(G - 1));
-                    long gx = std::min(std::max((long)fx, 0L), std::max(G - 2, 0L));
-                    long gy = std::min(std::max((long)fy, 0L), std::max(G - 2, 0L));
-                    long gz = std::min(std::max((long)fz, 0L), std::max(G - 2, 0L));
-                    const long gx1 = std::min(gx + 1, G - 1);
-                    const long gy1 = std::min(gy + 1, G - 1);
-                    const long gz1 = std::min(gz + 1, G - 1);
-                    const float ax = fx - gx, ay = fy - gy, az = fz - gz;
-                    const long gs = G * 3, gss = G * G * 3;
-                    for (int c = 0; c < 3; ++c) {
-                        const float* f = coarse + c;
-                        const float c00 = f[gx*gss + gy*gs + gz*3] * (1-ax) + f[gx1*gss + gy*gs + gz*3] * ax;
-                        const float c10 = f[gx*gss + gy1*gs + gz*3] * (1-ax) + f[gx1*gss + gy1*gs + gz*3] * ax;
-                        const float c01 = f[gx*gss + gy*gs + gz1*3] * (1-ax) + f[gx1*gss + gy*gs + gz1*3] * ax;
-                        const float c11 = f[gx*gss + gy1*gs + gz1*3] * (1-ax) + f[gx1*gss + gy1*gs + gz1*3] * ax;
-                        const float v = (c00 * (1-ay) + c10 * ay) * (1-az)
-                                      + (c01 * (1-ay) + c11 * ay) * az;
-                        if (c == 0) xs += v * amp[0];
-                        else if (c == 1) ys += v * amp[1];
-                        else zs += v * amp[2];
-                    }
+                    const long gz = gzs[z];
+                    const float az = azs[z];
+                    const float* e0 = &Ez[gz * 3];
+                    const float* e1 = &Ez[std::min(gz + 1, G - 1) * 3];
+                    xs += amp[0] * (e0[0] * (1 - az) + e1[0] * az);
+                    ys += amp[1] * (e0[1] * (1 - az) + e1[1] * az);
+                    zs += amp[2] * (e0[2] * (1 - az) + e1[2] * az);
                 }
 
                 // trilinear scan sample, clamped (fraction vs clamped floor)
@@ -179,23 +227,29 @@ void warp_augment_int16(
                 const long z1 = std::min(z0 + 1L, D - 1);
                 const float gxw = 1.f - fxw, gyw = 1.f - fyw, gzw = 1.f - fzw;
 
+                const int16_t* p00 = scan + x0 * sx + y0 * sy;
+                const int16_t* p10 = scan + x1 * sx + y0 * sy;
+                const int16_t* p01 = scan + x0 * sx + y1 * sy;
+                const int16_t* p11 = scan + x1 * sx + y1 * sy;
                 const float v =
-                      scan[x0*sx + y0*sy + z0] * gxw * gyw * gzw
-                    + scan[x1*sx + y0*sy + z0] * fxw * gyw * gzw
-                    + scan[x0*sx + y1*sy + z0] * gxw * fyw * gzw
-                    + scan[x0*sx + y0*sy + z1] * gxw * gyw * fzw
-                    + scan[x1*sx + y1*sy + z0] * fxw * fyw * gzw
-                    + scan[x1*sx + y0*sy + z1] * fxw * gyw * fzw
-                    + scan[x0*sx + y1*sy + z1] * gxw * fyw * fzw
-                    + scan[x1*sx + y1*sy + z1] * fxw * fyw * fzw;
-                out_scan[x*sx + y*sy + z] = (int16_t)std::lround(v);
+                      p00[z0] * gxw * gyw * gzw
+                    + p10[z0] * fxw * gyw * gzw
+                    + p01[z0] * gxw * fyw * gzw
+                    + p00[z1] * gxw * gyw * fzw
+                    + p11[z0] * fxw * fyw * gzw
+                    + p10[z1] * fxw * gyw * fzw
+                    + p01[z1] * gxw * fyw * fzw
+                    + p11[z1] * fxw * fyw * fzw;
+                os[z] = (int16_t)std::floor(v + 0.5f);
 
                 // nearest-neighbour mask sample
-                long xn = (long)std::lround(xs), yn = (long)std::lround(ys), zn = (long)std::lround(zs);
+                long xn = (long)std::floor(xs + 0.5f);
+                long yn = (long)std::floor(ys + 0.5f);
+                long zn = (long)std::floor(zs + 0.5f);
                 xn = std::min(std::max(xn, 0L), W - 1);
                 yn = std::min(std::max(yn, 0L), H - 1);
                 zn = std::min(std::max(zn, 0L), D - 1);
-                out_seg[x*sx + y*sy + z] = seg[xn*sx + yn*sy + zn];
+                og[z] = seg[xn * sx + yn * sy + zn];
             }
         }
     }

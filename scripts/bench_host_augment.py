@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Host augmentation throughput benchmark (the train-time input ceiling).
+
+Measures, on this host, for 128^3 patches:
+- native warp latency with every transform firing (rotation+scale+elastic —
+  the worst case) and its OpenMP thread count
+- effective augmentation cost at the reference probabilities (elastic p=.1,
+  scale p=.2, rotation p=.2 — experiments/basic_conf.py:88-113), where
+  ~58% of samples skip the warp entirely
+- mmap crop cost (native crop_pad_int16)
+- the resulting sustainable patches/s and the margin vs a given train-step
+  consumption rate (--consumption, default 49 patches/s = the 4:1-schedule
+  effective rate from PERF.md)
+
+Prints one JSON object.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--patch", type=int, default=128)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--consumption", type=float, default=49.0)
+    args = p.parse_args()
+
+    from contrast_gan_3d_tpu import native
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
+
+    assert native.has_native(), "native hostops unavailable"
+    n = args.patch
+    rng = np.random.default_rng(0)
+    scan = rng.integers(-1024, 1500, (n, n, n), dtype=np.int16)
+    seg = (rng.random((n, n, n)) < 0.001).astype(np.int16)
+
+    def best(fn, reps):
+        fn()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    # worst case: every transform fires
+    always = HostAugmenter(
+        AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0),
+        np.random.default_rng(1),
+    )
+    warp_s = best(lambda: always(scan, seg), args.reps)
+
+    # reference probabilities -> average over many draws
+    default = HostAugmenter(AugmentConfig(), np.random.default_rng(2))
+    k = 40
+    t0 = time.perf_counter()
+    for _ in range(k):
+        default(scan, seg)
+    eff_s = (time.perf_counter() - t0) / k
+
+    vol = rng.integers(-1024, 1500, (192, 192, 160, 2), dtype=np.int16)
+    crop_s = best(
+        lambda: native.crop_pad_int16(vol, (10, 20, 5), (n, n, n)), args.reps
+    )
+
+    per_patch = eff_s + crop_s
+    sustained = 1.0 / per_patch
+    out = {
+        "warp_threads": native.warp_num_threads(),
+        "warp_ms_always_on": round(warp_s * 1e3, 2),
+        "augment_ms_effective": round(eff_s * 1e3, 2),
+        "crop_ms": round(crop_s * 1e3, 2),
+        "sustained_patches_per_sec": round(sustained, 2),
+        "consumption_patches_per_sec": args.consumption,
+        "feeds_train_step": bool(sustained >= args.consumption),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
