@@ -388,29 +388,122 @@ def build_train_steps(
     )
 
 
-def build_val_steps(generator: nn.Module, critic: nn.Module, cfg: StepConfig):
+def _wcast(w, x):
+    """(B,) validity weights broadcast against x's shape."""
+    return w.reshape((-1,) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+
+
+def _masked_mean(x, w):
+    """Mean over valid samples only — equals jnp.mean(x) when w is all-ones
+    (per-sample element counts are uniform)."""
+    per = x.size // x.shape[0]
+    return jnp.sum(x.astype(jnp.float32) * _wcast(w, x)) / (jnp.sum(w) * per)
+
+
+def _masked_zncc(source, target, w):
+    """Reference zncc_loss restricted to valid samples (ddof=1 std, same
+    epsilons) — exact on padded batches, equal to losses.zncc_loss when w is
+    all-ones."""
+    wf = _wcast(w, source)
+    per = source.size // source.shape[0]
+    n = jnp.sum(w) * per
+    ms = jnp.sum(source * wf) / n
+    mt = jnp.sum(target * wf) / n
+    cc = jnp.sum((source - ms) * (target - mt) * wf) / n
+    std = jnp.sqrt(jnp.sum(jnp.square(source - ms) * wf) / (n - 1)) * jnp.sqrt(
+        jnp.sum(jnp.square(target - mt) * wf) / (n - 1)
+    )
+    return -(cc / (std + 1e-8))
+
+
+def build_val_steps(
+    generator: nn.Module,
+    critic: nn.Module,
+    cfg: StepConfig,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_axis: str = "data",
+):
     """Jitted eval-mode steps (reference Trainer.validate, Trainer.py:247-308):
     OPT batches score the critic on real data; sub-optimal batches run the
-    generator and score realism + ZNCC similarity. No augmentation."""
+    generator and score realism + ZNCC similarity. No augmentation.
+
+    Each step takes ``(state, batch, w)`` where ``w`` is a (B,) 0/1 validity
+    vector: under a ``mesh`` the batch is padded to the device count and
+    sharded (each chip computes only its shard — no redundant replicated
+    compute), and the masked reductions make the losses exactly
+    padding-invariant.
+    """
 
     val_cfg_scaler = cfg.scaler
 
-    @jax.jit
-    def val_opt_step(state: GANTrainState, batch):
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _jit = partial(
+            jax.jit,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(batch_axis)),
+                NamedSharding(mesh, P(batch_axis)),
+            ),
+        )
+    else:
+        _jit = jax.jit
+
+    @_jit
+    def val_opt_step(state: GANTrainState, batch, w):
         x = val_cfg_scaler(batch.astype(jnp.float32))[..., None]
         real_logits = _apply(critic, state.critic_params, state.critic_stats, x, train=False)
-        return losses.wasserstein_loss(real_logits)
+        return _masked_mean(real_logits, w)
 
-    @jax.jit
-    def val_subopt_step(state: GANTrainState, batch):
+    @_jit
+    def val_subopt_step(state: GANTrainState, batch, w):
         x = val_cfg_scaler(batch.astype(jnp.float32))[..., None]
         atten = _apply(generator, state.gen_params, state.gen_stats, x, train=False)
         sample_hat = x - atten
         fake_logits = _apply(
             critic, state.critic_params, state.critic_stats, sample_hat, train=False
         )
-        loss_fake = losses.wasserstein_loss(fake_logits)
-        loss_sim = losses.zncc_loss(sample_hat, x)
+        loss_fake = _masked_mean(fake_logits, w)
+        loss_sim = _masked_zncc(sample_hat, x, w)
         return loss_fake, loss_sim, sample_hat, atten
 
     return val_opt_step, val_subopt_step
+
+
+def build_preview_step(
+    generator: nn.Module,
+    cfg: StepConfig,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_axis: str = "data",
+):
+    """Reproduce the on-device augmentation of a given train step for image
+    logging: the reference logs the batch the step actually trained on
+    (Trainer.py:187-203). ``rng_key`` is the state's PRNG key *before* that
+    step — the same k_aug split chain as ``_common``/``combined_step`` is
+    re-derived, so the returned (scaled) sub-optimal batch, reconstruction
+    and attenuation match what the step saw. Only needed when
+    ``cfg.augment`` is set (host-augmented batches arrive pre-augmented)."""
+    assert cfg.augment is not None
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(batch_axis))
+        _jit = partial(jax.jit, in_shardings=(repl, repl, batch_sh, batch_sh))
+    else:
+        _jit = jax.jit
+
+    @_jit
+    def preview(state: GANTrainState, rng_key, subopt, mask):
+        _, k_aug, _ = jax.random.split(rng_key, 3)
+        _, k2 = jax.random.split(k_aug)  # _prepare_batches: k2 -> sub-optimal
+        subopt = subopt.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+        subopt, mask = augment_batch(subopt, mask, k2, cfg.augment)
+        x = cfg.scaler(subopt).astype(cfg.dtype)[..., None]
+        atten = _apply(generator, state.gen_params, state.gen_stats, x, train=False)
+        return x, x - atten, atten, mask
+
+    return preview

@@ -28,6 +28,7 @@ from contrast_gan_3d_tpu.trainer.logger import LoggerInterface, NoopLogger
 from contrast_gan_3d_tpu.trainer.steps import (
     GANTrainState,
     StepConfig,
+    build_preview_step,
     build_train_steps,
     build_val_steps,
     init_state,
@@ -102,7 +103,14 @@ class Trainer:
             generator, critic, gen_tx, critic_tx, step_config, mesh=mesh
         )
         self.val_opt_step, self.val_subopt_step = build_val_steps(
-            generator, critic, step_config
+            generator, critic, step_config, mesh=mesh
+        )
+        # device-augmented batches: image logging re-derives the step's
+        # augmentation so the logged batch is what the step trained on
+        self._preview_step = (
+            build_preview_step(generator, step_config, mesh=mesh)
+            if step_config.augment is not None
+            else None
         )
 
     # ------------------------------------------------------------------
@@ -180,13 +188,22 @@ class Trainer:
         logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
         for iteration in range(start, self.cfg.train_iterations):
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+            images_due = _due(iteration, self.cfg.log_images_every, skip_zero=False)
+            rng_before = None
+            if images_due and self._preview_step is not None:
+                # the step donates (and advances) state.rng — keep a copy so
+                # the preview can re-derive this step's augmentation
+                rng_before = jax.random.wrap_key_data(
+                    jax.device_get(jax.random.key_data(self.state.rng)),
+                    impl=jax.random.key_impl(self.state.rng),
+                )
             metrics, (subopt, mask, names) = self.train_step(patches, iteration)
 
             if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
                 self.logger_interface.log_scalars(host, iteration, "train")
-            if _due(iteration, self.cfg.log_images_every, skip_zero=False):
-                self._log_train_images(subopt, mask, names, iteration)
+            if images_due:
+                self._log_train_images(subopt, mask, names, iteration, rng_before)
 
             if val_loaders and _due(iteration, self.cfg.val_every):
                 self.validate(val_loaders, iteration)
@@ -210,6 +227,27 @@ class Trainer:
         self.logger_interface.end_hook()
         return self.state
 
+    def _put_val(self, data):
+        """(data, validity) for the sharded val steps: under a mesh the batch
+        pads to the device count and shards (each chip computes its shard
+        only); the 0/1 weights make the masked losses padding-exact."""
+        import jax.numpy as jnp
+
+        if self.mesh is None:  # no host round-trip for on-device batches
+            data = jnp.asarray(data)
+            return data, jnp.ones((data.shape[0],), jnp.float32)
+        data = np.asarray(data)
+        n = data.shape[0]
+        from contrast_gan_3d_tpu.parallel.mesh import (
+            pad_batch_to_multiple,
+            put_batch,
+        )
+
+        padded = pad_batch_to_multiple(data, self.mesh.devices.size)
+        w = np.zeros((padded.shape[0],), np.float32)
+        w[:n] = 1.0
+        return put_batch(padded, self.mesh), put_batch(w, self.mesh)
+
     # ------------------------------------------------------------------
     def validate(self, val_loaders: Dict[int, Iterable], train_iteration: int):
         """Eval-mode validation sweep (reference Trainer.py:247-308): OPT
@@ -221,22 +259,20 @@ class Trainer:
         n_subopt = self.cfg.val_iterations * (len(ScanType) - 1)
         for i, st in itertools.product(range(self.cfg.val_iterations), ScanType):
             batch = next(val_loaders[st.value])
-            data = batch["data"]
-            if self.mesh is not None:
-                # val steps are compiled without shardings — feed replicated
-                from contrast_gan_3d_tpu.parallel.mesh import put_replicated
-
-                data = put_replicated(np.asarray(data), self.mesh)
+            data, w = self._put_val(batch["data"])
             if st == ScanType.OPT:
-                loss_real_C -= float(jax.device_get(self.val_opt_step(self.state, data)))
+                loss_real_C -= float(jax.device_get(self.val_opt_step(self.state, data, w)))
             else:
-                loss_fake, l_sim, sample_hat, atten = self.val_subopt_step(self.state, data)
+                loss_fake, l_sim, sample_hat, atten = self.val_subopt_step(
+                    self.state, data, w
+                )
                 loss_fake = float(jax.device_get(loss_fake))
                 loss_fake_C += loss_fake
                 loss_G -= loss_fake
                 loss_sim += float(jax.device_get(l_sim))
                 if i == 0:
-                    loggable.append((batch, sample_hat, atten))
+                    n = np.asarray(batch["data"]).shape[0]  # drop padding
+                    loggable.append((batch, sample_hat[:n], atten[:n]))
 
         if loggable and self.cfg.log_images_every is not None:
             samples = np.concatenate(
@@ -258,16 +294,36 @@ class Trainer:
         self.logger_interface.log_scalars(val_loss, train_iteration, "validation")
 
     # ------------------------------------------------------------------
-    def _log_train_images(self, subopt, mask, names, iteration: int):
-        """Render the current sub-optimal batch through the eval-mode
-        generator (reference Trainer.py:187-203)."""
-        _, _, sample_hat, atten = self.val_subopt_step(self.state, subopt)
-        sample = np.asarray(self.step_cfg.scaler(np.asarray(subopt, dtype=np.float32)))
+    def _log_train_images(self, subopt, mask, names, iteration: int, rng_before=None):
+        """Render the batch the step actually trained on (reference
+        Trainer.py:187-203). Host-augmented batches arrive pre-augmented;
+        with on-device augmentation the preview step re-derives the step's
+        augmentation from ``rng_before`` (the PRNG key the step consumed)."""
+        n = len(names) if names else np.asarray(mask).shape[0]
+        if self._preview_step is not None and rng_before is not None:
+            sample_s, sample_hat, atten, mask_s = self._preview_step(
+                self.state, rng_before, subopt, mask
+            )
+            sample = np.asarray(sample_s)[:n, ..., 0]
+            mask = np.asarray(mask_s)[:n]
+        else:
+            import jax.numpy as jnp
+
+            w = jnp.ones((subopt.shape[0],), jnp.float32)
+            if self.mesh is not None:
+                from contrast_gan_3d_tpu.parallel.mesh import put_batch
+
+                w = put_batch(np.ones((subopt.shape[0],), np.float32), self.mesh)
+            _, _, sample_hat, atten = self.val_subopt_step(self.state, subopt, w)
+            sample = np.asarray(
+                self.step_cfg.scaler(np.asarray(subopt, dtype=np.float32))
+            )[:n]
+            mask = np.asarray(mask)[:n]
         self.logger_interface.log_images(
             sample,
-            np.asarray(sample_hat)[..., 0],
-            np.asarray(atten)[..., 0],
-            np.asarray(mask),
+            np.asarray(sample_hat)[:n, ..., 0],
+            np.asarray(atten)[:n, ..., 0],
+            mask,
             names,
             iteration,
             "train",

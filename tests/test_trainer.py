@@ -105,3 +105,103 @@ def test_schedule_branches(tmp_path, rng):
     by_step = {s: sc for _, s, sc in log.scalars if _ == "train"}
     assert set(by_step[0]) == {"D", "G", "G-full", "sim", "HU"}  # combined
     assert set(by_step[1]) == {"D"}  # critic only
+
+
+def test_mesh_validate_padding_exact(tmp_path, rng):
+    """Sharded validation must produce the same losses as single-device
+    validation even when the val batch (3) does not divide the mesh (8):
+    padding is masked out of the losses exactly."""
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    log_a, log_b = RecordingLogger(), RecordingLogger()
+    t_single = _build_trainer(tmp_path, log_a)
+    t_mesh = _build_trainer(tmp_path, log_b)
+    t_mesh.mesh = data_mesh()
+    from contrast_gan_3d_tpu.trainer.steps import build_val_steps
+    from contrast_gan_3d_tpu.parallel.mesh import put_replicated
+
+    t_mesh.val_opt_step, t_mesh.val_subopt_step = build_val_steps(
+        t_mesh.generator, t_mesh.critic, t_mesh.step_cfg, mesh=t_mesh.mesh
+    )
+    # identical states
+    t_mesh.state = put_replicated(
+        jax.device_get(t_single.state), t_mesh.mesh
+    )
+
+    loaders = create_loaders(
+        fold, PATCH, {0: 3, -1: 3, 1: 3}, rng, num_threads=1, to_device=False
+    )
+    batches = {k: next(l) for k, l in loaders.items()}
+    for l in loaders.values():
+        l.stop()
+
+    class Replay:
+        def __init__(self, b):
+            self.b = b
+
+        def __next__(self):
+            return self.b
+
+    t_single.validate({k: Replay(b) for k, b in batches.items()}, 1)
+    t_mesh.validate({k: Replay(b) for k, b in batches.items()}, 1)
+    (_, _, va), (_, _, vb) = log_a.scalars[-1:] + log_b.scalars[-1:]
+    for k in va:
+        np.testing.assert_allclose(va[k], vb[k], rtol=2e-5, atol=1e-6, err_msg=k)
+
+
+def test_preview_logs_the_augmented_batch(tmp_path, rng):
+    """With on-device augmentation, logged train images must show the batch
+    the step actually trained on: the preview re-derives the step's
+    augmentation from the pre-step PRNG key."""
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.data.augment import augment_batch
+    from contrast_gan_3d_tpu.alias import ScanType
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    log = RecordingLogger()
+    trainer = _build_trainer(tmp_path, log, iterations=1)
+    # force augmentation to always fire so the preview visibly differs from
+    # the raw batch
+    import dataclasses
+
+    from contrast_gan_3d_tpu.trainer.steps import StepConfig, build_preview_step
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+
+    aug = AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0, elastic_grid=4)
+    trainer.step_cfg = dataclasses.replace(trainer.step_cfg, augment=aug)
+    trainer._preview_step = build_preview_step(trainer.generator, trainer.step_cfg)
+
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, to_device=False
+    )
+    patches = {st.value: next(loaders[st.value]) for st in ScanType}
+    for l in loaders.values():
+        l.stop()
+
+    rng_before = trainer.state.rng
+    subopt = np.concatenate(
+        [patches[ScanType.LOW.value]["data"], patches[ScanType.HIGH.value]["data"]]
+    )
+    mask = np.concatenate(
+        [patches[ScanType.LOW.value]["seg"], patches[ScanType.HIGH.value]["seg"]]
+    )
+    # expected: the exact augmented+scaled batch the step consumes
+    _, k_aug, _ = jax.random.split(rng_before, 3)
+    _, k2 = jax.random.split(k_aug)
+    exp_sub, _ = augment_batch(
+        jnp.asarray(subopt, jnp.float32), jnp.asarray(mask, jnp.float32), k2, aug
+    )
+    expected = np.asarray(trainer.step_cfg.scaler(exp_sub))
+
+    trainer._log_train_images(
+        jnp.asarray(subopt), jnp.asarray(mask),
+        list(patches[ScanType.LOW.value]["name"]) + list(patches[ScanType.HIGH.value]["name"]),
+        0, rng_before=rng_before,
+    )
+    logged_sample = np.asarray(log.images[-1][0])
+    np.testing.assert_allclose(logged_sample, expected, atol=1e-5)
+    assert not np.allclose(
+        logged_sample, np.asarray(trainer.step_cfg.scaler(subopt.astype(np.float32)))
+    )

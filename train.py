@@ -96,16 +96,19 @@ class TrainManager:
             mesh = data_mesh(cfg.dp_devices or None)
             logger.info("Data-parallel mesh: %s", mesh)
 
+        # under a mesh the trainer pads + shards batches itself; eager
+        # single-device put would only force a host round-trip
+        to_device = mesh is None
         train_loaders = create_loaders(
             train_fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
             num_threads=cfg.num_workers[0], prefetch=cfg.prefetch_depth,
-            augmenter=built.host_augmenter,
+            augmenter=built.host_augmenter, to_device=to_device,
         )
         val_loaders = None
         if cfg.validate_every is not None and val_fold:
             val_loaders = create_loaders(
                 val_fold, cfg.val_patch_size, cfg.val_batch_size, host_rng,
-                num_threads=cfg.num_workers[1], prefetch=1,
+                num_threads=cfg.num_workers[1], prefetch=1, to_device=to_device,
             )
 
         trainer = Trainer(
