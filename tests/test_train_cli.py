@@ -55,3 +55,97 @@ def test_train_cli_end_to_end(tmp_path, rng):
 
     ckpts = list((tmp_path / "ckpts" / "cli_smoke-fold0").glob("*.msgpack"))
     assert any(p.name == "2.msgpack" for p in ckpts), ckpts
+
+
+def test_profiler_schedule_windows(monkeypatch):
+    """skip/wait/warmup/active/repeat cycling: traces exactly the last
+    `active` steps of each cycle after `skip_first` (reference
+    train.py:39-47 torch.profiler schedule semantics)."""
+    import jax
+
+    import train as train_cli
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda d: events.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: events.append("stop"))
+
+    prof = train_cli.JaxProfiler(
+        "/tmp/x", skip_first=5, wait=1, warmup=2, active=3, repeat=2
+    )
+    starts, stops = [], []
+    for i in range(30):
+        n_before = len(events)
+        prof.step()
+        for e in events[n_before:]:
+            (starts if e == "start" else stops).append(i)
+    # cycle length 6 after 5 skipped: cycle 1 = steps 5-10 (trace 8-10),
+    # cycle 2 = steps 11-16 (trace 14-16), then repeat budget exhausted
+    assert starts == [8, 14]
+    assert stops == [10, 16]
+    prof.stop()  # idempotent: nothing active
+    assert len(events) == 4
+
+
+def test_profiler_from_spec():
+    import train as train_cli
+
+    prof = train_cli.JaxProfiler.from_spec(
+        "/tmp/x", "skip_first=500,active=10,repeat=1"
+    )
+    assert (prof.skip_first, prof.active, prof.wait, prof.warmup, prof.repeat) == (
+        500, 10, 0, 0, 1,
+    )
+
+
+def test_wandb_resume_restores_group_and_fold(monkeypatch, tmp_path):
+    """Resuming by run-id restores the experiment group + starting fold from
+    the wandb API (reference train.py:80-92), faked here."""
+    import types
+
+    import train as train_cli
+    from contrast_gan_3d_tpu.experiments import load_config
+
+    class FakeRun:
+        group = "exp-group-7"
+        config = {"fold": 2}
+
+    class FakeApi:
+        def run(self, path):
+            assert path == "ent/proj/runid123"
+            return FakeRun()
+
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.Api = FakeApi
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    from dataclasses import replace
+
+    cfg = replace(load_config(None), logger="wandb")
+    mgr = train_cli.TrainManager(
+        cfg, [], [], run_id="runid123",
+        wandb_project="proj", wandb_entity="ent",
+    )
+    mgr.maybe_restore_wandb_run()
+    assert mgr.group == "exp-group-7"
+    assert mgr.starting_fold == 2
+
+
+def test_wandb_resume_lookup_failure_is_soft(monkeypatch):
+    import types
+
+    import train as train_cli
+    from contrast_gan_3d_tpu.experiments import load_config
+    from dataclasses import replace
+
+    class FakeApi:
+        def run(self, path):
+            raise RuntimeError("offline")
+
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.Api = FakeApi
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    cfg = replace(load_config(None), logger="wandb")
+    mgr = train_cli.TrainManager(cfg, [], [], run_id="x")
+    mgr.maybe_restore_wandb_run()
+    assert mgr.starting_fold == 0 and mgr.group is None

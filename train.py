@@ -33,30 +33,71 @@ logger = create_logger(name="train")
 
 
 class JaxProfiler:
-    """XProf/TensorBoard trace of the first ``n_steps`` train iterations
-    (TPU-native analogue of the reference's torch.profiler wiring,
-    reference train.py:33-55)."""
+    """XProf/TensorBoard trace with a torch.profiler-style schedule
+    (TPU-native analogue of the reference's wiring, reference train.py:33-55:
+    schedule(skip_first=11, wait=3, warmup=4, active=3)).
 
-    def __init__(self, logdir: str, n_steps: int = 20):
+    After ``skip_first`` steps, cycles of ``wait + warmup + active`` steps
+    repeat ``repeat`` times (0 = forever); each cycle traces its last
+    ``active`` steps. jax traces have no discard-phase, so ``warmup`` steps
+    simply extend the untraced lead-in — steady-state sections (e.g. steps
+    500-510 of a long run) are traceable by setting ``skip_first``."""
+
+    def __init__(
+        self,
+        logdir: str,
+        active: int = 20,
+        skip_first: int = 0,
+        wait: int = 0,
+        warmup: int = 0,
+        repeat: int = 1,
+    ):
+        assert active > 0
         self.logdir = str(logdir)
-        self.n_steps = n_steps
+        self.active = active
+        self.skip_first = skip_first
+        self.wait = wait
+        self.warmup = warmup
+        self.repeat = repeat
         self._count = 0
+        self._cycles_done = 0
         self._active = False
 
+    @classmethod
+    def from_spec(cls, logdir: str, spec: str) -> "JaxProfiler":
+        """Build from 'skip_first=500,active=10[,wait=..,warmup=..,repeat=..]'."""
+        kwargs = {}
+        for part in spec.split(","):
+            if part.strip():
+                k, v = part.split("=")
+                kwargs[k.strip()] = int(v)
+        return cls(logdir, **kwargs)
+
     def step(self):
-        if self._count == 0:
+        """Call once per train iteration (after the step dispatch)."""
+        i = self._count
+        self._count += 1
+        if i < self.skip_first:
+            return
+        if self.repeat and self._cycles_done >= self.repeat:
+            return
+        pos = (i - self.skip_first) % (self.wait + self.warmup + self.active)
+        if pos == self.wait + self.warmup and not self._active:
             jax.profiler.start_trace(self.logdir)
             self._active = True
-            logger.info("Profiler trace started -> %s", self.logdir)
-        self._count += 1
-        if self._active and self._count >= self.n_steps:
-            self.stop()
+            logger.info("Profiler trace started @ step %d -> %s", i, self.logdir)
+        if self._active and pos == self.wait + self.warmup + self.active - 1:
+            self._stop_trace()
+            self._cycles_done += 1
+
+    def _stop_trace(self):
+        jax.profiler.stop_trace()
+        self._active = False
+        logger.info("Profiler trace written to %s", self.logdir)
 
     def stop(self):
         if self._active:
-            jax.profiler.stop_trace()
-            self._active = False
-            logger.info("Profiler trace written to %s", self.logdir)
+            self._stop_trace()
 
 
 @dataclass
@@ -71,8 +112,36 @@ class TrainManager:
     starting_fold: int = 0
     max_folds: int = 1  # the reference breaks after fold 0 (train.py:209)
     profiler: Optional[JaxProfiler] = None
+    wandb_project: Optional[str] = None
+    wandb_entity: Optional[str] = None
+    group: Optional[str] = None
+
+    def maybe_restore_wandb_run(self):
+        """Resuming an existing wandb run restores its experiment group and
+        starting fold from the wandb API (reference train.py:80-92)."""
+        if self.run_id is None or self.config.logger != "wandb":
+            return
+        try:
+            import wandb
+
+            path = "/".join(
+                p for p in (self.wandb_entity, self.wandb_project, self.run_id) if p
+            )
+            run = wandb.Api().run(path)
+        except Exception as e:
+            logger.warning("wandb resume lookup failed (%s); fresh run state", e)
+            return
+        self.group = getattr(run, "group", None) or self.group
+        fold = (getattr(run, "config", None) or {}).get("fold")
+        if fold is not None:
+            self.starting_fold = int(fold)
+        logger.info(
+            "Resumed wandb run '%s': group=%s starting_fold=%d",
+            self.run_id, self.group, self.starting_fold,
+        )
 
     def __call__(self):
+        self.maybe_restore_wandb_run()
         for fold_idx, (train_fold, val_fold) in enumerate(
             zip(self.train_folds, self.val_folds)
         ):
@@ -130,6 +199,8 @@ class TrainManager:
 
                 wandb.init(
                     id=self.run_id, resume="allow", name=run_name,
+                    project=self.wandb_project, entity=self.wandb_entity,
+                    group=self.group,
                     config=asdict_flat(cfg) | {"fold": fold_idx},
                 )
             except Exception as e:  # pragma: no cover
@@ -152,8 +223,15 @@ def parse_args(argv=None):
     p.add_argument("--logger", choices=["wandb", "console", "none"], default=None)
     p.add_argument("--dp-devices", type=int, default=None,
                    help="data-parallel over N devices (0 = all)")
+    p.add_argument("--wandb-project", default=None)
+    p.add_argument("--wandb-entity", default=None)
     p.add_argument("--profiler-dir", default=None)
-    p.add_argument("--profiler-steps", type=int, default=20)
+    p.add_argument("--profiler-steps", type=int, default=20,
+                   help="trace the first N steps (shorthand schedule)")
+    p.add_argument("--profiler-schedule", default=None,
+                   help="'skip_first=500,active=10[,wait=..,warmup=..,repeat=..]' "
+                        "— steady-state tracing past the pipeline warm-up "
+                        "(reference train.py:39-47 schedule semantics)")
     p.add_argument("--debug", action="store_true",
                    help="enable jax_debug_nans (reference --debug anomaly mode; "
                         "see utils/debug.checkify_step for located errors)")
@@ -187,11 +265,13 @@ def main(argv=None):
     else:
         raise SystemExit("Provide --cval-splits or config dataset_paths")
 
-    profiler = (
-        JaxProfiler(args.profiler_dir, args.profiler_steps)
-        if args.profiler_dir
-        else None
-    )
+    profiler = None
+    if args.profiler_dir:
+        profiler = (
+            JaxProfiler.from_spec(args.profiler_dir, args.profiler_schedule)
+            if args.profiler_schedule
+            else JaxProfiler(args.profiler_dir, active=args.profiler_steps)
+        )
     manager = TrainManager(
         cfg, train_folds, val_folds,
         checkpoint_root=Path(args.checkpoint_root) if args.checkpoint_root else paths.CHECKPOINTS_DIR,
@@ -199,6 +279,8 @@ def main(argv=None):
         starting_fold=args.starting_fold,
         max_folds=args.max_folds,
         profiler=profiler,
+        wandb_project=args.wandb_project,
+        wandb_entity=args.wandb_entity,
     )
     manager()
 
