@@ -98,6 +98,18 @@ class PrefetchLoader:
                 except queue.Full:
                     continue
 
+    # -- resumable stream --------------------------------------------------
+    def get_state(self) -> Dict:
+        """Snapshot the underlying sampler stream (see
+        ``CCTAPatchSampler.get_state``). Batches already sitting in the
+        prefetch queue are re-produced after a restore — at-least-once
+        delivery across a crash, exact replay from a quiescent snapshot."""
+        return self.sampler.get_state()
+
+    def set_state(self, state: Dict):
+        assert not self._threads, "stop() the loader before set_state()"
+        self.sampler.set_state(state)
+
     # -- iteration ---------------------------------------------------------
     def __next__(self) -> Dict:
         if not self._threads:

@@ -66,6 +66,30 @@ class CCTAPatchSampler:
     def __len__(self) -> int:
         return len(self.paths)
 
+    # -- resumable data stream (checkpointed alongside the model state) ----
+    def get_state(self) -> Dict:
+        """Snapshot the sampling stream: rng + epoch order (+ augmenter rng).
+        Restoring via :meth:`set_state` reproduces the exact batch sequence
+        from this point — the reference cannot do this (its augmenter worker
+        rngs are not checkpointed)."""
+        with self._rng_lock:
+            state = {
+                "rng": self.rng.bit_generator.state,
+                "order": list(self._order),
+                "epoch_done": self._epoch_done,
+            }
+            if self.augmenter is not None:
+                state["augmenter_rng"] = self.augmenter.rng.bit_generator.state
+        return state
+
+    def set_state(self, state: Dict):
+        with self._rng_lock:
+            self.rng.bit_generator.state = state["rng"]
+            self._order = list(state["order"])
+            self._epoch_done = bool(state["epoch_done"])
+            if self.augmenter is not None and "augmenter_rng" in state:
+                self.augmenter.rng.bit_generator.state = state["augmenter_rng"]
+
     def _next_indices(self) -> List[int]:
         out = []
         with self._rng_lock:

@@ -11,6 +11,7 @@ construction. Writes are atomic (tmp + rename) and optionally asynchronous
 (host thread — the device never blocks on disk).
 """
 
+import pickle
 import re
 import threading
 from pathlib import Path
@@ -111,11 +112,58 @@ def load_checkpoint(path_or_dir, target=None) -> Any:
         path = latest
     blob = path.read_bytes()
     if target is not None:
-        state = serialization.from_bytes(_unkey(target), blob)
+        try:
+            state = serialization.from_bytes(_unkey(target), blob)
+        except Exception as e:
+            diffs = _diff_structures(
+                serialization.msgpack_restore(blob),
+                serialization.to_state_dict(_unkey(target)),
+            )
+            detail = "\n  ".join(diffs[:25]) or f"(no structural diff found: {e})"
+            raise CheckpointStructureError(
+                f"Checkpoint '{path}' does not match the current model/optimizer "
+                f"structure. Diverging subtrees:\n  {detail}\n"
+                f"(total {len(diffs)} divergences; did the architecture, optimizer "
+                f"or config change since the checkpoint was written?)"
+            ) from e
         state = _rekey(state, target.rng)
         logger.info("Restored checkpoint '%s' @ step %d", path, int(state.step))
         return state
     return serialization.msgpack_restore(blob)
+
+
+class CheckpointStructureError(RuntimeError):
+    """A checkpoint's pytree structure diverges from the restore target."""
+
+
+def _diff_structures(saved, target, path: str = "") -> list:
+    """Name every subtree where a saved checkpoint dict and the target state
+    dict diverge (missing/extra keys, mismatched shapes)."""
+    out = []
+    saved_is_dict = isinstance(saved, dict)
+    target_is_dict = isinstance(target, dict)
+    if saved_is_dict != target_is_dict:
+        out.append(
+            f"{path or '<root>'}: saved is "
+            f"{'a subtree' if saved_is_dict else 'a leaf'}, target is "
+            f"{'a subtree' if target_is_dict else 'a leaf'}"
+        )
+        return out
+    if not saved_is_dict:
+        s_shape = getattr(saved, "shape", None)
+        t_shape = getattr(target, "shape", None)
+        if s_shape != t_shape:
+            out.append(f"{path}: saved shape {s_shape} != target shape {t_shape}")
+        return out
+    for k in sorted(set(saved) | set(target)):
+        sub = f"{path}/{k}" if path else str(k)
+        if k not in saved:
+            out.append(f"{sub}: missing from checkpoint (new in target)")
+        elif k not in target:
+            out.append(f"{sub}: present in checkpoint but not in target")
+        else:
+            out.extend(_diff_structures(saved[k], target[k], sub))
+    return out
 
 
 def maybe_restore(state, ckpt_dir) -> Any:
@@ -125,6 +173,39 @@ def maybe_restore(state, ckpt_dir) -> Any:
     if latest is None:
         return state
     return load_checkpoint(latest, target=state)
+
+
+def data_state_path(ckpt_dir, step: int) -> Path:
+    return Path(ckpt_dir) / f"{int(step)}.data.pkl"
+
+
+def save_data_state(loaders: Dict, ckpt_dir, step: int) -> Path:
+    """Checkpoint the host data-stream state (per-loader sampler rngs +
+    epoch order) alongside ``<step>.msgpack`` so a resumed run reproduces
+    the batch sequence — the reference loses its augmenter-worker rngs on
+    restart (non-resumable data stream)."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    payload = {label: loader.get_state() for label, loader in loaders.items()}
+    path = data_state_path(ckpt_dir, step)
+    tmp = path.with_suffix(".pkl.tmp")
+    tmp.write_bytes(pickle.dumps(payload))
+    tmp.rename(path)
+    return path
+
+
+def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
+    """Restore loader states saved by :func:`save_data_state`; loaders must
+    not be started yet. Returns True when a sidecar was found."""
+    path = data_state_path(ckpt_dir, step)
+    if not path.exists():
+        return False
+    payload = pickle.loads(path.read_bytes())
+    for label, state in payload.items():
+        if label in loaders:
+            loaders[label].set_state(state)
+    logger.info("Restored data-stream state '%s'", path)
+    return True
 
 
 def load_generator(ckpt_dir_or_file, iteration: Optional[int] = None) -> Dict:

@@ -180,11 +180,14 @@ class Trainer:
         val_loaders: Optional[Dict[int, Iterable]] = None,
         profiler=None,
     ) -> GANTrainState:
+        start = self.iteration
+        if start and self.cfg.checkpoint_dir:
+            # resumed run: restore the host data-stream (sampler rngs) so
+            # the batch sequence continues where the checkpoint left off
+            self._data_state(train_loaders, "restore", start)
         self._manage_loaders(train_loaders, "start")
         if val_loaders and self.cfg.val_every:
             self._manage_loaders(val_loaders, "start")
-
-        start = self.iteration
         logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
         for iteration in range(start, self.cfg.train_iterations):
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
@@ -212,6 +215,7 @@ class Trainer:
                     self.state, self.cfg.checkpoint_dir,
                     keep=self.cfg.checkpoint_keep, async_=True,
                 )
+                self._data_state(train_loaders, "save", self.iteration)
             if profiler is not None:
                 profiler.step()
 
@@ -221,6 +225,7 @@ class Trainer:
             ckpt_lib.save_checkpoint(
                 self.state, self.cfg.checkpoint_dir, keep=self.cfg.checkpoint_keep
             )
+            self._data_state(train_loaders, "save", self.iteration)
         self._manage_loaders(train_loaders, "end")
         if val_loaders:
             self._manage_loaders(val_loaders, "end")
@@ -328,6 +333,20 @@ class Trainer:
             iteration,
             "train",
         )
+
+    def _data_state(self, loaders: Dict[int, Iterable], action: str, step: int):
+        """Save/restore the host data-stream state next to the model
+        checkpoint (only for loaders that support it)."""
+        stateful = {
+            k: l for k, l in loaders.items()
+            if hasattr(l, "get_state") and hasattr(l, "set_state")
+        }
+        if not stateful or len(stateful) != len(loaders):
+            return
+        if action == "save":
+            ckpt_lib.save_data_state(stateful, self.cfg.checkpoint_dir, step)
+        else:
+            ckpt_lib.maybe_restore_data_state(stateful, self.cfg.checkpoint_dir, step)
 
     @staticmethod
     def _manage_loaders(loaders: Dict[int, Iterable], event: str):

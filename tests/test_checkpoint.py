@@ -69,3 +69,97 @@ def test_load_generator_payload(tiny_state, tmp_path):
     payload = ckpt_lib.load_generator(tmp_path)
     assert payload["step"] == 7
     _tree_equal(payload["params"], tiny_state.gen_params)
+
+
+def test_structure_mismatch_names_diverging_subtree(tmp_path):
+    """Restoring into a different architecture raises an actionable error
+    naming the diverging subtrees, not an opaque flax deserialization one."""
+    import pytest
+
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import init_state
+
+    tx = make_optimizer()
+    small = init_state(
+        ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2),
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1),
+        tx, tx, jax.random.key(0), (8, 8, 8),
+    )
+    big = init_state(
+        ResnetGenerator(n_resnet_blocks=2, n_updownsample_blocks=1, init_channels_out=4),
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1),
+        tx, tx, jax.random.key(0), (8, 8, 8),
+    )
+    path = ckpt_lib.save_checkpoint(small, tmp_path, step=7)
+    with pytest.raises(ckpt_lib.CheckpointStructureError) as exc:
+        ckpt_lib.load_checkpoint(path, target=big)
+    msg = str(exc.value)
+    assert "resnet_1" in msg  # the new block is named
+    assert "shape" in msg or "missing" in msg
+
+
+def test_data_state_sidecar_roundtrip(tmp_path, rng):
+    """save_data_state/maybe_restore_data_state reproduce the loader's batch
+    sequence bitwise across a save/restore boundary."""
+    from tests.synth import make_dataset
+
+    from contrast_gan_3d_tpu.data.pipeline import PrefetchLoader
+    from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+
+    def mk(seed):
+        s = CCTAPatchSampler(
+            paths, (8, 8, 8), 2, rng=np.random.default_rng(seed)
+        )
+        return PrefetchLoader(s, num_threads=1, prefetch=1, to_device=False)
+
+    a = mk(3)
+    for _ in range(3):
+        a.sampler.next_batch()  # advance the stream (quiescent: no threads)
+    ckpt_lib.save_data_state({0: a}, tmp_path / "ck", step=5)
+    expected = [a.sampler.next_batch() for _ in range(4)]
+
+    b = mk(999)  # totally different rng
+    assert ckpt_lib.maybe_restore_data_state({0: b}, tmp_path / "ck", step=5)
+    got = [b.sampler.next_batch() for _ in range(4)]
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e["data"], g["data"])
+        np.testing.assert_array_equal(e["seg"], g["seg"])
+        assert e["path"] == g["path"]
+    assert not ckpt_lib.maybe_restore_data_state({0: b}, tmp_path / "ck", step=6)
+
+
+def test_sampler_state_with_augmenter_roundtrip(tmp_path, rng):
+    """The augmenter rng is part of the stream state: identical augmented
+    batches after restore."""
+    from tests.synth import make_dataset
+
+    from contrast_gan_3d_tpu import native
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
+    from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+    if not native.has_native():
+        import pytest
+
+        pytest.skip("no native lib")
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+    aug = HostAugmenter(
+        AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0, elastic_grid=4),
+        np.random.default_rng(7),
+    )
+    s = CCTAPatchSampler(
+        paths, (8, 8, 8), 2, rng=np.random.default_rng(3), augmenter=aug
+    )
+    s.next_batch()
+    state = s.get_state()
+    want = s.next_batch()
+    s.set_state(state)
+    got = s.next_batch()
+    np.testing.assert_array_equal(want["data"], got["data"])
+    np.testing.assert_array_equal(want["seg"], got["seg"])
