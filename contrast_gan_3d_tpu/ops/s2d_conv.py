@@ -104,14 +104,21 @@ def d2s_tconv3d(
     bias: Optional[jax.Array] = None,
     stride: int = 2,
     precision=None,
+    convention: str = "torch",
 ) -> jax.Array:
-    """Exact flax ``ConvTranspose(k, strides=s, padding='SAME')`` as a
-    stride-1 conv producing s^3-packed channels + depth-to-space.
+    """Exact stride-s transpose conv as a stride-1 conv producing s^3-packed
+    channels + depth-to-space.
 
     The transpose conv's scattered writes become one dense conv with
     contraction k'^3*Ci and output s^3*Co channels — MXU-shaped (the
     generator's upsampling layers: 8x the output channels). x: (B, X, Y, Z,
     Ci); w: (k, k, k, Ci, Co); output (B, sX, sY, sZ, Co).
+
+    ``convention``: window placement of the size-preserving output.
+    - "torch": torch ``ConvTranspose(k, s, p=(k-1)//2, op=s-1)`` — what
+      ``blocks.ConvBlock`` uses (weight-port parity with the reference).
+      This is the flax-"same" output shifted one voxel: full[1 : sN+1].
+    - "same": flax ``ConvTranspose(padding='SAME')`` = full[0 : sN].
     """
     kx, ky, kz, ci, co = w.shape
     s = stride
@@ -124,7 +131,10 @@ def d2s_tconv3d(
     )
     K = A.shape[0]
     wp = wp.reshape(K, K, K, ci, s * s * s * co).astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (K - 1, 0), (K - 1, 0), (K - 1, 0), (0, 0)))
+    # one extra trailing block position under "torch" so the shifted window
+    # full[1 : sN+1] is available after depth-to-space
+    hi = 1 if convention == "torch" else 0
+    xp = jnp.pad(x, ((0, 0), (K - 1, hi), (K - 1, hi), (K - 1, hi), (0, 0)))
     out = jax.lax.conv_general_dilated(
         xp, wp, (1, 1, 1), "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -132,6 +142,11 @@ def d2s_tconv3d(
         preferred_element_type=x.dtype,
     )
     out = depth_to_space(out, s)
+    if convention == "torch":
+        n = x.shape[1:4]
+        out = out[:, 1 : s * n[0] + 1, 1 : s * n[1] + 1, 1 : s * n[2] + 1, :]
+    elif convention != "same":
+        raise ValueError(f"unknown convention {convention!r}")
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out

@@ -16,7 +16,9 @@ def test_d2s_tconv_matches_flax(rng, ci, co, N):
     ct = nn.ConvTranspose(co, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
     v = ct.init(jax.random.key(0), x)
     ref = np.asarray(ct.apply(v, x))
-    got = np.asarray(d2s_tconv3d(x, v["params"]["kernel"], v["params"]["bias"]))
+    got = np.asarray(
+        d2s_tconv3d(x, v["params"]["kernel"], v["params"]["bias"], convention="same")
+    )
     assert got.shape == (2, 2 * N, 2 * N, 2 * N, co)
     np.testing.assert_allclose(ref, got, atol=2e-4)
 
@@ -35,5 +37,35 @@ def test_generator_with_d2s_ups_matches_direct(rng):
     np.testing.assert_allclose(
         np.asarray(g_fast.apply(v, x, train=False)),
         np.asarray(g_ref.apply(v, x, train=False)),
+        atol=2e-5,
+    )
+
+
+def test_d2s_tconv_torch_convention(rng):
+    """Default convention matches the torch ConvTranspose(k,s,p,op) window
+    placement used by blocks.ConvBlock (= flax explicit pad (1,2)) — the
+    weight-port parity convention."""
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 6, 3)), jnp.float32)
+    ct = nn.ConvTranspose(5, (3, 3, 3), strides=(2, 2, 2), padding=((1, 2),) * 3)
+    v = ct.init(jax.random.key(0), x)
+    ref = np.asarray(ct.apply(v, x))
+    got = np.asarray(
+        d2s_tconv3d(x, v["params"]["kernel"], v["params"]["bias"], convention="torch")
+    )
+    np.testing.assert_allclose(ref, got, atol=2e-4)
+
+
+def test_convblock_d2s_equals_direct_transpose(rng):
+    """ConvBlock(transpose, s2d=...) -> D2STConv must equal the direct
+    ConvTranspose path parameter-for-parameter."""
+    from contrast_gan_3d_tpu.models.blocks import ConvBlock
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 4)), jnp.float32)
+    fast = ConvBlock(2, 3, stride=2, transpose=True, norm=None, activation=None, s2d=4)
+    direct = ConvBlock(2, 3, stride=2, transpose=True, norm=None, activation=None)
+    v = fast.init(jax.random.key(1), x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(v, x, train=False)),
+        np.asarray(direct.apply(v, x, train=False)),
         atol=2e-5,
     )
