@@ -36,8 +36,26 @@ def shard_batch(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def put_replicated(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
-    return jax.device_put(tree, replicate(mesh))
+    """Place a pytree fully replicated on the mesh.
+
+    Works on multi-process (multi-host) meshes too: ``device_put`` only
+    accepts fully-addressable shardings, so there each process contributes
+    its (identical) copy via ``make_array_from_process_local_data`` — for a
+    replicated spec the process-local data IS the global data. Host-local
+    *batch* shards go through ``multihost.make_global_batch`` instead."""
+    sharding = replicate(mesh)
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def _leaf(x):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            raw = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(raw, impl=jax.random.key_impl(x))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(_leaf, tree)
 
 
 def put_batch(tree, mesh: Mesh):

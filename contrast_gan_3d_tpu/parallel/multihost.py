@@ -9,9 +9,10 @@ analogue to manage (SURVEY.md §2.2). Data feeding is per-host: each process
 loads only the batch shard for its addressable devices
 (``host_local_batch_slice``).
 
-Untestable in this single-chip environment; kept deliberately thin so the
-driver's multi-chip dry run (virtual mesh) exercises the same downstream
-code paths.
+Tested for real in ``tests/test_multihost.py``: two OS processes (2 virtual
+CPU devices each, gloo collectives) run one data-parallel WGAN step through
+these helpers and match a single-device run — the same program shape as one
+process per TPU host with collectives riding DCN.
 """
 
 from typing import Optional

@@ -1,0 +1,86 @@
+"""REAL multi-process (multi-host) data-parallel training test.
+
+Two OS processes x 2 virtual CPU devices each join one ``jax.distributed``
+runtime (gloo collectives) — the same shape as one process per TPU host with
+collectives riding DCN — and run one data-parallel WGAN step through the
+production ``parallel/multihost.py`` helpers on host-local batch shards.
+Asserts both processes see 4 global devices, agree on every metric, and
+match a single-device run of the same global batch (SURVEY.md §2.2: the
+distributed-communication subsystem, exercised for real rather than only on
+a single-process virtual mesh)."""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from tests import synth  # noqa: F401  (repo-root import side effect)
+
+WORKER = Path(__file__).parent / "multihost_worker.py"
+PATCH = (16, 16, 16)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_step(tmp_path, rng):
+    batch = tmp_path / "batch.npz"
+    opt = rng.integers(-1024, 1500, (4, *PATCH)).astype(np.int16)
+    sub = rng.integers(-1024, 1500, (4, *PATCH)).astype(np.int16)
+    msk = (rng.random((4, *PATCH)) < 0.01).astype(np.int16)
+    np.savez(batch, opt=opt, sub=sub, msk=msk)
+
+    coordinator = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coordinator, "2", str(pid),
+             str(batch), str(tmp_path / f"out{pid}.json")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(WORKER.parent.parent),
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    results = [json.loads((tmp_path / f"out{i}.json").read_text()) for i in (0, 1)]
+    for r in results:
+        assert r.pop("global_devices") == 4
+    assert results[0].pop("process_index") == 0
+    assert results[1].pop("process_index") == 1
+    # every metric identical across processes (fully replicated outputs)
+    for k in results[0]:
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-5, err_msg=k)
+
+    # and equal to a single-device run of the same global batch
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import (
+        StepConfig, build_train_steps, init_state,
+    )
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    steps = build_train_steps(gen, critic, tx, tx, StepConfig(augment=None))
+    _, metrics = steps.combined_step(
+        state, jnp.asarray(opt), jnp.asarray(sub), jnp.asarray(msk)
+    )
+    for k, v in metrics.items():
+        np.testing.assert_allclose(
+            results[0][k], float(jax.device_get(v)), rtol=5e-4, atol=1e-5, err_msg=k
+        )
