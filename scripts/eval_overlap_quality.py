@@ -69,6 +69,9 @@ def synth_patient(rng, shape, vessel_hu, n_points=None):
 
 
 def timed(correct, vol, reps=3):
+    import jax.numpy as jnp
+
+    vol = jnp.asarray(vol)  # device-resident: time compute, not the tunnel H2D
     out = correct(vol)
     float(np.asarray(out[0, 0, 0]))  # force completion (axon: no block_until_ready)
     times = []
@@ -102,18 +105,12 @@ def main():
 
     tmp = Path(tempfile.mkdtemp(prefix="cgan3d_overlap_"))
     rng = np.random.default_rng(0)
-    fold = []
-    for label, hu in {0: 400, -1: 250, 1: 550}.items():
-        for i in range(3):
-            vol, mask, meta = synth_patient(rng, tuple(args.train_shape), hu)
-            path = write_patient(vol, mask, meta, f"s{label}_{i}", tmp / "data")
-            fold.append((str(path), label))
 
     cfg = replace(
         load_config("basic_3d"),
         train_iterations=args.iterations,
         validate_every=None,
-        checkpoint_every=args.iterations,
+        checkpoint_every=max(1, args.iterations),
         log_every=max(1, args.iterations // 8),
         log_images_every=None,
         lr=1e-3,  # WC converges fast (validate_learning.py)
@@ -123,18 +120,38 @@ def main():
     )
     built = build(cfg, checkpoint_dir=str(tmp / "ckpt"))
     host_rng, key = seed_everything(built.seed)
-    loaders = create_loaders(
-        fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
-        num_threads=2, augmenter=built.host_augmenter,
-    )
-    trainer = Trainer(
-        built.generator, built.critic, built.gen_tx, built.critic_tx,
-        built.step_config, built.trainer_config, key, cfg.train_patch_size,
-        logger_interface=built.logger_interface,
-    )
-    t0 = time.perf_counter()
-    trainer.fit(loaders)
-    train_s = time.perf_counter() - t0
+    train_s = 0.0
+    if args.iterations > 0:
+        fold = []
+        for label, hu in {0: 400, -1: 250, 1: 550}.items():
+            for i in range(3):
+                vol, mask, meta = synth_patient(rng, tuple(args.train_shape), hu)
+                path = write_patient(vol, mask, meta, f"s{label}_{i}", tmp / "data")
+                fold.append((str(path), label))
+        loaders = create_loaders(
+            fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
+            num_threads=2, augmenter=built.host_augmenter,
+        )
+        trainer = Trainer(
+            built.generator, built.critic, built.gen_tx, built.critic_tx,
+            built.step_config, built.trainer_config, key, cfg.train_patch_size,
+            logger_interface=built.logger_interface,
+        )
+        t0 = time.perf_counter()
+        trainer.fit(loaders)
+        train_s = time.perf_counter() - t0
+    else:
+        # --iterations 0: random-init generator. Its tanh attenuation field
+        # has std ~0.86 (~ +-500 HU) — far rougher than any trained model's,
+        # so overlap-invariance measured here upper-bounds the trained case.
+        from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+        from contrast_gan_3d_tpu.trainer.steps import init_state
+
+        state = init_state(
+            built.generator, built.critic, built.gen_tx, built.critic_tx,
+            key, tuple(cfg.train_patch_size),
+        )
+        ckpt_lib.save_checkpoint(state, tmp / "ckpt", step=0)
 
     vol, mask, _ = synth_patient(rng, tuple(args.eval_shape), 250)
     m = mask.astype(bool)
