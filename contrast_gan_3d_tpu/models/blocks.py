@@ -69,6 +69,7 @@ class D2STConv(nn.Module):
     kernel_size: Tuple[int, int, int]
     stride: int = 2
     use_bias: bool = True
+    convention: str = "torch"  # window placement (see ops/s2d_conv)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,7 +86,8 @@ class D2STConv(nn.Module):
             else None
         )
         return d2s_tconv3d(
-            x.astype(self.dtype), kernel.astype(self.dtype), bias, stride=self.stride
+            x.astype(self.dtype), kernel.astype(self.dtype), bias,
+            stride=self.stride, convention=self.convention,
         )
 
 
@@ -104,6 +106,9 @@ class ConvBlock(nn.Module):
     negative_slope: float = 0.2
     dropout_prob: float = 0.0
     s2d: Optional[int] = None  # space-to-depth block factor (MXU-efficient path)
+    # transpose-conv window placement: "same" (fast XLA lowering) or
+    # "torch" (reference-checkpoint parity); see the transpose branch
+    tconv_placement: str = "same"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,19 +140,27 @@ class ConvBlock(nn.Module):
         elif use_d2s:
             x = D2STConv(
                 self.features, ksize, stride=self.stride, use_bias=use_bias,
-                dtype=self.dtype, name="ConvTranspose_0",
+                convention=self.tconv_placement, dtype=self.dtype,
+                name="ConvTranspose_0",
             )(x)
         elif self.transpose:
-            # exact stride-x upsampling with the torch ConvTranspose
-            # (k, s, p=(k-1)//2, output_padding=s-1) window placement:
-            # lax pads (k-1-p, k-1-p+op). flax's "SAME" puts the extra
-            # padding on the LOW side instead — one-voxel shift — which
-            # would break weight-port parity with reference checkpoints
-            # (torch ConvTranspose weights are spatially flipped into this
-            # kernel by utils/torch_port.py).
-            p_eff = (self.kernel_size - 1) // 2
-            lo = self.kernel_size - 1 - p_eff
-            pad = tuple((lo, lo + self.stride - 1) for _ in range(self.ndim))
+            # exact stride-x upsampling. Two window placements, both valid
+            # size-preserving transpose convs differing by a one-voxel
+            # shift:
+            # - "same": flax ConvTranspose(padding='SAME') — the fast XLA
+            #   lowering (default; ~7% faster full train step).
+            # - "torch": torch ConvTranspose(k, s, p=(k-1)//2, op=s-1) via
+            #   explicit (k-1-p, k-1-p+op) lax padding — REQUIRED when
+            #   importing reference checkpoints (utils/torch_port.py flips
+            #   torch weights into this kernel).
+            if self.tconv_placement == "torch":
+                p_eff = (self.kernel_size - 1) // 2
+                lo = self.kernel_size - 1 - p_eff
+                pad = tuple((lo, lo + self.stride - 1) for _ in range(self.ndim))
+            elif self.tconv_placement == "same":
+                pad = "SAME"
+            else:
+                raise ValueError(f"unknown tconv_placement {self.tconv_placement!r}")
             x = nn.ConvTranspose(
                 self.features, ksize, strides=strides, padding=pad,
                 use_bias=use_bias, dtype=self.dtype,

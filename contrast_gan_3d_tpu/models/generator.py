@@ -35,6 +35,10 @@ class ResnetGenerator(nn.Module):
     # 128^3 batch 12 otherwise overflows a 16 GB chip (activations of the
     # full-resolution stages dominate); ~zero cost for inference-only graphs
     remat: bool = False
+    # transpose-conv window placement: "same" (fast; default for training
+    # from scratch) or "torch" (REQUIRED when loading reference checkpoints
+    # via utils/torch_port — torch's one-voxel-shifted window)
+    tconv_placement: str = "same"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +76,8 @@ class ResnetGenerator(nn.Module):
         for i in range(self.n_updownsample_blocks, 0, -1):
             x = CB(
                 c0 * 2 ** (i - 1), 3, ndim=self.ndim, stride=2, transpose=True,
-                norm=self.norm, activation="relu", dtype=self.dtype,
+                norm=self.norm, activation="relu",
+                tconv_placement=self.tconv_placement, dtype=self.dtype,
                 name=f"up_{i - 1}",
             )(x, train)
 

@@ -9,8 +9,11 @@ maps those state_dicts onto our channels-last flax modules exactly:
 - ``ConvTranspose{2,3}d.weight`` (I, O, *k) -> ``ConvTranspose_0/kernel``
   (*k_flipped, I, O): torch transpose-conv is the *gradient* of a conv, i.e.
   a fractionally-strided correlation with the spatially FLIPPED kernel —
-  verified numerically in ``tests/test_reference_parity.py`` together with
-  the (k-1-p, k-1-p+op) padding placement baked into ``blocks.ConvBlock``.
+  verified numerically in ``tests/test_reference_parity.py``. IMPORTANT:
+  construct the receiving model with ``tconv_placement="torch"``
+  (``ResnetGenerator(tconv_placement="torch")``) — torch's transpose-conv
+  window sits one voxel off flax's fast "SAME" placement (the from-scratch
+  training default).
 - ``BatchNorm.{weight,bias}`` -> ``BatchNorm_0/{scale,bias}`` params;
   ``running_{mean,var}`` -> batch_stats ``BatchNorm_0/{mean,var}``.
 
