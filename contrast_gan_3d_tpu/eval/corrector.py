@@ -94,6 +94,48 @@ class CCTAContrastCorrector:
         )
         return cls(generator, payload["params"], payload.get("stats"), **kwargs)
 
+    @classmethod
+    def from_reference_checkpoint(
+        cls,
+        pt_path,
+        n_resnet_blocks: int = 4,
+        n_updownsample_blocks: int = 2,
+        init_channels_out: int = 16,
+        ndim: int = 3,
+        dtype=jnp.float32,
+        **kwargs,
+    ) -> "CCTAContrastCorrector":
+        """Build directly from a REFERENCE ``<iteration>.pt`` torch
+        checkpoint (reference trainer/Trainer.py:321-327 format): users of
+        the reference can correct volumes with their existing checkpoints.
+        The generator is constructed with ``tconv_placement='torch'`` so the
+        ported weights reproduce the torch model exactly (utils/torch_port)."""
+        from contrast_gan_3d_tpu.utils.torch_port import load_reference_checkpoint
+
+        payload = load_reference_checkpoint(
+            pt_path, n_resnet_blocks, n_updownsample_blocks
+        )
+        generator = ResnetGenerator(
+            n_resnet_blocks=n_resnet_blocks,
+            n_updownsample_blocks=n_updownsample_blocks,
+            init_channels_out=init_channels_out,
+            ndim=ndim,
+            tconv_placement="torch",
+            dtype=dtype,
+        )
+        variables = payload["generator"]
+        logger.info(
+            "Ported reference checkpoint '%s' @ iteration %d",
+            pt_path, payload["iteration"],
+        )
+        return cls(
+            generator,
+            variables["params"],
+            variables.get("batch_stats"),
+            dtype=dtype,
+            **kwargs,
+        )
+
     # ------------------------------------------------------------------
     def _correct_2d(self, volume: jax.Array) -> jax.Array:
         """Axial-slice batched 2D correction: (W, H, D) -> (W, H, D)."""

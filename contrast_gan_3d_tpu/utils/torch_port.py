@@ -119,6 +119,40 @@ def generator_variables_from_torch(
     return out
 
 
+def load_reference_checkpoint(
+    path,
+    n_resnet_blocks: int = 4,
+    n_updownsample_blocks: int = 2,
+    discriminator_depth: int = 3,
+) -> Dict:
+    """Load a reference ``<iteration>.pt`` checkpoint file (the torch.save
+    dict written by reference ``trainer/Trainer.py:321-327``) into flax
+    variables. Requires torch (only for deserialization).
+
+    Returns ``{"iteration", "generator": variables,
+    "critic": variables | None}`` — ``critic`` is None for genuine reference
+    checkpoints (its save list names ``discriminator`` but the attribute is
+    ``critic``, so reference runs silently never saved it).
+
+    Use the resulting variables with models constructed with
+    ``tconv_placement="torch"``.
+    """
+    import torch  # gated: only needed when actually importing .pt files
+
+    ckpt = torch.load(path, map_location="cpu")
+    out = {
+        "iteration": int(ckpt.get("iteration", 0)),
+        "generator": generator_variables_from_torch(
+            ckpt["generator"], n_resnet_blocks, n_updownsample_blocks
+        ),
+        "critic": None,
+    }
+    critic_sd = ckpt.get("discriminator") or ckpt.get("critic")
+    if critic_sd is not None:
+        out["critic"] = critic_variables_from_torch(critic_sd, discriminator_depth)
+    return out
+
+
 def critic_variables_from_torch(
     state_dict: Mapping, discriminator_depth: int = 3
 ) -> Dict:
