@@ -5,9 +5,10 @@ replicas (``eval/utils.py:27-39``). The TPU-native analogue shards the PATCH
 GRID of one volume across the mesh: every chip holds the (replicated) volume
 in HBM and the generator params, processes its share of the Gaussian-blended
 patch grid with the same scan/gather/scatter program as the single-chip path,
-then the partial attenuation/weight accumulators are ``psum``'d over ICI and
-normalized once. Near-linear scaling in chips for the generator FLOPs (the
-accumulator all-reduce is a fixed ~2 volume-sized transfers).
+then the partial attenuation accumulators ``psum_scatter`` into per-chip
+z-slabs over ICI and the normalization/subtraction run sharded. Near-linear
+scaling in chips for the generator FLOPs; the collective moves ~1 volume of
+bytes (half an all-reduce).
 """
 
 import math
@@ -56,12 +57,21 @@ def make_sharded_volume_corrector(
             )
             for i in range(3)
         ]
+        # the patch grid plans on the patch-size-padded shape (identical to
+        # the single-chip corrector); z additionally pads to a device
+        # multiple ONLY for the slab reduce-scatter — those tail rows are
+        # touched by no patch and are cropped away
+        grid_shape = tuple(
+            shape[i] + pad_cfg[i][0] + pad_cfg[i][1] for i in range(3)
+        )
+        z_extra = (-grid_shape[2]) % n_dev
+        pad_cfg[2] = (pad_cfg[2][0], pad_cfg[2][1] + z_extra)
         vol = scaler(volume.astype(jnp.float32))
         if any(p != (0, 0) for p in pad_cfg):
             vol = jnp.pad(vol, pad_cfg, mode="edge")
         padded_shape = tuple(vol.shape)
 
-        grid = _plan_grid(padded_shape, patch_size, stride)
+        grid = _plan_grid(grid_shape, patch_size, stride)
         n = grid.shape[0]
         # pad so batches split evenly over devices
         n_batches = math.ceil(n / batch_size)
@@ -75,7 +85,10 @@ def make_sharded_volume_corrector(
         gw = jnp.asarray(gw_np)
 
         def local(vol, starts_b, valid_b):
-            """Per-chip scan over its share of patch batches; psum partials."""
+            """Per-chip scan over its share of patch batches; the partial
+            accumulators reduce-scatter into per-chip z-slabs (half the ICI
+            bytes of an all-reduce, and the downstream normalization /
+            subtraction run sharded)."""
             # accumulator is device-varying (each chip sums its own share)
             atten_acc = jax.lax.pcast(
                 jnp.zeros(padded_shape, jnp.float32), (axis,), to="varying"
@@ -104,15 +117,18 @@ def make_sharded_volume_corrector(
                 return jax.lax.fori_loop(0, batch_size, scatter, a_acc), None
 
             atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
-            return jax.lax.psum(atten_acc, axis)
+            return jax.lax.psum_scatter(
+                atten_acc, axis, scatter_dimension=2, tiled=True
+            )
 
         atten_acc = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis)),
-            out_specs=P(),
+            out_specs=P(None, None, axis),
         )(vol, starts_b, valid_b)
 
+        # sharded elementwise tail: GSPMD keeps it z-slab-parallel
         corrected = vol - atten_acc / weight_sum
         corrected = jax.lax.dynamic_slice(
             corrected, tuple(p[0] for p in pad_cfg), shape
@@ -121,9 +137,16 @@ def make_sharded_volume_corrector(
 
     def correct(volume: jax.Array) -> jax.Array:
         shape = tuple(volume.shape)
-        padded_shape = tuple(max(s_, p) for s_, p in zip(shape, patch_size))
-        # computed eagerly (outside the trace), cached per shape
-        weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)
+        padded = [max(s_, p) for s_, p in zip(shape, patch_size)]
+        # weights over the patch grid; constant 1s in the z slab-padding
+        # tail (untouched rows - avoids 0/0 in the normalization)
+        weight_sum = _weight_field(tuple(padded), patch_size, stride, sigma_scale)
+        z_extra = (-padded[2]) % n_dev
+        if z_extra:
+            weight_sum = np.pad(
+                np.asarray(weight_sum), ((0, 0), (0, 0), (0, z_extra)),
+                constant_values=1.0,
+            )
         return _correct(volume, shape, weight_sum)
 
     return correct
