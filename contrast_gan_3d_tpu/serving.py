@@ -1,0 +1,178 @@
+"""Production serving for full-volume contrast correction.
+
+The reference has no serving story (its closest analogue is the offline
+``mp.Pool`` patient fan-out, reference ``eval/utils.py:27-39``). This module
+keeps a warm :class:`eval.corrector.CCTAContrastCorrector` (compiled XLA
+programs + device-resident weights) behind a small stdlib HTTP daemon:
+
+- ``POST /correct``  body = a ``.npy`` serialization of an int16/float
+  (W, H, D) HU volume -> response body = ``.npy`` float32 corrected volume.
+  Optional header ``X-Response-Dtype: int16`` casts the reply (halves the
+  bytes; HU are integral anyway).
+- ``GET /healthz``   liveness + device/platform info, JSON.
+- ``GET /stats``     request counters and latency aggregates, JSON.
+
+Device access is serialized through a lock (one volume saturates the chip;
+concurrent requests queue — ``ThreadingHTTPServer`` keeps I/O and
+(de)serialization of other requests overlapped with device compute). No
+external web framework: the payload protocol is one ``np.save`` blob each
+way, so a client is three lines of numpy + urllib.
+"""
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+class CorrectionService:
+    """Wraps a corrector with warmup, device serialization and stats."""
+
+    def __init__(self, corrector, warmup_shape: Optional[Tuple[int, ...]] = None):
+        self.corrector = corrector
+        self._device_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._n = 0
+        self._total_s = 0.0
+        self._max_s = 0.0
+        if warmup_shape is not None:
+            self.warmup(warmup_shape)
+
+    def warmup(self, shape: Tuple[int, ...]):
+        """Pre-compile the sliding-window program for ``shape`` so the first
+        request doesn't pay the XLA compile."""
+        t0 = time.perf_counter()
+        dummy = np.zeros(shape, np.int16)
+        np.asarray(self.correct(dummy))
+        logger.info("Warmed up %s in %.1f s", shape, time.perf_counter() - t0)
+
+    def correct(self, volume: np.ndarray) -> np.ndarray:
+        t0 = time.perf_counter()
+        with self._device_lock:
+            out = np.asarray(self.corrector(volume))
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self._n += 1
+            self._total_s += dt
+            self._max_s = max(self._max_s, dt)
+        return out
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            n = self._n
+            return {
+                "requests": n,
+                "mean_latency_s": round(self._total_s / n, 4) if n else None,
+                "max_latency_s": round(self._max_s, 4) if n else None,
+            }
+
+
+def _make_handler(service: CorrectionService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to our logger
+            logger.debug("%s " + fmt, self.client_address[0], *args)
+
+        def _json(self, code: int, payload: dict):
+            blob = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                dev = jax.devices()[0]
+                self._json(200, {
+                    "status": "ok",
+                    "platform": dev.platform,
+                    "device": str(dev),
+                })
+            elif self.path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/correct":
+                return self._json(404, {"error": f"unknown path {self.path}"})
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                volume = np.load(io.BytesIO(self.rfile.read(length)))
+                corrected = service.correct(volume)
+                if self.headers.get("X-Response-Dtype") == "int16":
+                    corrected = np.clip(np.round(corrected), -32768, 32767).astype(
+                        np.int16
+                    )
+                buf = io.BytesIO()
+                np.save(buf, corrected)
+                blob = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+            except Exception as e:  # malformed payloads must not kill the server
+                logger.exception("correct failed")
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+class CorrectionServer:
+    """Threaded HTTP server around a :class:`CorrectionService`."""
+
+    def __init__(self, corrector, host: str = "127.0.0.1", port: int = 0,
+                 warmup_shape: Optional[Tuple[int, ...]] = None):
+        self.service = CorrectionService(corrector, warmup_shape)
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def start(self, background: bool = True):
+        if background:
+            self._thread = threading.Thread(
+                target=self.httpd.serve_forever, name="correction-server", daemon=True
+            )
+            self._thread.start()
+            logger.info("Serving on http://%s:%d", *self.address)
+        else:
+            logger.info("Serving on http://%s:%d", *self.address)
+            self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+
+def correct_remote(url: str, volume: np.ndarray, int16: bool = False) -> np.ndarray:
+    """Minimal client: POST a volume to a running server."""
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.save(buf, volume)
+    req = urllib.request.Request(
+        url.rstrip("/") + "/correct",
+        data=buf.getvalue(),
+        headers={"X-Response-Dtype": "int16"} if int16 else {},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return np.load(io.BytesIO(resp.read()))

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Serve full-volume contrast correction over HTTP.
+
+Loads a trained generator (native msgpack checkpoint dir/file, or a
+reference torch ``.pt`` via ``--reference-pt``), optionally pre-compiles the
+sliding-window program for the expected volume shape, and serves:
+``POST /correct`` (npy in -> npy out), ``GET /healthz``, ``GET /stats``.
+Client: ``contrast_gan_3d_tpu.serving.correct_remote(url, volume)``.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", help="checkpoint dir/.msgpack, or .pt with --reference-pt")
+    p.add_argument("--reference-pt", action="store_true",
+                   help="checkpoint is a reference torch .pt file")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8390)
+    p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
+    p.add_argument("--overlap", type=float, default=0.25)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
+                   help="pre-compile for this volume shape (e.g. 512 512 400)")
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.serving import CorrectionServer
+
+    kwargs = dict(
+        inference_patch_size=tuple(args.patch), overlap=args.overlap,
+        batch_size=args.batch, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    if args.reference_pt:
+        corrector = CCTAContrastCorrector.from_reference_checkpoint(
+            args.checkpoint, **kwargs
+        )
+    else:
+        corrector = CCTAContrastCorrector.from_checkpoint(args.checkpoint, **kwargs)
+
+    server = CorrectionServer(
+        corrector, host=args.host, port=args.port,
+        warmup_shape=tuple(args.warmup_shape) if args.warmup_shape else None,
+    )
+    server.start(background=False)
+
+
+if __name__ == "__main__":
+    main()

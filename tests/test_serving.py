@@ -1,0 +1,98 @@
+"""Serving subsystem: HTTP round-trip, health/stats, error handling,
+concurrent requests (device access serialized, results correct)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+from contrast_gan_3d_tpu.serving import CorrectionServer, correct_remote
+
+PATCH = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def server():
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    srv = CorrectionServer(corrector, warmup_shape=(20, 20, 18))
+    srv.start()
+    yield srv, corrector
+    srv.stop()
+
+
+def _url(srv):
+    host, port = srv.address
+    return f"http://{host}:{port}"
+
+
+def test_healthz_and_roundtrip(server, rng):
+    srv, corrector = server
+    with urllib.request.urlopen(_url(srv) + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and "platform" in health
+
+    vol = rng.integers(-1000, 1400, (20, 20, 18)).astype(np.int16)
+    got = correct_remote(_url(srv), vol)
+    want = np.asarray(corrector(vol))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    got16 = correct_remote(_url(srv), vol, int16=True)
+    assert got16.dtype == np.int16
+    np.testing.assert_allclose(got16, np.round(want), atol=1)
+
+    with urllib.request.urlopen(_url(srv) + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 2 and stats["mean_latency_s"] > 0
+
+
+def test_bad_payload_is_400_and_server_survives(server, rng):
+    srv, corrector = server
+    req = urllib.request.Request(
+        _url(srv) + "/correct", data=b"not-an-npy", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+    # still serving afterwards
+    vol = rng.integers(-100, 100, (20, 20, 18)).astype(np.int16)
+    got = correct_remote(_url(srv), vol)
+    assert got.shape == vol.shape
+
+
+def test_concurrent_requests(server, rng):
+    srv, corrector = server
+    vols = [rng.integers(-500, 500, (20, 20, 18)).astype(np.int16) for _ in range(4)]
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = correct_remote(_url(srv), vols[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for v, r in zip(vols, results):
+        np.testing.assert_allclose(r, np.asarray(corrector(v)), atol=1e-4)
+
+
+def test_unknown_path_404(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(_url(srv) + "/nope")
+    assert exc.value.code == 404
