@@ -58,14 +58,26 @@ def bench_train():
         StepConfig, build_train_steps, init_state,
     )
 
-    patch = (128, 128, 128)
     use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    n_opt = int(os.environ.get("BENCH_OPT", "6"))
-    n_sub = int(os.environ.get("BENCH_SUB", "6"))
     remat = os.environ.get("BENCH_REMAT") == "1"
-    gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat)
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
+    is_2d = os.environ.get("BENCH_2D") == "1"
+    if is_2d:
+        # conf_2D family (reference conf_2D.py): 128^2 patches, batch
+        # 256 OPT + 128 LOW + 128 HIGH, 6 resnet blocks
+        patch = (128, 128)
+        n_opt = int(os.environ.get("BENCH_OPT", "256"))
+        n_sub = int(os.environ.get("BENCH_SUB", "256"))
+        gen = ResnetGenerator(
+            n_resnet_blocks=6, ndim=2, dtype=jnp.bfloat16, remat=remat
+        )
+        critic = PatchGANDiscriminator(ndim=2, dtype=jnp.bfloat16, remat=remat)
+    else:
+        patch = (128, 128, 128)
+        n_opt = int(os.environ.get("BENCH_OPT", "6"))
+        n_sub = int(os.environ.get("BENCH_SUB", "6"))
+        gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat)
+        critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
     tx = make_optimizer()
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     cfg = StepConfig(
@@ -104,10 +116,11 @@ def bench_train():
         run_one()
         times.append(time.perf_counter() - t0)
     sec = min(times)
+    tag = "128sq" if is_2d else "128c"
     print(json.dumps({
-        "metric": f"train_patches_per_sec_128c_{'gp' if use_gp else 'wc'}",
+        "metric": f"train_patches_per_sec_{tag}_{'gp' if use_gp else 'wc'}",
         "value": round((n_opt + n_sub) / sec, 2),
-        "unit": "patches/s/chip",
+        "unit": ("slices" if is_2d else "patches") + "/s/chip",
         "vs_baseline": None,
     }), flush=True)
 
