@@ -29,17 +29,25 @@ def main():
     p.add_argument("--patch-size", type=int, nargs=3, default=(128, 128, 128))
     p.add_argument("--overlap", type=float, default=0.5)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--reference-pt", action="store_true",
+                   help="checkpoint is a reference torch .pt file")
     p.add_argument("--sharded", action="store_true",
                    help="shard each volume's patch grid over all local devices")
     args = p.parse_args()
 
-    corrector = CCTAContrastCorrector.from_checkpoint(
-        args.checkpoint_dir,
-        iteration=args.iteration,
+    kwargs = dict(
         inference_patch_size=tuple(args.patch_size),
         overlap=args.overlap,
         batch_size=args.batch_size,
     )
+    if args.reference_pt:
+        corrector = CCTAContrastCorrector.from_reference_checkpoint(
+            args.checkpoint_dir, **kwargs
+        )
+    else:
+        corrector = CCTAContrastCorrector.from_checkpoint(
+            args.checkpoint_dir, iteration=args.iteration, **kwargs
+        )
     if args.sharded:
         from contrast_gan_3d_tpu.parallel import data_mesh, make_sharded_volume_corrector
 
