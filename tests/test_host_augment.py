@@ -101,3 +101,25 @@ def test_host_augmenter_probabilities(rng):
     )
     s3, _ = always(scan, seg)
     assert not np.array_equal(s3, scan)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (32, 32, 32)])
+def test_combined_transforms_match_device(rng, shape):
+    """Rotation + scale + elastic COMPOSED (the realistic augmentation case)
+    must match the device path across shapes."""
+    scan = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = (rng.random(shape) < 0.05).astype(np.int16)
+    affine = (rotation_matrix_np(np.array([0.3, -0.2, 0.5])) * 1.2).astype(np.float32)
+    coarse = rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
+    amp = np.array([2.0, 1.0, 3.0], np.float32)
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, affine, coarse, amp)
+
+    grid = identity_grid(shape)
+    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
+    rel = (grid - center) @ jnp.asarray(affine).T + center
+    field = jax.image.resize(jnp.asarray(coarse), (*shape, 3), method="linear")
+    coords = rel + field * jnp.asarray(amp)
+    ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))
+    ref_seg = np.asarray(nearest_sample(jnp.asarray(seg, jnp.float32), coords))
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
