@@ -12,12 +12,73 @@ Default config (4 resnet blocks, 2 up/down, 16 stem channels, 3D) has exactly
 1,035,297 parameters, matching the reference (BASELINE.md).
 """
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from contrast_gan_3d_tpu.models.blocks import ConvBlock, ResNetBlock
+
+
+class _Params(nn.Module):
+    """Raw conv parameters under a named scope — lets the packed layout own
+    the SAME parameter tree as the direct nn.Conv/nn.ConvTranspose path."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        b = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.shape[-1],), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _PackedStage(nn.Module):
+    """conv (executed by the caller-provided block-space ``conv_fn``) ->
+    BatchNorm (on a (f^3, C) channel view of the packed tensor) ->
+    activation. Parameter paths match the direct ``ConvBlock`` exactly:
+    ``<name>/<conv_name>/kernel`` and ``<name>/BatchNorm_0/{scale,bias}``."""
+
+    features: int
+    kernel_size: int
+    in_ch: int
+    conv_name: str = "Conv_0"
+    norm: bool = True
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, conv_fn, f_view: int, train: bool, activation: str = "relu"):
+        ks = self.kernel_size
+        k, b = _Params(
+            (ks, ks, ks, self.in_ch, self.features),
+            use_bias=self.use_bias,
+            name=self.conv_name,
+        )()
+        y = conv_fn(xp, k, b)
+        if self.norm:
+            from contrast_gan_3d_tpu.models.norm import BatchNorm
+
+            v = y.reshape(*y.shape[:-1], f_view, self.features)
+            v = BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="BatchNorm_0",
+            )(v)
+            y = v.reshape(*y.shape[:-1], f_view * self.features)
+        if activation == "relu":
+            y = nn.relu(y)
+        elif activation == "tanh":
+            y = nn.tanh(y)
+        return y
 
 
 class ResnetGenerator(nn.Module):
@@ -39,11 +100,26 @@ class ResnetGenerator(nn.Module):
     # from scratch) or "torch" (REQUIRED when loading reference checkpoints
     # via utils/torch_port — torch's one-voxel-shifted window)
     tconv_placement: str = "same"
+    # execution layout: "direct" (reference-shaped stages) or "packed"
+    # (ops/packed: full-resolution stages run in space-to-depth block space
+    # across stage boundaries — identical math and parameter tree; measured
+    # 166.4 -> 145.6 ms per batch-8 128^3 bf16 forward on the bench chip
+    # (~1.14x, see PERF.md); 3D + norm="batch" only, spatial dims must
+    # divide max(4, 2^n_updownsample_blocks))
+    layout: str = "direct"
+    # with layout="packed": return the f=4-packed (B, W/4, H/4, D/4, 64)
+    # attenuation instead of unpacking — lets the sliding-window corrector
+    # blend and scatter in packed space
+    packed_output: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.n_resnet_blocks > 0
+        if self.layout == "packed":
+            return self._packed_call(x, train)
+        if self.layout != "direct":
+            raise ValueError(f"unknown layout {self.layout!r}")
         c0 = self.init_channels_out
         CB = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
         RB = nn.remat(ResNetBlock, static_argnums=(2,)) if self.remat else ResNetBlock
@@ -88,3 +164,101 @@ class ResnetGenerator(nn.Module):
             dtype=self.dtype, name="last_conv",
         )(x, train)
         return x
+
+    def _packed_call(self, x, train: bool):
+        """Block-space execution (see ``ops/packed`` module docs): the
+        full-resolution stem/downsample/upsample/projection stages keep
+        activations space-to-depth packed across stage boundaries; the
+        bottleneck (backbone + inner upsamples) reuses the direct modules.
+        Parameter tree and numerics are identical to the direct layout
+        (tests/test_packed.py locks forward, train-mode stats and grads)."""
+        from contrast_gan_3d_tpu.ops.packed import (
+            packed_conv3d, packed_tconv3d, reflect_pad_packed,
+        )
+        from contrast_gan_3d_tpu.ops.s2d_conv import (
+            depth_to_space, space_to_depth,
+        )
+
+        if self.ndim != 3:
+            raise ValueError("layout='packed' is 3D-only")
+        if self.norm != "batch":
+            raise ValueError("layout='packed' supports norm='batch' only")
+        c0 = self.init_channels_out
+        n = self.n_updownsample_blocks
+        dims = x.shape[1:4]
+        if any(d % max(4, 2**n) != 0 for d in dims):
+            raise ValueError(f"spatial dims {dims} must divide {max(4, 2**n)}")
+        dt = self.dtype
+
+        xp = space_to_depth(x.astype(dt), 2)
+
+        # stem: reflect-padded 7^3, f2 -> f2
+        xp, o = reflect_pad_packed(xp, 2, 3)
+        sb = tuple(d // 2 for d in dims)
+        xp = _PackedStage(c0, 7, x.shape[-1], dtype=dt, name="first")(
+            xp,
+            lambda v, k, b: packed_conv3d(
+                v, k, b, f_in=2, f_out=2, stride=1, o=(o, o, o), out_blocks=sb
+            ),
+            8, train,
+        )
+
+        # downsamples: f2 -> f2, the last one unpacks (f_out=1) into the
+        # bottleneck
+        cur = c0
+        for i in range(n):
+            feats = c0 * 2 ** (i + 1)
+            f_out = 1 if i == n - 1 else 2
+            ob = tuple(d // 2 ** (i + 1) // f_out for d in dims)
+            xp = _PackedStage(feats, 3, cur, dtype=dt, name=f"down_{i}")(
+                xp,
+                lambda v, k, b, ob=ob, fo=f_out: packed_conv3d(
+                    v, k, b, f_in=2, f_out=fo, stride=2, pad=1, out_blocks=ob
+                ),
+                f_out**3, train,
+            )
+            cur = feats
+
+        # bottleneck: direct modules (these shapes are already MXU-native)
+        for i in range(self.n_resnet_blocks):
+            xp = ResNetBlock(
+                cur, ndim=3, dropout_prob=self.resnet_dropout_prob,
+                padding_mode=self.resnet_padding_mode, norm=self.norm,
+                dtype=dt, name=f"resnet_{i}",
+            )(xp, train=train)
+
+        for i in range(n, 1, -1):
+            xp = ConvBlock(
+                c0 * 2 ** (i - 1), 3, ndim=3, stride=2, transpose=True,
+                norm=self.norm, activation="relu",
+                tconv_placement=self.tconv_placement, dtype=dt,
+                name=f"up_{i - 1}",
+            )(xp, train)
+
+        # final upsample: dense transpose conv keeping the s=2-packed output
+        # (which IS the f2 space-to-depth layout of the full-res tensor)
+        xp = _PackedStage(
+            c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
+        )(
+            xp,
+            lambda v, k, b: packed_tconv3d(
+                v, k, b, stride=2, convention=self.tconv_placement
+            ),
+            8, train,
+        )
+
+        # projection: reflect-padded 7^3 to 1 channel, f2 -> f4, tanh
+        xp, o2 = reflect_pad_packed(xp, 2, 3)
+        ob = tuple(d // 4 for d in dims)
+        yp = _PackedStage(
+            1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
+        )(
+            xp,
+            lambda v, k, b: packed_conv3d(
+                v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
+            ),
+            64, train, activation="tanh",
+        )
+        if self.packed_output:
+            return yp
+        return depth_to_space(yp, 4)

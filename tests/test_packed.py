@@ -1,0 +1,223 @@
+"""Exactness of the block-space ("packed") conv pipeline (ops/packed.py)
+against the direct lax convolutions, and of the packed generator layout
+against the standard one. All on CPU f32 — pure layout transformations must
+match to fp associativity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.ops.packed import (
+    packed_conv3d,
+    packed_tconv3d,
+    reflect_pad_packed,
+    transform_kernel_packed,
+)
+from contrast_gan_3d_tpu.ops.s2d_conv import (
+    d2s_tconv3d,
+    depth_to_space,
+    space_to_depth,
+)
+
+
+def _direct_conv(x, w, stride, pad, mode="constant"):
+    """Reference: torch-style conv with padding p per side."""
+    if pad:
+        x = jnp.pad(
+            x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
+            mode=("reflect" if mode == "reflect" else "constant"),
+        )
+    return jax.lax.conv_general_dilated(
+        x, w, (stride,) * 3, "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+@pytest.mark.parametrize(
+    "k,stride,pad,f_in,f_out,ci,co,dim",
+    [
+        (3, 1, 1, 2, 2, 4, 8, 8),     # stem-like stride-1
+        (7, 1, 3, 2, 2, 1, 16, 16),   # actual stem shape (small dims)
+        (3, 2, 1, 2, 2, 4, 8, 16),    # down conv, packed out
+        (3, 2, 1, 2, 1, 4, 8, 16),    # down conv, unpacked out
+        (7, 1, 3, 2, 4, 16, 1, 16),   # projection: f2 in, f4 out
+        (3, 1, 1, 4, 4, 2, 3, 8),     # f4 pipeline
+        (3, 2, 1, 4, 2, 2, 3, 16),    # f4 in, f2 out, stride 2
+    ],
+)
+def test_packed_conv_zero_pad(k, stride, pad, f_in, f_out, ci, co, dim):
+    rng = np.random.default_rng(hash((k, stride, f_in, f_out, dim)) % 2**32)
+    x = jnp.asarray(rng.standard_normal((2, dim, dim, dim, ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, ci, co)), jnp.float32)
+
+    ref = _direct_conv(x, w, stride, pad)
+    out_dim = dim // stride
+    xp = space_to_depth(x, f_in)
+    got_p = packed_conv3d(
+        xp, w, f_in=f_in, f_out=f_out, stride=stride, pad=pad,
+        out_blocks=(out_dim // f_out,) * 3,
+    )
+    got = depth_to_space(got_p, f_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_conv_bias():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 2, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    ref = _direct_conv(x, w, 1, 1) + b
+    got = depth_to_space(
+        packed_conv3d(
+            space_to_depth(x, 2), w, b, f_in=2, f_out=2, stride=1, pad=1,
+            out_blocks=(4, 4, 4),
+        ),
+        2,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("f,p,dim", [(2, 3, 8), (2, 1, 8), (4, 3, 16), (2, 4, 12)])
+def test_reflect_pad_packed(f, p, dim):
+    """The packed reflect pad equals a full-resolution reflect pad of
+    L*f = ceil(p/f)*f voxels (a superset of the requested p; the extra
+    o = L*f - p leading positions are never read by the offset conv)."""
+    rng = np.random.default_rng(f * 100 + p)
+    x = jnp.asarray(rng.standard_normal((2, dim, dim, dim, 3)), jnp.float32)
+    L = -(-p // f)
+    ref = jnp.pad(
+        x, ((0, 0), (L * f, L * f), (L * f, L * f), (L * f, L * f), (0, 0)),
+        mode="reflect",
+    )
+    padded, o = reflect_pad_packed(space_to_depth(x, f), f, p)
+    assert o == L * f - p
+    got = depth_to_space(padded, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+@pytest.mark.parametrize("k,pad,f,ci,co,dim", [(7, 3, 2, 2, 3, 16), (7, 3, 4, 16, 1, 16)])
+def test_packed_conv_reflect(k, pad, f, ci, co, dim):
+    """Reflect-padded conv: reflect_pad_packed + offset conv == direct
+    reflect conv (the generator's stem/projection pattern)."""
+    rng = np.random.default_rng(k + f)
+    x = jnp.asarray(rng.standard_normal((1, dim, dim, dim, ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, k, ci, co)), jnp.float32)
+    ref = _direct_conv(x, w, 1, pad, mode="reflect")
+    xp, o = reflect_pad_packed(space_to_depth(x, f), f, pad)
+    # f4 output for the projection case, else keep f
+    f_out = 4 if co == 1 else f
+    got_p = packed_conv3d(
+        xp, w, f_in=f, f_out=f_out, stride=1, o=(o, o, o),
+        out_blocks=(dim // f_out,) * 3,
+    )
+    got = depth_to_space(got_p, f_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("convention", ["same", "torch"])
+def test_packed_tconv(convention):
+    """packed_tconv3d (packed output kept) == d2s_tconv3d after unpacking."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    ref = d2s_tconv3d(x, w, b, stride=2, convention=convention)
+    got = depth_to_space(
+        packed_tconv3d(x, w, b, stride=2, convention=convention), 2
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_transform_kernel_packed_matches_s2d():
+    """With f_in == f_out == f, stride 1, zero offset, the general transform
+    reduces to ops/s2d_conv.transform_kernel."""
+    from contrast_gan_3d_tpu.ops.s2d_conv import transform_kernel
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 2, 4)), jnp.float32)
+    a = transform_kernel_packed(w, 2, 2, 1, (0, 0, 0))
+    b = transform_kernel(w, 2, 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_packed_generator_matches_direct():
+    """The flagship generator in layout='packed' equals layout='direct' for
+    the same variables (inference mode)."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator()
+    gen_p = ResnetGenerator(layout="packed")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+    ref = gen_d.apply(variables, x, train=False)
+    got = gen_p.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_packed_generator_train_mode_stats():
+    """Packed layout updates identical BatchNorm stats in train mode."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator()
+    gen_p = ResnetGenerator(layout="packed")
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+    ref, upd_d = gen_d.apply(variables, x, train=True, mutable=["batch_stats"])
+    got, upd_p = gen_p.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        upd_d["batch_stats"],
+        upd_p["batch_stats"],
+    )
+
+
+def test_packed_generator_torch_placement():
+    """Packed layout honors tconv_placement='torch' (reference-checkpoint
+    window) as well."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator(tconv_placement="torch")
+    gen_p = ResnetGenerator(tconv_placement="torch", layout="packed")
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+    ref = gen_d.apply(variables, x, train=False)
+    got = gen_p.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_packed_generator_grads_match():
+    """Autodiff through the packed layout yields the same true-weight
+    gradients as the direct layout."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator()
+    gen_p = ResnetGenerator(layout="packed")
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+
+    def loss(params, gen):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        out, _ = gen.apply(v, x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out**2)
+
+    g_d = jax.grad(loss)(variables["params"], gen_d)
+    g_p = jax.grad(loss)(variables["params"], gen_p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-4
+        ),
+        g_d,
+        g_p,
+    )
