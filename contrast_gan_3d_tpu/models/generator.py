@@ -111,6 +111,11 @@ class ResnetGenerator(nn.Module):
     # attenuation instead of unpacking — lets the sliding-window corrector
     # blend and scatter in packed space
     packed_output: bool = False
+    # with layout="packed": the input is ALREADY f=2 space-to-depth packed
+    # ((B, W/2, H/2, D/2, 8*C) in ``ops/s2d_conv.space_to_depth`` layout) —
+    # the corrector keeps the whole volume packed and skips the per-patch
+    # s2d transpose
+    packed_input: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,17 +190,22 @@ class ResnetGenerator(nn.Module):
             raise ValueError("layout='packed' supports norm='batch' only")
         c0 = self.init_channels_out
         n = self.n_updownsample_blocks
-        dims = x.shape[1:4]
+        if self.packed_input:
+            in_ch = x.shape[-1] // 8
+            dims = tuple(d * 2 for d in x.shape[1:4])
+            xp = x.astype(self.dtype)
+        else:
+            in_ch = x.shape[-1]
+            dims = x.shape[1:4]
+            xp = space_to_depth(x.astype(self.dtype), 2)
         if any(d % max(4, 2**n) != 0 for d in dims):
             raise ValueError(f"spatial dims {dims} must divide {max(4, 2**n)}")
         dt = self.dtype
 
-        xp = space_to_depth(x.astype(dt), 2)
-
         # stem: reflect-padded 7^3, f2 -> f2
         xp, o = reflect_pad_packed(xp, 2, 3)
         sb = tuple(d // 2 for d in dims)
-        xp = _PackedStage(c0, 7, x.shape[-1], dtype=dt, name="first")(
+        xp = _PackedStage(c0, 7, in_ch, dtype=dt, name="first")(
             xp,
             lambda v, k, b: packed_conv3d(
                 v, k, b, f_in=2, f_out=2, stride=1, o=(o, o, o), out_blocks=sb

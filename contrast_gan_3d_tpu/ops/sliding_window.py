@@ -97,15 +97,29 @@ def make_volume_corrector(
     scaler: Scaler = FactorZeroCenterScaler(),
     sigma_scale: float = 0.125,
     dtype=jnp.float32,
+    packed_io: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build a jitted ``correct(volume) -> corrected_volume`` function.
 
     ``generator_apply``: params-baked apply, (B, *patch, 1) scaled -> (B,
     *patch, 1) attenuation in (-1, 1). Retraces once per distinct volume
     shape (pad volumes to canonical shapes host-side to avoid recompiles).
+
+    ``packed_io=True`` runs the whole loop in space-to-depth block space
+    (``ops/packed``): the volume is packed f=2 ONCE, patches are gathered as
+    block slices, ``generator_apply`` must then consume f2-packed patches
+    ((B, p/2, p/2, p/2, 8)) and emit the f4-packed attenuation ((B, p/4,
+    p/4, p/4, 64)) — i.e. be built from ``ResnetGenerator(layout="packed",
+    packed_input=True, packed_output=True)`` — and blending/scatter happen
+    on the f4 accumulator. Patch sizes must divide 4; strides are snapped
+    DOWN to multiples of 4 (never less overlap than requested).
     """
     patch_size = tuple(int(p) for p in patch_size)
     stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
+    if packed_io:
+        if any(p % 4 for p in patch_size):
+            raise ValueError(f"packed_io requires patch_size % 4 == 0, got {patch_size}")
+        stride = tuple(max(4, s - s % 4) for s in stride)
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)
@@ -171,9 +185,78 @@ def make_volume_corrector(
         )
         return scaler.unscale(corrected)
 
+    @partial(jax.jit, static_argnums=1)
+    def _correct_packed(
+        volume: jax.Array, shape: Tuple[int, int, int], weight_sum: jax.Array
+    ) -> jax.Array:
+        from contrast_gan_3d_tpu.ops.s2d_conv import depth_to_space, space_to_depth
+
+        tgt = _packed_padded_shape(shape)
+        pad_cfg = [
+            ((tgt[i] - shape[i]) // 2, (tgt[i] - shape[i]) - (tgt[i] - shape[i]) // 2)
+            for i in range(3)
+        ]
+        vol = scaler(volume.astype(jnp.float32))
+        if any(p != (0, 0) for p in pad_cfg):
+            vol = jnp.pad(vol, pad_cfg, mode="edge")
+        padded_shape = tuple(vol.shape)
+
+        grid = _plan_grid(padded_shape, patch_size, stride)  # all starts % 4 == 0
+        n = grid.shape[0]
+        n_batches = math.ceil(n / batch_size)
+        n_padded = n_batches * batch_size
+        valid = np.ones((n_padded,), np.float32)
+        valid[n:] = 0.0
+        starts = np.concatenate([grid, np.zeros((n_padded - n, 3), np.int32)])
+        starts_b = jnp.asarray(starts.reshape(n_batches, batch_size, 3))
+        valid_b = jnp.asarray(valid.reshape(n_batches, batch_size))
+
+        # the volume, the blending window and the accumulator all live packed
+        vp = space_to_depth(vol[None, ..., None].astype(dtype), 2)[0]
+        p2 = tuple(p // 2 for p in patch_size)
+        p4 = tuple(p // 4 for p in patch_size)
+        gw_p = space_to_depth(jnp.asarray(gw_np)[None, ..., None], 4)[0]  # (*p4, 64)
+        acc_shape = tuple(d // 4 for d in padded_shape)
+        atten_acc = jnp.zeros((*acc_shape, 64), jnp.float32)
+
+        def gather_one(start):
+            s2 = start // 2
+            return jax.lax.dynamic_slice(vp, (s2[0], s2[1], s2[2], 0), (*p2, 8))
+
+        def body(atten_acc, inp):
+            starts, valid = inp  # (B, 3), (B,)
+            patches = jax.vmap(gather_one)(starts)  # (B, *p2, 8)
+            atten = generator_apply(patches).astype(jnp.float32)  # (B, *p4, 64)
+
+            def scatter(i, a_acc):
+                s4 = starts[i] // 4
+                pos = (s4[0], s4[1], s4[2], 0)
+                cur = jax.lax.dynamic_slice(a_acc, pos, (*p4, 64))
+                return jax.lax.dynamic_update_slice(
+                    a_acc, cur + atten[i] * (gw_p * valid[i]), pos
+                )
+
+            return jax.lax.fori_loop(0, batch_size, scatter, atten_acc), None
+
+        atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+        atten_full = depth_to_space(atten_acc[None], 4)[0, ..., 0]
+        corrected = vol - atten_full / weight_sum
+        corrected = jax.lax.dynamic_slice(
+            corrected, tuple(p[0] for p in pad_cfg), shape
+        )
+        return scaler.unscale(corrected)
+
+    def _packed_padded_shape(shape: Tuple[int, int, int]) -> Tuple[int, int, int]:
+        # >= patch on every axis AND divisible by 4 (block-aligned grid)
+        return tuple(-(-max(s, p) // 4) * 4 for s, p in zip(shape, patch_size))
+
     def correct(volume: jax.Array) -> jax.Array:
         """Correct one (W, H, D) HU volume; returns float32 HU volume."""
         shape = tuple(volume.shape)
+        if packed_io:
+            padded_shape = _packed_padded_shape(shape)
+            weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)
+            return _correct_packed(volume, shape, weight_sum)
         padded_shape = tuple(max(s, p) for s, p in zip(shape, patch_size))
         # computed eagerly (outside the trace), cached per shape
         weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)

@@ -221,3 +221,68 @@ def test_packed_generator_grads_match():
         g_d,
         g_p,
     )
+
+
+def test_packed_input_output_roundtrip():
+    """packed_input consumes an f2-packed patch; packed_output emits the f4
+    attenuation — both must match the full-resolution direct forward."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator()
+    gen_pio = ResnetGenerator(layout="packed", packed_input=True, packed_output=True)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+    ref = gen_d.apply(variables, x, train=False)
+    got_p = gen_pio.apply(variables, space_to_depth(x, 2), train=False)
+    assert got_p.shape == (2, 4, 4, 4, 64)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(got_p, 4)), np.asarray(ref), atol=2e-4
+    )
+
+
+def test_packed_corrector_matches_direct():
+    """make_volume_corrector(packed_io=True) equals the direct corrector on a
+    block-aligned volume (identical grid: stride already % 4)."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
+
+    gen = ResnetGenerator()
+    vol = jnp.asarray(
+        np.random.default_rng(4).integers(-800, 600, (24, 20, 16)), jnp.float32
+    )
+    variables = gen.init(
+        jax.random.key(1), jnp.zeros((1, 16, 16, 16, 1), jnp.float32), train=False
+    )
+    apply_d = lambda p: gen.apply(variables, p, train=False)
+    gen_p = ResnetGenerator(layout="packed", packed_input=True, packed_output=True)
+    apply_p = lambda p: gen_p.apply(variables, p, train=False)
+
+    # overlap .5 -> stride 8 (already % 4): identical patch grids
+    ref = make_volume_corrector(apply_d, patch_size=(16, 16, 16), overlap=0.5,
+                                batch_size=2)(vol)
+    got = make_volume_corrector(apply_p, patch_size=(16, 16, 16), overlap=0.5,
+                                batch_size=2, packed_io=True)(vol)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_packed_corrector_unaligned_dims():
+    """packed_io pads non-block-aligned volumes internally and crops back."""
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
+
+    gen = ResnetGenerator()
+    variables = gen.init(
+        jax.random.key(1), jnp.zeros((1, 16, 16, 16, 1), jnp.float32), train=False
+    )
+    gen_p = ResnetGenerator(layout="packed", packed_input=True, packed_output=True)
+    apply_p = lambda p: gen_p.apply(variables, p, train=False)
+
+    vol = jnp.asarray(
+        np.random.default_rng(5).integers(-800, 600, (22, 19, 14)), jnp.float32
+    )
+    out = make_volume_corrector(apply_p, patch_size=(16, 16, 16), overlap=0.25,
+                                batch_size=2, packed_io=True)(vol)
+    assert out.shape == (22, 19, 14)
+    assert np.isfinite(np.asarray(out)).all()
