@@ -139,11 +139,21 @@ def bench_inference(overlap: float, headline: bool):
     gen = ResnetGenerator(dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
     variables = gen.init(jax.random.key(0), x0, train=False)
-    apply_fn = lambda v: gen.apply(variables, v, train=False)
+
+    # production path: block-space ("packed") sliding window — same math as
+    # the direct layout (tests/test_packed.py), measured faster at both
+    # overlaps; BENCH_LAYOUT=direct falls back to the reference-shaped path
+    if os.environ.get("BENCH_LAYOUT", "packed") == "packed":
+        gen_p = gen.clone(layout="packed", packed_input=True, packed_output=True)
+        apply_fn = lambda v: gen_p.apply(variables, v, train=False)
+        packed_io = True
+    else:
+        apply_fn = lambda v: gen.apply(variables, v, train=False)
+        packed_io = False
 
     correct = make_volume_corrector(
         apply_fn, patch_size=patch, overlap=overlap, batch_size=batch,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, packed_io=packed_io,
     )
     vol = jnp.asarray(
         np.random.default_rng(0).integers(-1024, 1500, shape, dtype=np.int16)

@@ -44,6 +44,7 @@ class CCTAContrastCorrector:
         batch_size: int = 4,
         scaler: Scaler = FactorZeroCenterScaler(),
         dtype=jnp.float32,
+        layout: str = "auto",
     ):
         self.generator = generator
         self.scaler = scaler
@@ -62,8 +63,41 @@ class CCTAContrastCorrector:
         self.inference_patch_size = tuple(inference_patch_size)
         self.overlap = overlap
 
+        # layout="auto": run the sliding window in block space (ops/packed —
+        # measured 1.82->1.57 s / 5.11->4.22 s per 512x512x400 volume at
+        # 25%/50% overlap) whenever the generator supports it; "direct"
+        # forces the reference-shaped path. Numerics are identical
+        # (tests/test_packed.py).
+        packed = (
+            layout in ("auto", "packed")
+            and not self.is_2d
+            and isinstance(generator, ResnetGenerator)
+            and generator.layout == "direct"
+            and generator.norm == "batch"
+            and generator.ndim == 3
+            and all(
+                p % max(4, 2**generator.n_updownsample_blocks) == 0
+                for p in inference_patch_size
+            )
+        )
+        if layout == "packed" and not packed:
+            raise ValueError("layout='packed' unsupported for this generator/patch")
+
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
+        elif packed:
+            gen_p = generator.clone(
+                layout="packed", packed_input=True, packed_output=True
+            )
+            self.correct_volume = make_volume_corrector(
+                lambda x: gen_p.apply(variables, x, train=False),
+                patch_size=tuple(inference_patch_size),
+                overlap=overlap,
+                batch_size=batch_size,
+                scaler=scaler,
+                dtype=dtype,
+                packed_io=True,
+            )
         else:
             self.correct_volume = make_volume_corrector(
                 apply_fn,
