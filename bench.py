@@ -15,6 +15,9 @@ in < 2 s. The default run prints, in order:
    measures the 25%-vs-50% corrected-volume delta to be negligible against
    the 350-450 HU target corridor.
 
+Since the block-space ("packed") corrector landed, BOTH overlap settings
+beat the < 2 s target on the v5e bench chip (0.707 s @ 25%, 1.761 s @ 50%).
+
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
 it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
 BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_SPLIT, BENCH_REMAT,

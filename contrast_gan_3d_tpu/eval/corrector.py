@@ -86,6 +86,9 @@ class CCTAContrastCorrector:
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
         elif packed:
+            # (pallas_proj stays off: with the slab-based packed reflect pad
+            # the XLA f2->f4 projection is the faster end-to-end path —
+            # 76.7 vs 88.1 ms/batch-8 forward, PERF.md)
             gen_p = generator.clone(
                 layout="packed", packed_input=True, packed_output=True
             )

@@ -103,8 +103,8 @@ class ResnetGenerator(nn.Module):
     # execution layout: "direct" (reference-shaped stages) or "packed"
     # (ops/packed: full-resolution stages run in space-to-depth block space
     # across stage boundaries — identical math and parameter tree; measured
-    # 166.4 -> 145.6 ms per batch-8 128^3 bf16 forward on the bench chip
-    # (~1.14x, see PERF.md); 3D + norm="batch" only, spatial dims must
+    # 166.4 -> 76.7 ms per batch-8 128^3 bf16 forward on the bench chip
+    # (2.2x, see PERF.md); 3D + norm="batch" only, spatial dims must
     # divide max(4, 2^n_updownsample_blocks))
     layout: str = "direct"
     # with layout="packed": return the f=4-packed (B, W/4, H/4, D/4, 64)
@@ -116,6 +116,12 @@ class ResnetGenerator(nn.Module):
     # the corrector keeps the whole volume packed and skips the per-patch
     # s2d transpose
     packed_input: bool = False
+    # with layout="packed", inference only: run the projection conv (the
+    # forward's hottest op) as the Pallas block kernel on an f=4 repack —
+    # XLA's conv lowering re-reads the full input once per tap (27x537 MB at
+    # 128^3/batch 8, measured 73.5 ms) while the kernel streams it 3x and
+    # runs at ~88 TFLOPS (~11 ms; PERF.md). TPU only; ignored when train=True
+    pallas_proj: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -245,30 +251,67 @@ class ResnetGenerator(nn.Module):
                 name=f"up_{i - 1}",
             )(xp, train)
 
-        # final upsample: dense transpose conv keeping the s=2-packed output
-        # (which IS the f2 space-to-depth layout of the full-res tensor)
-        xp = _PackedStage(
-            c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
-        )(
-            xp,
-            lambda v, k, b: packed_tconv3d(
-                v, k, b, stride=2, convention=self.tconv_placement
-            ),
-            8, train,
-        )
-
-        # projection: reflect-padded 7^3 to 1 channel, f2 -> f4, tanh
-        xp, o2 = reflect_pad_packed(xp, 2, 3)
+        # final upsample + projection. Fast inference path (pallas_proj):
+        # up_0 emits the f=4 layout DIRECTLY (packed_tconv3d_f4 — no repack
+        # transpose) and the reflect-padded 7^3 projection runs as the
+        # Pallas block kernel. Standard path: f2 tconv + f2->f4 block conv.
+        use_pallas = self.pallas_proj and not train
         ob = tuple(d // 4 for d in dims)
-        yp = _PackedStage(
-            1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
-        )(
-            xp,
-            lambda v, k, b: packed_conv3d(
-                v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
-            ),
-            64, train, activation="tanh",
-        )
+        if use_pallas:
+            from contrast_gan_3d_tpu.ops.packed import (
+                packed_tconv3d_f4, transform_kernel_packed,
+            )
+            from contrast_gan_3d_tpu.ops.pallas_conv import block_conv3x3x3
+
+            xp = _PackedStage(
+                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
+            )(
+                xp,
+                lambda v, k, b: packed_tconv3d_f4(
+                    v, k, b, stride=2, convention=self.tconv_placement
+                ),
+                64, train,
+            )
+            # reflect pad in f4 space (L=1 block per side, offset o4=1 ->
+            # a 3^3 VALID block conv with channels 64*c0 -> 64)
+            xp, o4 = reflect_pad_packed(xp, 4, 3)
+
+            def proj_fn(v, k, b_):
+                wp = transform_kernel_packed(k, 4, 4, 1, (o4, o4, o4))
+                # relabel taps so the kernel's grid axis rides the leading
+                # spatial dim: w_ref[outer=ky, sublane=kz, refs=kx] — the
+                # packed tensor feeds the kernel in its NATIVE layout
+                wt = jnp.transpose(wp, (1, 2, 0, 3, 4)).astype(v.dtype)
+                out = block_conv3x3x3(v, wt).astype(v.dtype)
+                if b_ is not None:
+                    out = out + jnp.tile(b_.astype(out.dtype), 64)
+                return out
+
+            yp = _PackedStage(
+                1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
+            )(xp, proj_fn, 64, train, activation="tanh")
+        else:
+            # up_0: dense transpose conv keeping the s=2-packed output
+            # (which IS the f2 space-to-depth layout of the full-res tensor)
+            xp = _PackedStage(
+                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
+            )(
+                xp,
+                lambda v, k, b: packed_tconv3d(
+                    v, k, b, stride=2, convention=self.tconv_placement
+                ),
+                8, train,
+            )
+            xp, o2 = reflect_pad_packed(xp, 2, 3)
+            yp = _PackedStage(
+                1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
+            )(
+                xp,
+                lambda v, k, b: packed_conv3d(
+                    v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
+                ),
+                64, train, activation="tanh",
+            )
         if self.packed_output:
             return yp
         return depth_to_space(yp, 4)

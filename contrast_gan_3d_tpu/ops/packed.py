@@ -113,37 +113,34 @@ def reflect_pad_packed(
     subsequent ``packed_conv3d(..., o=o)`` provably never reads. Returns
     (padded, o).
 
-    Construction per axis: reflect of positions 1..L*f is a contiguous
-    reversed full-res window, which in packed space is a slice of the
-    block-and-channel flipped tensor: flip(x)[pos] = x[N-1-pos], so
-    x[1..Lf] reversed = flip(x)[N-1-Lf .. N-2] — a block-aligned slice of
-    flip(x) shifted by one voxel. We avoid the one-voxel shift by
-    constructing the window from flip(x) rolled one voxel right (a channel
-    roll + block shift), sliced to L blocks.
+    Construction per axis operates on (L+1)-block BOUNDARY SLABS only (the
+    pad content is a function of the first/last L+1 blocks; flipping or
+    rolling the whole tensor — the original implementation — cost 200+ ms
+    at f=4/1024 ch on the bench chip, the slabs are ~1 ms):
+
+      left pad[j]  = x[L*f - j]   (j = 0..Lf-1; leading o entries unused)
+                   = flip(head)[f-1 + j]          head = x[:L+1 blocks]
+                   = roll_fwd(flip(head))[f + j]  -> blocks [1, 1+L)
+      right pad[j] = x[N*f - 2 - j]
+                   = flip(tail)[j + 1]            tail = x[-(L+1):]
+                   = roll_bwd(flip(tail))[j]      -> blocks [0, L)
     """
     c = xp.shape[-1] // f**3
     L = -(-p // f)
     o = L * f - p
     for axis in axes:
         n_blocks = xp.shape[1 + axis]
-        flipped = _block_flip(xp, f, c, axis)
-        # roll the FLIPPED tensor one full-res voxel toward +axis:
-        # rolled[pos] = flip(x)[pos-1] = x[N-pos]  =>  rolled[j] = x[N-j]
-        rolled = _roll_one(flipped, f, c, axis)
-        # left pad covers full-res positions -Lf..-1 i.e. values
-        # x[Lf]..x[1] = rolled[N-Lf .. N-1] reversed? No: pad[j] for
-        # j=0..Lf-1 is position -(Lf-j) with value x[Lf-j] = rolled[N-Lf+j]
-        # — the LAST L blocks of rolled.
-        left = jax.lax.slice_in_dim(rolled, n_blocks - L, n_blocks, axis=1 + axis)
-        # right pad: positions N..N+Lf-1, value x[2N-2-pos] = x[N-2-j']
-        # (j' = pos-N = 0..Lf-1) = rolled[... ] : x[N-2-j'] = rolled[j'+2]
-        # — blocks starting at full-res offset 2 of rolled. Offset-2 slice
-        # = roll one more voxel twice; do it via rolling `flipped` once the
-        # other way: x[N-2-j'] = flip(x)[j'+1] = roll_minus_one? flip(x)[i]
-        # = x[N-1-i]; want x[N-2-j'] = flip(x)[j'+1]. So right pad =
-        # flip(x) shifted LEFT one voxel, first L blocks.
+        if n_blocks < L + 1:
+            raise ValueError(f"axis {axis}: {n_blocks} blocks < L+1={L + 1}")
+        head = jax.lax.slice_in_dim(xp, 0, L + 1, axis=1 + axis)
+        tail = jax.lax.slice_in_dim(xp, n_blocks - (L + 1), n_blocks, axis=1 + axis)
+        left = jax.lax.slice_in_dim(
+            _roll_one(_block_flip(head, f, c, axis), f, c, axis),
+            1, 1 + L, axis=1 + axis,
+        )
         right = jax.lax.slice_in_dim(
-            _roll_one(flipped, f, c, axis, backward=True), 0, L, axis=1 + axis
+            _roll_one(_block_flip(tail, f, c, axis), f, c, axis, backward=True),
+            0, L, axis=1 + axis,
         )
         xp = jnp.concatenate([left, xp, right], axis=1 + axis)
     return xp, o
@@ -309,6 +306,93 @@ def packed_tconv3d(
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), s**3)
     return out
+
+
+def _tconv_f4_axis_map(k: int, s: int, torch: bool) -> np.ndarray:
+    """(K4, 2s, k) composite map for a stride-s transpose conv emitting
+    2s-packed output directly: C[t, d, T] accumulates the base tconv map
+    A[j, r, T] at block tap t = a + j where the 2s-digit position
+    pos = d (+1 under the torch one-voxel shift) splits as (a, r) =
+    divmod(pos, s). K4 = K + 1 (+1 more for torch's cross-block carry)."""
+    A = _np_tconv_axis_map(k, s)
+    K = A.shape[0]
+    K4 = K + 1 + (1 if torch else 0)
+    C = np.zeros((K4, 2 * s, k), np.float32)
+    for d in range(2 * s):
+        a, r = divmod(d + (1 if torch else 0), s)
+        for j in range(K):
+            C[a + j, d, :] += A[j, r, :]
+    return C
+
+
+def _np_tconv_axis_map(k: int, s: int) -> np.ndarray:
+    from contrast_gan_3d_tpu.ops.s2d_conv import _tconv_axis_map
+
+    return _tconv_axis_map(k, s)
+
+
+def packed_tconv3d_f4(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    stride: int = 2,
+    convention: str = "same",
+    precision=None,
+) -> jax.Array:
+    """Stride-s transpose conv with UNPACKED input and f=2s-PACKED output:
+    like :func:`packed_tconv3d` but absorbing a 2^3 neighbourhood of
+    s-blocks into the channels (a stride-2 block conv), so the consumer gets
+    the f4 layout WITHOUT a repack transpose (measured 35 ms for the
+    128^3/batch-8 up_0 output on the bench chip). Spatial dims must be even.
+    Output: (B, X/2, Y/2, Z/2, (2s)^3 * Co)."""
+    kx, ky, kz, ci, co = w.shape
+    s = stride
+    if any(d % 2 for d in x.shape[1:4]):
+        raise ValueError(f"spatial dims {x.shape[1:4]} must be even")
+    torch = convention == "torch"
+    if not torch and convention != "same":
+        raise ValueError(f"unknown convention {convention!r}")
+    K = (kx - 1) // s + 1
+    Cx = jnp.asarray(_tconv_f4_axis_map(kx, s, torch))
+    Cy = jnp.asarray(_tconv_f4_axis_map(ky, s, torch))
+    Cz = jnp.asarray(_tconv_f4_axis_map(kz, s, torch))
+    wp = jnp.einsum("aux,bvy,cwz,xyzio->abciuvwo", Cx, Cy, Cz, w)
+    K4 = Cx.shape[0]
+    f3 = (2 * s) ** 3
+    wp = wp.reshape(K4, K4, K4, ci, f3 * co).astype(x.dtype)
+    hi = 1 if torch else 0
+    xpad = jnp.pad(x, ((0, 0), (K - 1, hi), (K - 1, hi), (K - 1, hi), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        xpad, wp, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=precision,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), f3)
+    return out
+
+
+def repack(xp: jax.Array, f: int, m: int, c: int) -> jax.Array:
+    """(B, mX, mY, mZ, f^3*c) f-packed -> (B, X, Y, Z, (m*f)^3*c) mf-packed:
+    absorb an m^3 block neighbourhood into the channel dim (pure transpose —
+    the full-res coordinate (m*f)*X + f*a + d maps block a, within-block d to
+    the mf-block digit f*a + d, keeping the d-major (dx, dy, dz, c) layout)."""
+    b, Xm, Ym, Zm, _ = xp.shape
+    X, Y, Z = Xm // m, Ym // m, Zm // m
+    v = xp.reshape(b, X, m, Y, m, Z, m, f, f, f, c)
+    # -> (b, X, Y, Z, ax, dx, ay, dy, az, dz, c)
+    v = v.transpose(0, 1, 3, 5, 2, 7, 4, 8, 6, 9, 10)
+    return v.reshape(b, X, Y, Z, (m * f) ** 3 * c)
+
+
+def unpack_repack(xp: jax.Array, f: int, m: int, c: int) -> jax.Array:
+    """Inverse of :func:`repack`: mf-packed -> f-packed."""
+    b, X, Y, Z, _ = xp.shape
+    v = xp.reshape(b, X, Y, Z, m, f, m, f, m, f, c)
+    # -> (b, X, ax, Y, ay, Z, az, dx, dy, dz, c)
+    v = v.transpose(0, 1, 4, 2, 6, 3, 8, 5, 7, 9, 10)
+    return v.reshape(b, X * m, Y * m, Z * m, f**3 * c)
 
 
 def packed_affine(xp: jax.Array, f: int, mult: jax.Array, add: jax.Array) -> jax.Array:

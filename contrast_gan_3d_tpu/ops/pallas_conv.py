@@ -110,6 +110,104 @@ def block_conv3x3x3(x: jax.Array, w: jax.Array, k_splits: int = 0) -> jax.Array:
     )(x, x, x, w)
 
 
+def _kernel_v2(x0_ref, x1_ref, x2_ref, w_ref, o_ref, *shift_refs, xo: int, yo: int):
+    """Sublane-ALIGNED tap slicing (the v1 kernel's cost center): per input
+    z-row, the two misaligned x-offsets (q=1,2) are relayouted ONCE into
+    scratch; all 27 tap matmuls then read aligned windows (the within-block
+    y slice rides a plain outer dim; the x slice hits offset 0 of the right
+    shifted copy). Dot shape per tap: (yo*xo, ck) @ (ck, Co) f32-accumulated.
+
+    Motivation (measured, PERF.md): XLA's conv lowering re-reads the full
+    input once per tap (27 x 537 MB at 128^3/batch 8) and the v1 kernel paid
+    a Mosaic relayout per misaligned tap slice; this version streams each
+    input row 3x total and relayouts 6x per row instead of 18x."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+    co = o_ref.shape[-1]
+    acc = jnp.zeros((yo * xo, co), jnp.float32)
+    for qz, xref in enumerate((x0_ref, x1_ref, x2_ref)):
+        row = xref[0, 0]  # (Yi, Xi, Ck)
+        # aligned shifted copies along the sublane (x) axis
+        shifts = [row[:, 0:xo, :]]
+        for qx in (1, 2):
+            s_ref = shift_refs[2 * qz + (qx - 1)]
+            s_ref[...] = row[:, qx : qx + xo, :]
+            shifts.append(s_ref[...])
+        for qy in range(3):
+            for qx in range(3):
+                xa = shifts[qx][qy : qy + yo]  # (yo, xo, ck): outer-dim slice
+                acc = acc + jax.lax.dot_general(
+                    xa.reshape(yo * xo, -1),
+                    w_ref[qy, qx, qz],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    o_ref[0, 0] += acc.reshape(yo, xo, co)
+
+
+@functools.partial(jax.jit, static_argnames=("k_splits",))
+def block_conv3x3x3_v2(x: jax.Array, w: jax.Array, k_splits: int = 0) -> jax.Array:
+    """VALID 3^3 conv: x (B, Z, Y, X, Ci) -> f32 (B, Z-2, Y-2, X-2, Co).
+
+    Layout contract: channel dim in lanes, X in sublanes, Y/Z outer. Weights
+    (3, 3, 3, Ci, Co) indexed (qy, qx, qz) in-kernel via a pre-transpose.
+    """
+    b, zi, yi, xi, ci = x.shape
+    co = w.shape[-1]
+    zo, yo, xo = zi - 2, yi - 2, xi - 2
+    if k_splits == 0:
+        budget = 11 * 2**20
+        pad8 = lambda v: -(-v // 8) * 8
+        pad128 = lambda v: -(-v // 128) * 128
+        per_chunk = lambda ks: (
+            2 * 3 * yi * pad8(xi) * pad128(ci // ks) * x.dtype.itemsize
+            + 6 * yi * pad8(xo) * pad128(ci // ks) * x.dtype.itemsize
+            + 2 * 27 * (ci // ks) * pad128(co) * w.dtype.itemsize
+            + 2 * yo * pad8(xo) * pad128(co) * 4
+        )
+        k_splits = 1
+        while per_chunk(k_splits) > budget and k_splits < ci // 128:
+            k_splits *= 2
+    ck = ci // k_splits
+    assert ci % k_splits == 0, (ci, k_splits)
+
+    # (ky, kx, kz, ck, co) so w_ref[qy, qx, qz] is a (ck, co) lane-minor tile
+    wt = jnp.transpose(w, (1, 0, 2, 3, 4))
+
+    row_spec = lambda dz: pl.BlockSpec(
+        (1, 1, yi, xi, ck),
+        lambda bi, z, ki, dz=dz: (bi, z + dz, 0, 0, ki),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, xo=xo, yo=yo),
+        grid=(b, zo, k_splits),
+        in_specs=[
+            row_spec(0),
+            row_spec(1),
+            row_spec(2),
+            pl.BlockSpec(
+                (3, 3, 3, ck, co), lambda bi, z, ki: (0, 0, 0, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, yo, xo, co), lambda bi, z, ki: (bi, z, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, zo, yo, xo, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((yi, xo, ck), x.dtype) for _ in range(6)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * zo * yo * xo * 27 * ci * co,
+            bytes_accessed=(3 * b * zo * yi * xi * ci + b * zo * yo * xo * co)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, x, x, wt)
+
+
 def s2d_conv3d_pallas(
     x: jax.Array,
     w: jax.Array,

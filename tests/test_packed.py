@@ -286,3 +286,36 @@ def test_packed_corrector_unaligned_dims():
                                 batch_size=2, packed_io=True)(vol)
     assert out.shape == (22, 19, 14)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_packed_generator_pallas_proj():
+    """pallas_proj (inference-only Pallas projection) equals the direct
+    forward (kernel exercised via the TPU interpreter on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen_d = ResnetGenerator()
+    gen_p = ResnetGenerator(layout="packed", pallas_proj=True)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 16, 16, 16, 1)), jnp.float32
+    )
+    variables = gen_d.init(jax.random.key(0), x, train=False)
+    ref = gen_d.apply(variables, x, train=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = gen_p.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("convention", ["same", "torch"])
+def test_packed_tconv_f4(convention):
+    """packed_tconv3d_f4 (f=4 output, no repack) == d2s_tconv3d + s2d(4)."""
+    from contrast_gan_3d_tpu.ops.packed import packed_tconv3d_f4
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    ref = space_to_depth(d2s_tconv3d(x, w, b, stride=2, convention=convention), 4)
+    got = packed_tconv3d_f4(x, w, b, stride=2, convention=convention)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

@@ -51,3 +51,31 @@ def test_s2d_pallas_fallback_for_unsupported(rng):
     ref = s2d_conv3d(x, w, f=4)
     got = s2d_conv3d_pallas(x, w, f=4)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+
+def test_block_conv_v2_matches_xla(rng):
+    """v2 (aligned tap slices): x is (B, Z, Y, X, C)."""
+    from contrast_gan_3d_tpu.ops.pallas_conv import block_conv3x3x3_v2
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 7, 8, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8, 4)), jnp.float32)
+    # reference NDHWC order is (X, Y, Z): transpose (B,Z,Y,X,C) -> (B,X,Y,Z,C)
+    ref = jax.lax.conv_general_dilated(
+        jnp.transpose(x, (0, 3, 2, 1, 4)), w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    ref = jnp.transpose(ref, (0, 3, 2, 1, 4))  # back to (B, Z, Y, X, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = block_conv3x3x3_v2(x, w)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+
+
+def test_block_conv_v2_k_split(rng):
+    from contrast_gan_3d_tpu.ops.pallas_conv import block_conv3x3x3_v2
+
+    x = jnp.asarray(rng.normal(size=(1, 5, 5, 5, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 256, 4)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        whole = block_conv3x3x3_v2(x, w, k_splits=1)
+        split = block_conv3x3x3_v2(x, w, k_splits=2)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(split), atol=1e-4)
