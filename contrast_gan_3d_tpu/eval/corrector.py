@@ -72,7 +72,8 @@ class CCTAContrastCorrector:
             layout in ("auto", "packed")
             and not self.is_2d
             and isinstance(generator, ResnetGenerator)
-            and generator.layout == "direct"
+            and generator.layout in ("direct", "packed")
+            and not (generator.packed_input or generator.packed_output)
             and generator.norm == "batch"
             and generator.ndim == 3
             and all(

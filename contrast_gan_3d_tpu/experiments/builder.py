@@ -59,9 +59,20 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
             np.prod(cfg.train_patch_size)
         )
         remat = (not cfg.is_2d) and voxels > 30_000_000
+    layout = cfg.generator_layout
+    if layout == "auto":
+        block = max(4, 2 ** cfg.generator_args.get("n_updownsample_blocks", 2))
+        eligible = (
+            not cfg.is_2d
+            and not remat  # packed stages have no remat knob yet
+            and cfg.generator_args.get("norm", "batch") == "batch"
+            and all(p % block == 0 for p in cfg.train_patch_size)
+            and all(p % block == 0 for p in cfg.val_patch_size)
+        )
+        layout = "packed" if eligible else "direct"
     generator = ResnetGenerator(
-        ndim=ndim, dtype=dtype, remat=remat,
-        **{k: v for k, v in cfg.generator_args.items() if k != "ndim"},
+        ndim=ndim, dtype=dtype, remat=remat, layout=layout,
+        **{k: v for k, v in cfg.generator_args.items() if k not in ("ndim", "layout")},
     )
     critic = PatchGANDiscriminator(
         ndim=ndim, dtype=dtype, remat=remat,

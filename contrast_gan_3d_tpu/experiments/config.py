@@ -75,6 +75,12 @@ class ExperimentConfig:
     )
     # bf16 MXU compute with f32 params (TPU-first; f32 = strict parity mode)
     compute_dtype: str = "bfloat16"
+    # generator execution layout for TRAINING: "auto" picks the block-space
+    # ("packed") layout when eligible (3D, batch-norm generator, block-
+    # aligned patch sizes, no remat) — measured 46.2 vs 20.9 patches/s for
+    # the combined WGAN step (PERF.md); identical param tree and numerics.
+    # "direct"/"packed" force a layout.
+    generator_layout: str = "auto"
     # block rematerialization: None = auto (on only when the per-iteration
     # voxel volume exceeds the reference default — the lean BatchNorm makes
     # the 6+3+3 128^3 step fit 16 GB without remat, and skipping the
