@@ -64,7 +64,6 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         block = max(4, 2 ** cfg.generator_args.get("n_updownsample_blocks", 2))
         eligible = (
             not cfg.is_2d
-            and not remat  # packed stages have no remat knob yet
             and cfg.generator_args.get("norm", "batch") == "batch"
             and all(p % block == 0 for p in cfg.train_patch_size)
             and all(p % block == 0 for p in cfg.val_patch_size)

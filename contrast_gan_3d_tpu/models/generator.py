@@ -12,7 +12,7 @@ Default config (4 resnet blocks, 2 up/down, 16 stem channels, 3D) has exactly
 1,035,297 parameters, matching the reference (BASELINE.md).
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -43,40 +43,46 @@ class _Params(nn.Module):
 
 
 class _PackedStage(nn.Module):
-    """conv (executed by the caller-provided block-space ``conv_fn``) ->
-    BatchNorm (on a (f^3, C) channel view of the packed tensor) ->
+    """conv (executed by the module-attribute block-space ``conv_fn``) ->
+    BatchNorm (on a (f_view, C) channel view of the packed tensor) ->
     activation. Parameter paths match the direct ``ConvBlock`` exactly:
-    ``<name>/<conv_name>/kernel`` and ``<name>/BatchNorm_0/{scale,bias}``."""
+    ``<name>/<conv_name>/kernel`` and ``<name>/BatchNorm_0/{scale,bias}``.
+    ``conv_fn``/``f_view``/``activation`` are attributes (not call args) so
+    ``nn.remat(_PackedStage, static_argnums=(2,))`` works like the direct
+    layout's ConvBlock wrapper."""
 
     features: int
     kernel_size: int
     in_ch: int
+    conv_fn: Any = None
+    f_view: int = 8
+    activation: Optional[str] = "relu"
     conv_name: str = "Conv_0"
     norm: bool = True
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xp, conv_fn, f_view: int, train: bool, activation: str = "relu"):
+    def __call__(self, xp, train: bool):
         ks = self.kernel_size
         k, b = _Params(
             (ks, ks, ks, self.in_ch, self.features),
             use_bias=self.use_bias,
             name=self.conv_name,
         )()
-        y = conv_fn(xp, k, b)
+        y = self.conv_fn(xp, k, b)
         if self.norm:
             from contrast_gan_3d_tpu.models.norm import BatchNorm
 
-            v = y.reshape(*y.shape[:-1], f_view, self.features)
+            v = y.reshape(*y.shape[:-1], self.f_view, self.features)
             v = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name="BatchNorm_0",
             )(v)
-            y = v.reshape(*y.shape[:-1], f_view * self.features)
-        if activation == "relu":
+            y = v.reshape(*y.shape[:-1], self.f_view * self.features)
+        if self.activation == "relu":
             y = nn.relu(y)
-        elif activation == "tanh":
+        elif self.activation == "tanh":
             y = nn.tanh(y)
         return y
 
@@ -207,17 +213,22 @@ class ResnetGenerator(nn.Module):
         if any(d % max(4, 2**n) != 0 for d in dims):
             raise ValueError(f"spatial dims {dims} must divide {max(4, 2**n)}")
         dt = self.dtype
+        # rematerialization: recompute stage activations in the backward
+        # (static args: conv_fn — hashable closure —, f_view, train,
+        # activation; same policy as the direct layout's CB/RB wrappers)
+        PS = nn.remat(_PackedStage, static_argnums=(2,)) if self.remat else _PackedStage
+        RB = nn.remat(ResNetBlock, static_argnums=(2,)) if self.remat else ResNetBlock
+        CB = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
 
         # stem: reflect-padded 7^3, f2 -> f2
         xp, o = reflect_pad_packed(xp, 2, 3)
         sb = tuple(d // 2 for d in dims)
-        xp = _PackedStage(c0, 7, in_ch, dtype=dt, name="first")(
-            xp,
-            lambda v, k, b: packed_conv3d(
+        xp = PS(
+            c0, 7, in_ch, dtype=dt, name="first", f_view=8,
+            conv_fn=lambda v, k, b: packed_conv3d(
                 v, k, b, f_in=2, f_out=2, stride=1, o=(o, o, o), out_blocks=sb
             ),
-            8, train,
-        )
+        )(xp, train)
 
         # downsamples: f2 -> f2, the last one unpacks (f_out=1) into the
         # bottleneck
@@ -226,25 +237,24 @@ class ResnetGenerator(nn.Module):
             feats = c0 * 2 ** (i + 1)
             f_out = 1 if i == n - 1 else 2
             ob = tuple(d // 2 ** (i + 1) // f_out for d in dims)
-            xp = _PackedStage(feats, 3, cur, dtype=dt, name=f"down_{i}")(
-                xp,
-                lambda v, k, b, ob=ob, fo=f_out: packed_conv3d(
+            xp = PS(
+                feats, 3, cur, dtype=dt, name=f"down_{i}", f_view=f_out**3,
+                conv_fn=lambda v, k, b, ob=ob, fo=f_out: packed_conv3d(
                     v, k, b, f_in=2, f_out=fo, stride=2, pad=1, out_blocks=ob
                 ),
-                f_out**3, train,
-            )
+            )(xp, train)
             cur = feats
 
         # bottleneck: direct modules (these shapes are already MXU-native)
         for i in range(self.n_resnet_blocks):
-            xp = ResNetBlock(
+            xp = RB(
                 cur, ndim=3, dropout_prob=self.resnet_dropout_prob,
                 padding_mode=self.resnet_padding_mode, norm=self.norm,
                 dtype=dt, name=f"resnet_{i}",
-            )(xp, train=train)
+            )(xp, train)
 
         for i in range(n, 1, -1):
-            xp = ConvBlock(
+            xp = CB(
                 c0 * 2 ** (i - 1), 3, ndim=3, stride=2, transpose=True,
                 norm=self.norm, activation="relu",
                 tconv_placement=self.tconv_placement, dtype=dt,
@@ -263,15 +273,13 @@ class ResnetGenerator(nn.Module):
             )
             from contrast_gan_3d_tpu.ops.pallas_conv import block_conv3x3x3
 
-            xp = _PackedStage(
-                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
-            )(
-                xp,
-                lambda v, k, b: packed_tconv3d_f4(
+            xp = PS(
+                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt,
+                name="up_0", f_view=64,
+                conv_fn=lambda v, k, b: packed_tconv3d_f4(
                     v, k, b, stride=2, convention=self.tconv_placement
                 ),
-                64, train,
-            )
+            )(xp, train)
             # reflect pad in f4 space (L=1 block per side, offset o4=1 ->
             # a 3^3 VALID block conv with channels 64*c0 -> 64)
             xp, o4 = reflect_pad_packed(xp, 4, 3)
@@ -287,31 +295,28 @@ class ResnetGenerator(nn.Module):
                     out = out + jnp.tile(b_.astype(out.dtype), 64)
                 return out
 
-            yp = _PackedStage(
-                1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
-            )(xp, proj_fn, 64, train, activation="tanh")
+            yp = PS(
+                1, 7, c0, norm=False, use_bias=True, dtype=dt,
+                name="last_conv", f_view=64, activation="tanh", conv_fn=proj_fn,
+            )(xp, train)
         else:
             # up_0: dense transpose conv keeping the s=2-packed output
             # (which IS the f2 space-to-depth layout of the full-res tensor)
-            xp = _PackedStage(
-                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt, name="up_0"
-            )(
-                xp,
-                lambda v, k, b: packed_tconv3d(
+            xp = PS(
+                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt,
+                name="up_0", f_view=8,
+                conv_fn=lambda v, k, b: packed_tconv3d(
                     v, k, b, stride=2, convention=self.tconv_placement
                 ),
-                8, train,
-            )
+            )(xp, train)
             xp, o2 = reflect_pad_packed(xp, 2, 3)
-            yp = _PackedStage(
-                1, 7, c0, norm=False, use_bias=True, dtype=dt, name="last_conv"
-            )(
-                xp,
-                lambda v, k, b: packed_conv3d(
+            yp = PS(
+                1, 7, c0, norm=False, use_bias=True, dtype=dt,
+                name="last_conv", f_view=64, activation="tanh",
+                conv_fn=lambda v, k, b: packed_conv3d(
                     v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
                 ),
-                64, train, activation="tanh",
-            )
+            )(xp, train)
         if self.packed_output:
             return yp
         return depth_to_space(yp, 4)
