@@ -16,7 +16,8 @@ in < 2 s. The default run prints, in order:
    the 350-450 HU target corridor.
 
 Since the block-space ("packed") corrector landed, BOTH overlap settings
-beat the < 2 s target on the v5e bench chip (0.707 s @ 25%, 1.761 s @ 50%).
+beat the < 2 s target on the v5e bench chip (0.707 s @ 25%, 1.686 s @ 50%
+at the default batch 16).
 
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
 it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
@@ -139,7 +140,7 @@ def bench_inference(overlap: float, headline: bool):
 
     shape = (512, 512, 400)
     patch = (128, 128, 128)
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))  # packed layout fits 16 (sweep in PERF.md)
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # flagship generator, bf16 compute / f32 params (MXU-native)

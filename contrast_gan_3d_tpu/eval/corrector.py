@@ -41,7 +41,9 @@ class CCTAContrastCorrector:
         generator_stats=None,
         inference_patch_size: Tuple[int, ...] = (128, 128, 128),
         overlap: float = 0.5,
-        batch_size: int = 4,
+        # 16 is fastest of {4, 8, 16} for the packed corrector on the bench
+        # chip and fits HBM (PERF.md); lower it on smaller-memory devices
+        batch_size: int = 16,
         scaler: Scaler = FactorZeroCenterScaler(),
         dtype=jnp.float32,
         layout: str = "auto",
@@ -64,8 +66,8 @@ class CCTAContrastCorrector:
         self.overlap = overlap
 
         # layout="auto": run the sliding window in block space (ops/packed —
-        # measured 1.82->1.57 s / 5.11->4.22 s per 512x512x400 volume at
-        # 25%/50% overlap) whenever the generator supports it; "direct"
+        # 0.707 s @ 25% / 1.686 s @ 50% overlap per 512x512x400 volume vs
+        # 1.82 / 5.11 s direct) whenever the generator supports it; "direct"
         # forces the reference-shaped path. Numerics are identical
         # (tests/test_packed.py).
         packed = (
