@@ -10,13 +10,19 @@ taps as static-sliced ``dot_general``s into a revisited f32 output block,
 and splits the channel contraction over the minor grid axis so the
 double-buffered input rows fit VMEM.
 
-MEASURED RESULT (v5e, batch 8 @128^3, bf16): 75.2 ms — identical to the XLA
-conv path. Interpretation: XLA's conv lowering is already at this chip's
-practical roofline for an N=64-output contraction; the remaining gap to the
-ideal (~19 ms at the half-lane MXU ceiling) is not schedule-level. The
-kernel stays as the framework's Pallas reference implementation and as the
-harness for future layout experiments; ``s2d_conv3d`` (XLA) remains the
-default in the generator.
+MEASURED RESULTS:
+- round 1: 75.2 ms "identical to XLA" — WRONG interpretation: that number
+  timed the s2d wrapper's layout transposes, not the kernel.
+- round 2 (scan-differential, native layout): **10.6 ms / 87.7 TFLOPS** for
+  the projection shape (B8, 34^3 blocks, 1024->64) — ~7x faster than XLA's
+  conv lowering, whose tap loop re-reads the full input per tap. The N=64
+  output width does NOT halve MXU throughput on this chip.
+The kernel consumes ANY (B, A, B2, C3, Ci) layout: grid rides A, in-kernel
+outer slices ride B2, sublane slices C3 — permute the WEIGHTS (e.g.
+``jnp.transpose(w, (1, 2, 0, 3, 4))`` pairs (A,B2,C3)=(kx,ky,kz)) instead of
+transposing data. Used by ``ResnetGenerator(pallas_proj=True)`` (an
+inference option; the XLA f2->f4 path stays the packed default — see
+PERF.md for the end-to-end A/B).
 
 Layout contract: operands are pre-transposed so z is the leading spatial dim
 and the channel dim sits in lanes: x (B, Zi, Xi, Yi, Ci); w (3, 3, 3, Ci,

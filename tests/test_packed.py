@@ -346,3 +346,10 @@ def test_packed_generator_remat_matches():
         g_p,
         g_r,
     )
+
+
+def test_reflect_pad_packed_too_few_blocks():
+    """Slab construction needs L+1 blocks per axis — actionable error."""
+    xp = jnp.zeros((1, 1, 4, 4, 8), jnp.float32)  # 1 block on axis 0, f=2
+    with pytest.raises(ValueError, match="blocks"):
+        reflect_pad_packed(xp, 2, 3)
