@@ -48,3 +48,26 @@ def test_2d_config_uses_2d_augment():
     built = build(load_config("conf_2d"))
     assert isinstance(built.step_config.augment, Augment2DConfig)
     assert built.generator.remat is False  # 2D never remats
+
+
+def test_layout_auto_packs_eligible_3d():
+    built = build(load_config("basic_3d"))
+    assert built.generator.layout == "packed"
+    # remat configs stay eligible (packed stages support nn.remat)
+    built = build(load_config("small_patch"))
+    assert built.generator.layout == "packed"
+
+
+def test_layout_auto_direct_for_2d():
+    built = build(load_config("conf_2d"))
+    assert built.generator.layout == "direct"
+
+
+def test_layout_explicit_override():
+    cfg = replace(load_config("basic_3d"), generator_layout="direct")
+    assert build(cfg).generator.layout == "direct"
+
+
+def test_layout_auto_direct_for_unaligned_patches():
+    cfg = replace(load_config("basic_3d"), train_patch_size=(126, 126, 126))
+    assert build(cfg).generator.layout == "direct"
