@@ -140,7 +140,9 @@ def bench_inference(overlap: float, headline: bool):
 
     shape = (512, 512, 400)
     patch = (128, 128, 128)
-    batch = int(os.environ.get("BENCH_BATCH", "16"))  # packed layout fits 16 (sweep in PERF.md)
+    packed_bench = os.environ.get("BENCH_LAYOUT", "packed") == "packed"
+    # packed fits batch 16 (fastest — sweep in PERF.md); direct OOMs above 8
+    batch = int(os.environ.get("BENCH_BATCH", "16" if packed_bench else "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # flagship generator, bf16 compute / f32 params (MXU-native)
@@ -151,7 +153,7 @@ def bench_inference(overlap: float, headline: bool):
     # production path: block-space ("packed") sliding window — same math as
     # the direct layout (tests/test_packed.py), measured faster at both
     # overlaps; BENCH_LAYOUT=direct falls back to the reference-shaped path
-    if os.environ.get("BENCH_LAYOUT", "packed") == "packed":
+    if packed_bench:
         gen_p = gen.clone(layout="packed", packed_input=True, packed_output=True)
         apply_fn = lambda v: gen_p.apply(variables, v, train=False)
         packed_io = True

@@ -41,9 +41,9 @@ class CCTAContrastCorrector:
         generator_stats=None,
         inference_patch_size: Tuple[int, ...] = (128, 128, 128),
         overlap: float = 0.5,
-        # 16 is fastest of {4, 8, 16} for the packed corrector on the bench
-        # chip and fits HBM (PERF.md); lower it on smaller-memory devices
-        batch_size: int = 16,
+        # None -> 16 for the packed sliding window (fastest of {4, 8, 16},
+        # fits HBM — PERF.md), 8 for the direct fallback (16 OOMs there)
+        batch_size: int | None = None,
         scaler: Scaler = FactorZeroCenterScaler(),
         dtype=jnp.float32,
         layout: str = "auto",
@@ -51,7 +51,6 @@ class CCTAContrastCorrector:
         self.generator = generator
         self.scaler = scaler
         self.is_2d = len(inference_patch_size) == 2
-        self.batch_size = batch_size
 
         variables = {"params": generator_params}
         if generator_stats:
@@ -70,21 +69,35 @@ class CCTAContrastCorrector:
         # 1.82 / 5.11 s direct) whenever the generator supports it; "direct"
         # forces the reference-shaped path. Numerics are identical
         # (tests/test_packed.py).
+        if not self.is_2d and isinstance(generator, ResnetGenerator) and (
+            generator.packed_input or generator.packed_output
+        ):
+            raise ValueError(
+                "pass the plain full-resolution generator module — the "
+                "corrector adds packed_input/packed_output itself"
+            )
+        stride_ok = all(
+            int(round(p * (1.0 - overlap))) >= 4 for p in inference_patch_size
+        )
         packed = (
             layout in ("auto", "packed")
             and not self.is_2d
             and isinstance(generator, ResnetGenerator)
             and generator.layout in ("direct", "packed")
-            and not (generator.packed_input or generator.packed_output)
             and generator.norm == "batch"
             and generator.ndim == 3
+            and stride_ok
             and all(
                 p % max(4, 2**generator.n_updownsample_blocks) == 0
+                # the packed reflect pad builds from (L+1)-block slabs
+                and p >= 8
                 for p in inference_patch_size
             )
         )
         if layout == "packed" and not packed:
             raise ValueError("layout='packed' unsupported for this generator/patch")
+        self.batch_size = batch_size if batch_size is not None else (16 if packed else 8)
+        batch_size = self.batch_size
 
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)

@@ -59,14 +59,17 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
             np.prod(cfg.train_patch_size)
         )
         remat = (not cfg.is_2d) and voxels > 30_000_000
-    layout = cfg.generator_layout
+    # an explicit generator_args["layout"] wins over the config-level knob
+    layout = cfg.generator_args.get("layout", cfg.generator_layout)
     if layout == "auto":
         block = max(4, 2 ** cfg.generator_args.get("n_updownsample_blocks", 2))
         eligible = (
             not cfg.is_2d
             and cfg.generator_args.get("norm", "batch") == "batch"
-            and all(p % block == 0 for p in cfg.train_patch_size)
-            and all(p % block == 0 for p in cfg.val_patch_size)
+            # % block for the stage strides; >= 8 for the (L+1)-block
+            # reflect-pad slabs (ops/packed.reflect_pad_packed)
+            and all(p % block == 0 and p >= 8 for p in cfg.train_patch_size)
+            and all(p % block == 0 and p >= 8 for p in cfg.val_patch_size)
         )
         layout = "packed" if eligible else "direct"
     generator = ResnetGenerator(

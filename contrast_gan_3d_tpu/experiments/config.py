@@ -77,9 +77,10 @@ class ExperimentConfig:
     compute_dtype: str = "bfloat16"
     # generator execution layout for TRAINING: "auto" picks the block-space
     # ("packed") layout when eligible (3D, batch-norm generator, block-
-    # aligned patch sizes, no remat) — measured 46.2 vs 20.9 patches/s for
-    # the combined WGAN step (PERF.md); identical param tree and numerics.
-    # "direct"/"packed" force a layout.
+    # aligned patch sizes >= 8; remat configs included — the packed stages
+    # support nn.remat) — measured 46.2 vs 20.9 patches/s for the combined
+    # WGAN step (PERF.md); identical param tree and numerics.
+    # "direct"/"packed" force a layout; generator_args["layout"] wins.
     generator_layout: str = "auto"
     # block rematerialization: None = auto (on only when the per-iteration
     # voxel volume exceeds the reference default — the lean BatchNorm makes

@@ -205,13 +205,14 @@ class ResnetGenerator(nn.Module):
         if self.packed_input:
             in_ch = x.shape[-1] // 8
             dims = tuple(d * 2 for d in x.shape[1:4])
-            xp = x.astype(self.dtype)
         else:
             in_ch = x.shape[-1]
             dims = x.shape[1:4]
-            xp = space_to_depth(x.astype(self.dtype), 2)
         if any(d % max(4, 2**n) != 0 for d in dims):
             raise ValueError(f"spatial dims {dims} must divide {max(4, 2**n)}")
+        xp = x.astype(self.dtype) if self.packed_input else space_to_depth(
+            x.astype(self.dtype), 2
+        )
         dt = self.dtype
         # rematerialization: recompute stage activations in the backward
         # (static args: conv_fn — hashable closure —, f_view, train,

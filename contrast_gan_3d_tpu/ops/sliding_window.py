@@ -119,7 +119,13 @@ def make_volume_corrector(
     if packed_io:
         if any(p % 4 for p in patch_size):
             raise ValueError(f"packed_io requires patch_size % 4 == 0, got {patch_size}")
-        stride = tuple(max(4, s - s % 4) for s in stride)
+        if any(s < 4 for s in stride):
+            raise ValueError(
+                f"packed_io needs stride >= 4 (got {stride}): overlap "
+                f"{overlap} is too extreme for block-aligned gathers — use "
+                "the direct corrector"
+            )
+        stride = tuple(s - s % 4 for s in stride)
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)

@@ -353,3 +353,15 @@ def test_reflect_pad_packed_too_few_blocks():
     xp = jnp.zeros((1, 1, 4, 4, 8), jnp.float32)  # 1 block on axis 0, f=2
     with pytest.raises(ValueError, match="blocks"):
         reflect_pad_packed(xp, 2, 3)
+
+
+def test_repack_roundtrip_matches_s2d():
+    """repack/unpack_repack == direct space_to_depth factor change."""
+    from contrast_gan_3d_tpu.ops.packed import repack, unpack_repack
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 3)), jnp.float32)
+    f2 = space_to_depth(x, 2)
+    f4 = space_to_depth(x, 4)
+    assert jnp.array_equal(repack(f2, 2, 2, 3), f4)
+    assert jnp.array_equal(unpack_repack(f4, 2, 2, 3), f2)
