@@ -39,12 +39,27 @@ def make_sharded_volume_corrector(
     sigma_scale: float = 0.125,
     dtype=jnp.float32,
     axis: str = DATA_AXIS,
+    packed_io: bool = False,
 ) -> Callable[[jax.Array], jax.Array]:
-    """Build a jitted multi-chip ``correct(volume) -> corrected_volume``."""
+    """Build a jitted multi-chip ``correct(volume) -> corrected_volume``.
+
+    ``packed_io=True`` mirrors the single-chip block-space corrector
+    (``ops/sliding_window.make_volume_corrector``): the replicated volume is
+    space-to-depth packed once, ``generator_apply`` consumes f2-packed
+    patches and emits the f4-packed attenuation, each chip accumulates into
+    a packed f4 accumulator, and the ``psum_scatter`` moves PACKED z-block
+    slabs over ICI (same bytes, lane-friendly layout); each chip unpacks
+    only its own slab."""
     patch_size = tuple(int(p) for p in patch_size)
     stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
-    gw_np = gaussian_weights(patch_size, sigma_scale)
     n_dev = mesh.shape[axis]
+    if packed_io:
+        if any(p % 4 for p in patch_size):
+            raise ValueError(f"packed_io requires patch_size % 4 == 0, got {patch_size}")
+        if any(s < 4 for s in stride):
+            raise ValueError(f"packed_io needs stride >= 4, got {stride}")
+        stride = tuple(s - s % 4 for s in stride)
+    gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)
     def _correct(
@@ -61,10 +76,17 @@ def make_sharded_volume_corrector(
         # the single-chip corrector); z additionally pads to a device
         # multiple ONLY for the slab reduce-scatter — those tail rows are
         # touched by no patch and are cropped away
+        if packed_io:
+            # block-aligned dims so starts stay % 4 (slab granularity is
+            # then a Z-BLOCK per chip: z pads to 4 * n_dev)
+            for i in range(3):
+                d = shape[i] + pad_cfg[i][0] + pad_cfg[i][1]
+                extra = (-d) % 4
+                pad_cfg[i] = (pad_cfg[i][0], pad_cfg[i][1] + extra)
         grid_shape = tuple(
             shape[i] + pad_cfg[i][0] + pad_cfg[i][1] for i in range(3)
         )
-        z_extra = (-grid_shape[2]) % n_dev
+        z_extra = (-grid_shape[2]) % ((4 * n_dev) if packed_io else n_dev)
         pad_cfg[2] = (pad_cfg[2][0], pad_cfg[2][1] + z_extra)
         vol = scaler(volume.astype(jnp.float32))
         if any(p != (0, 0) for p in pad_cfg):
@@ -89,6 +111,46 @@ def make_sharded_volume_corrector(
             accumulators reduce-scatter into per-chip z-slabs (half the ICI
             bytes of an all-reduce, and the downstream normalization /
             subtraction run sharded)."""
+            if packed_io:
+                from contrast_gan_3d_tpu.ops.s2d_conv import (
+                    depth_to_space, space_to_depth,
+                )
+
+                vp = space_to_depth(vol[None, ..., None].astype(dtype), 2)[0]
+                p2 = tuple(p // 2 for p in patch_size)
+                p4 = tuple(p // 4 for p in patch_size)
+                gw_p = space_to_depth(gw[None, ..., None], 4)[0]
+                acc_shape = tuple(d // 4 for d in padded_shape)
+                atten_acc = jax.lax.pcast(
+                    jnp.zeros((*acc_shape, 64), jnp.float32), (axis,), to="varying"
+                )
+
+                def body(a_acc, inp):
+                    starts, valid = inp
+                    patches = jax.vmap(
+                        lambda s: jax.lax.dynamic_slice(
+                            vp, (s[0] // 2, s[1] // 2, s[2] // 2, 0), (*p2, 8)
+                        )
+                    )(starts)
+                    atten = generator_apply(patches).astype(jnp.float32)
+
+                    def scatter(i, a):
+                        s4 = starts[i] // 4
+                        pos = (s4[0], s4[1], s4[2], 0)
+                        cur = jax.lax.dynamic_slice(a, pos, (*p4, 64))
+                        return jax.lax.dynamic_update_slice(
+                            a, cur + atten[i] * (gw_p * valid[i]), pos
+                        )
+
+                    return jax.lax.fori_loop(0, batch_size, scatter, a_acc), None
+
+                atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+                slab = jax.lax.psum_scatter(
+                    atten_acc, axis, scatter_dimension=2, tiled=True
+                )
+                # unpack ONLY the local z-slab back to full resolution
+                return depth_to_space(slab[None], 4)[0, ..., 0]
+
             # accumulator is device-varying (each chip sums its own share)
             atten_acc = jax.lax.pcast(
                 jnp.zeros(padded_shape, jnp.float32), (axis,), to="varying"
@@ -138,10 +200,12 @@ def make_sharded_volume_corrector(
     def correct(volume: jax.Array) -> jax.Array:
         shape = tuple(volume.shape)
         padded = [max(s_, p) for s_, p in zip(shape, patch_size)]
+        if packed_io:
+            padded = [d + ((-d) % 4) for d in padded]
         # weights over the patch grid; constant 1s in the z slab-padding
         # tail (untouched rows - avoids 0/0 in the normalization)
         weight_sum = _weight_field(tuple(padded), patch_size, stride, sigma_scale)
-        z_extra = (-padded[2]) % n_dev
+        z_extra = (-padded[2]) % ((4 * n_dev) if packed_io else n_dev)
         if z_extra:
             weight_sum = np.pad(
                 np.asarray(weight_sum), ((0, 0), (0, 0), (0, z_extra)),

@@ -89,3 +89,30 @@ def test_pad_batch_to_multiple():
     assert out.shape == (8, 2)
     np.testing.assert_array_equal(out[5:], np.repeat(x[:1], 3, axis=0))
     assert pad_batch_to_multiple(x, 5) is x
+
+
+def test_sharded_packed_corrector_matches_direct(rng):
+    """packed_io sharded correction == the direct sharded path (block-space
+    gathers, f4 accumulator, packed psum_scatter slabs)."""
+    gen, _ = _tiny_models()
+    variables = gen.init(jax.random.key(2), jnp.zeros((1, *PATCH, 1)), train=False)
+    apply_fn = lambda x: gen.apply(variables, x, train=False)
+    gen_p = gen.clone(layout="packed", packed_input=True, packed_output=True)
+    apply_p = lambda x: gen_p.apply(variables, x, train=False)
+
+    # block-aligned dims -> identical patch grids (unaligned dims edge-pad
+    # to blocks first, which legitimately shifts the Gaussian blend)
+    vol = jnp.asarray(rng.integers(-1024, 1500, (24, 20, 16), dtype=np.int16))
+    direct = make_sharded_volume_corrector(
+        apply_fn, data_mesh(), patch_size=PATCH, batch_size=2
+    )
+    packed = make_sharded_volume_corrector(
+        apply_p, data_mesh(), patch_size=PATCH, batch_size=2, packed_io=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct(vol)), np.asarray(packed(vol)), rtol=1e-4, atol=5e-2
+    )
+    # unaligned dims still run + return finite output
+    vol2 = jnp.asarray(rng.integers(-1024, 1500, (24, 20, 18), dtype=np.int16))
+    out2 = np.asarray(packed(vol2))
+    assert out2.shape == (24, 20, 18) and np.isfinite(out2).all()
