@@ -16,8 +16,8 @@ in < 2 s. The default run prints, in order:
    the 350-450 HU target corridor.
 
 Since the block-space ("packed") corrector landed, BOTH overlap settings
-beat the < 2 s target on the v5e bench chip (0.707 s @ 25%, 1.686 s @ 50%
-at the default batch 16).
+beat the < 2 s target on the v5e bench chip (0.655 s @ 25%, 1.649 s @ 50%
+at the default batch 16 with remainder batches).
 
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
 it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,

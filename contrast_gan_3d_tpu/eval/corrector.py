@@ -65,7 +65,7 @@ class CCTAContrastCorrector:
         self.overlap = overlap
 
         # layout="auto": run the sliding window in block space (ops/packed —
-        # 0.707 s @ 25% / 1.686 s @ 50% overlap per 512x512x400 volume vs
+        # 0.655 s @ 25% / 1.649 s @ 50% overlap per 512x512x400 volume vs
         # 1.82 / 5.11 s direct) whenever the generator supports it; "direct"
         # forces the reference-shaped path. Numerics are identical
         # (tests/test_packed.py).

@@ -146,14 +146,13 @@ def make_volume_corrector(
         padded_shape = tuple(vol.shape)
 
         grid = _plan_grid(padded_shape, patch_size, stride)
+        # full batches scan; the trailing n % batch_size patches run as ONE
+        # smaller program instead of a zero-weighted padded batch (up to
+        # (batch_size-1)/n of the generator FLOPs were wasted on padding)
         n = grid.shape[0]
-        n_batches = math.ceil(n / batch_size)
-        n_padded = n_batches * batch_size
-        valid = np.ones((n_padded,), np.float32)
-        valid[n:] = 0.0
-        starts = np.concatenate([grid, np.zeros((n_padded - n, 3), np.int32)])
-        starts_b = jnp.asarray(starts.reshape(n_batches, batch_size, 3))
-        valid_b = jnp.asarray(valid.reshape(n_batches, batch_size))
+        n_full = n // batch_size
+        rem = n - n_full * batch_size
+        starts_b = jnp.asarray(grid[: n_full * batch_size].reshape(n_full, batch_size, 3))
 
         gw = jnp.asarray(gw_np)
         atten_acc = jnp.zeros(padded_shape, jnp.float32)
@@ -161,8 +160,7 @@ def make_volume_corrector(
         def gather_one(start):
             return jax.lax.dynamic_slice(vol, start, patch_size)
 
-        def body(atten_acc, inp):
-            starts, valid = inp  # (B, 3), (B,)
+        def run_batch(atten_acc, starts):
             patches = jax.vmap(gather_one)(starts)  # (B, *patch)
             atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
             if atten.shape[1:] != patch_size:
@@ -178,12 +176,17 @@ def make_volume_corrector(
                 s = starts[i]
                 cur_a = jax.lax.dynamic_slice(a_acc, s, patch_size)
                 return jax.lax.dynamic_update_slice(
-                    a_acc, cur_a + atten[i] * (gw * valid[i]), s
+                    a_acc, cur_a + atten[i] * gw, s
                 )
 
-            return jax.lax.fori_loop(0, batch_size, scatter, atten_acc), None
+            return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
 
-        atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+        if n_full:
+            atten_acc, _ = jax.lax.scan(
+                lambda a, s: (run_batch(a, s), None), atten_acc, starts_b
+            )
+        if rem:
+            atten_acc = run_batch(atten_acc, jnp.asarray(grid[n_full * batch_size :]))
         corrected = vol - atten_acc / weight_sum
         # crop padding back off
         corrected = jax.lax.dynamic_slice(
@@ -209,13 +212,9 @@ def make_volume_corrector(
 
         grid = _plan_grid(padded_shape, patch_size, stride)  # all starts % 4 == 0
         n = grid.shape[0]
-        n_batches = math.ceil(n / batch_size)
-        n_padded = n_batches * batch_size
-        valid = np.ones((n_padded,), np.float32)
-        valid[n:] = 0.0
-        starts = np.concatenate([grid, np.zeros((n_padded - n, 3), np.int32)])
-        starts_b = jnp.asarray(starts.reshape(n_batches, batch_size, 3))
-        valid_b = jnp.asarray(valid.reshape(n_batches, batch_size))
+        n_full = n // batch_size
+        rem = n - n_full * batch_size
+        starts_b = jnp.asarray(grid[: n_full * batch_size].reshape(n_full, batch_size, 3))
 
         # the volume, the blending window and the accumulator all live packed
         vp = space_to_depth(vol[None, ..., None].astype(dtype), 2)[0]
@@ -229,8 +228,7 @@ def make_volume_corrector(
             s2 = start // 2
             return jax.lax.dynamic_slice(vp, (s2[0], s2[1], s2[2], 0), (*p2, 8))
 
-        def body(atten_acc, inp):
-            starts, valid = inp  # (B, 3), (B,)
+        def run_batch(atten_acc, starts):
             patches = jax.vmap(gather_one)(starts)  # (B, *p2, 8)
             atten = generator_apply(patches).astype(jnp.float32)  # (B, *p4, 64)
 
@@ -239,12 +237,17 @@ def make_volume_corrector(
                 pos = (s4[0], s4[1], s4[2], 0)
                 cur = jax.lax.dynamic_slice(a_acc, pos, (*p4, 64))
                 return jax.lax.dynamic_update_slice(
-                    a_acc, cur + atten[i] * (gw_p * valid[i]), pos
+                    a_acc, cur + atten[i] * gw_p, pos
                 )
 
-            return jax.lax.fori_loop(0, batch_size, scatter, atten_acc), None
+            return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
 
-        atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+        if n_full:
+            atten_acc, _ = jax.lax.scan(
+                lambda a, s: (run_batch(a, s), None), atten_acc, starts_b
+            )
+        if rem:
+            atten_acc = run_batch(atten_acc, jnp.asarray(grid[n_full * batch_size :]))
         atten_full = depth_to_space(atten_acc[None], 4)[0, ..., 0]
         corrected = vol - atten_full / weight_sum
         corrected = jax.lax.dynamic_slice(
