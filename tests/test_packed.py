@@ -365,3 +365,35 @@ def test_repack_roundtrip_matches_s2d():
     f4 = space_to_depth(x, 4)
     assert jnp.array_equal(repack(f2, 2, 2, 3), f4)
     assert jnp.array_equal(unpack_repack(f4, 2, 2, 3), f2)
+
+
+def test_corrector_rejects_preconfigured_packed_generator():
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen = ResnetGenerator(layout="packed", packed_input=True, packed_output=True)
+    v = ResnetGenerator().init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1), jnp.float32), train=False
+    )
+    with pytest.raises(ValueError, match="plain full-resolution"):
+        CCTAContrastCorrector(gen, v["params"], v.get("batch_stats"),
+                              inference_patch_size=(16, 16, 16))
+
+
+def test_packed_io_rejects_extreme_overlap():
+    from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
+
+    with pytest.raises(ValueError, match="stride >= 4"):
+        make_volume_corrector(lambda x: x, patch_size=(16, 16, 16),
+                              overlap=0.9, packed_io=True)
+
+
+def test_builder_generator_args_layout_override():
+    from dataclasses import replace
+
+    from contrast_gan_3d_tpu.experiments import load_config
+    from contrast_gan_3d_tpu.experiments.builder import build
+
+    cfg = load_config("basic_3d")
+    cfg = replace(cfg, generator_args={**cfg.generator_args, "layout": "direct"})
+    assert build(cfg).generator.layout == "direct"
