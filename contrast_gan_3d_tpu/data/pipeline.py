@@ -47,11 +47,18 @@ class PrefetchLoader:
         self._sentinel = object()
         self._done_workers = 0
         self._done_lock = threading.Lock()
+        # exact-replay resume (num_threads == 1): every queue item carries
+        # the sampler state captured right AFTER its draw; get_state returns
+        # the state of the last batch actually SERVED, so queued-but-unseen
+        # batches are re-produced after a restore
+        self._last_state: Optional[Dict] = None
 
     # -- lifecycle (reference augmenters use restart/_finish) -------------
     def start(self):
         if self._threads:
             return
+        if self._last_state is None:
+            self._last_state = self.sampler.get_state()
         self._stop.clear()
         self._done_workers = 0
         self._queue = queue.Queue(maxsize=self.prefetch + self.num_threads)
@@ -74,9 +81,11 @@ class PrefetchLoader:
         self._threads = []
 
     def _worker(self):
+        track = self.num_threads == 1  # draw order is only defined then
         while not self._stop.is_set():
             try:
                 batch = self.sampler.next_batch()
+                state_after = self.sampler.get_state() if track else None
             except StopIteration:
                 with self._done_lock:
                     self._done_workers += 1
@@ -93,22 +102,27 @@ class PrefetchLoader:
                 batch["seg"] = put(batch["seg"])
             while not self._stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.5)
+                    self._queue.put((state_after, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     # -- resumable stream --------------------------------------------------
     def get_state(self) -> Dict:
-        """Snapshot the underlying sampler stream (see
-        ``CCTAPatchSampler.get_state``). Batches already sitting in the
-        prefetch queue are re-produced after a restore — at-least-once
-        delivery across a crash, exact replay from a quiescent snapshot."""
+        """Snapshot the stream at the CONSUMER's position: with one prefetch
+        thread this is the sampler state right after the last batch served,
+        so a restore replays exactly the batches not yet consumed (batches
+        sitting in the queue at save time are re-produced, none skipped).
+        With multiple threads the draw order is nondeterministic anyway and
+        the raw sampler state is returned (approximate resume)."""
+        if self.num_threads == 1 and self._last_state is not None:
+            return self._last_state
         return self.sampler.get_state()
 
     def set_state(self, state: Dict):
         assert not self._threads, "stop() the loader before set_state()"
         self.sampler.set_state(state)
+        self._last_state = state
 
     # -- iteration ---------------------------------------------------------
     def __next__(self) -> Dict:
@@ -130,7 +144,10 @@ class PrefetchLoader:
                 if all_done and self._queue.empty():
                     raise StopIteration
                 continue
-            return item
+            state_after, batch = item
+            if state_after is not None:
+                self._last_state = state_after
+            return batch
 
     def __iter__(self) -> Iterator[Dict]:
         return self

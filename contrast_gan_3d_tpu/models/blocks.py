@@ -61,9 +61,12 @@ class S2DConv(nn.Module):
 
 
 class D2STConv(nn.Module):
-    """Stride-2 SAME 3D transpose conv computed as a dense stride-1 conv with
-    s^3-packed output channels + depth-to-space (``ops/s2d_conv.d2s_tconv3d``)
-    — MXU-shaped. Param structure identical to ``nn.ConvTranspose``."""
+    """Stride-2 size-preserving 3D transpose conv computed as a dense
+    stride-1 conv with s^3-packed output channels + depth-to-space
+    (``ops/s2d_conv.d2s_tconv3d``) — MXU-shaped. Param structure identical
+    to ``nn.ConvTranspose``; ``convention`` picks the window placement
+    ("torch" = reference-checkpoint parity, "same" = flax SAME — one voxel
+    apart, see ops/s2d_conv.d2s_tconv3d)."""
 
     features: int
     kernel_size: Tuple[int, int, int]

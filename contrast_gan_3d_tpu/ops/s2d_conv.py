@@ -114,11 +114,14 @@ def d2s_tconv3d(
     generator's upsampling layers: 8x the output channels). x: (B, X, Y, Z,
     Ci); w: (k, k, k, Ci, Co); output (B, sX, sY, sZ, Co).
 
-    ``convention``: window placement of the size-preserving output.
-    - "torch": torch ``ConvTranspose(k, s, p=(k-1)//2, op=s-1)`` — what
-      ``blocks.ConvBlock`` uses (weight-port parity with the reference).
-      This is the flax-"same" output shifted one voxel: full[1 : sN+1].
-    - "same": flax ``ConvTranspose(padding='SAME')`` = full[0 : sN].
+    ``convention``: window placement of the size-preserving output. The two
+    placements are one voxel apart; pick the one matching your weights.
+    - "torch" (this function's default): torch ``ConvTranspose(k, s,
+      p=(k-1)//2, op=s-1)`` = full[1 : sN+1] — REQUIRED for weight-port
+      parity with reference checkpoints (``utils/torch_port``).
+    - "same": flax ``ConvTranspose(padding='SAME')`` = full[0 : sN] — what
+      ``blocks.ConvBlock`` uses by DEFAULT for from-scratch training
+      (``tconv_placement="same"``, ~7%% faster whole train step; PERF.md).
     """
     kx, ky, kz, ci, co = w.shape
     s = stride

@@ -32,6 +32,11 @@ from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 
 logger = create_logger(name=__name__)
 
+# largest accepted request body: a (1024, 1024, 1024) int16 volume (2 GiB)
+# plus npy header slack — protects the warm daemon from memory exhaustion
+# via huge/forged Content-Length (the server binds non-loopback by default)
+MAX_BODY_BYTES = 2 * 1024**3 + 4096
+
 
 class CorrectionService:
     """Wraps a corrector with warmup, device serialization and stats."""
@@ -110,6 +115,9 @@ def _make_handler(service: CorrectionService):
                 return self._json(404, {"error": f"unknown path {self.path}"})
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY_BYTES:
+                    self.send_error(413, f"body {length} B > {MAX_BODY_BYTES} B cap")
+                    return
                 volume = np.load(io.BytesIO(self.rfile.read(length)))
                 corrected = service.correct(volume)
                 if self.headers.get("X-Response-Dtype") == "int16":

@@ -92,6 +92,8 @@ def save_checkpoint(
             )
             for old in ckpts[:-keep]:
                 old.unlink(missing_ok=True)
+                # the data-stream sidecar of a pruned step is useless
+                (old.parent / f"{old.stem}.data.pkl").unlink(missing_ok=True)
 
     if async_:
         threading.Thread(target=_write, name=f"ckpt-{step}", daemon=True).start()

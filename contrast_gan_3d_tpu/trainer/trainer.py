@@ -341,8 +341,13 @@ class Trainer:
             k: l for k, l in loaders.items()
             if hasattr(l, "get_state") and hasattr(l, "set_state")
         }
-        if not stateful or len(stateful) != len(loaders):
+        if not stateful:
             return
+        if len(stateful) != len(loaders):
+            logger.warning(
+                "data-stream checkpointing covers loaders %s only (the "
+                "others have no get_state/set_state)", sorted(stateful),
+            )
         if action == "save":
             ckpt_lib.save_data_state(stateful, self.cfg.checkpoint_dir, step)
         else:

@@ -29,8 +29,11 @@ def main():
     p.add_argument("--port", type=int, default=8390)
     p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
     p.add_argument("--overlap", type=float, default=0.25)
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--batch", type=int, default=None,
+                   help="patches per forward (default: corrector auto)")
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16",
+                   help="compute dtype (float32 = strict-parity serving)")
     p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
                    help="pre-compile for this volume shape (e.g. 512 512 400)")
     args = p.parse_args()
@@ -42,7 +45,8 @@ def main():
 
     kwargs = dict(
         inference_patch_size=tuple(args.patch), overlap=args.overlap,
-        batch_size=args.batch, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        batch_size=args.batch,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     if args.reference_pt:
         corrector = CCTAContrastCorrector.from_reference_checkpoint(

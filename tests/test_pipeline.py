@@ -110,3 +110,31 @@ def test_prefetch_loader_finite_terminates(tmp_path, rng):
     seen = sum(b["data"].shape[0] for b in loader)
     assert seen == len(paths)
     loader.stop()
+
+
+def test_prefetch_loader_exact_replay_across_queue(tmp_path, rng):
+    """get_state points at the CONSUMER's position: batches prefetched into
+    the queue but not yet served must be re-produced after a restore."""
+    fold = make_dataset(tmp_path, rng, n_per_label=2)
+    paths = [p for p, _ in fold]
+
+    def mk():
+        s = CCTAPatchSampler(paths, PATCH, batch_size=2,
+                             rng=np.random.default_rng(7))
+        return PrefetchLoader(s, num_threads=1, prefetch=3, to_device=False)
+
+    loader = mk()
+    loader.start()
+    for _ in range(2):
+        next(loader)  # consume 2; more batches sit prefetched in the queue
+    state = loader.get_state()
+    expected = [next(loader)["data"].copy() for _ in range(4)]
+    loader.stop()
+
+    resumed = mk()
+    resumed.set_state(state)
+    resumed.start()
+    got = [next(resumed)["data"].copy() for _ in range(4)]
+    resumed.stop()
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
