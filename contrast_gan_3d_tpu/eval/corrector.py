@@ -47,10 +47,20 @@ class CCTAContrastCorrector:
         scaler: Scaler = FactorZeroCenterScaler(),
         dtype=jnp.float32,
         layout: str = "auto",
+        z_bucket: int = 0,
     ):
         self.generator = generator
         self.scaler = scaler
         self.is_2d = len(inference_patch_size) == 2
+        # jitted correction retraces per distinct volume shape (slow first
+        # hits for a warm daemon / mixed cohorts): z_bucket > 0 edge-pads the
+        # z extent up to the next multiple before correcting and crops back,
+        # bounding the number of compiled programs. Off by default: the
+        # padded extent changes the z patch grid, i.e. the Gaussian blend
+        # weights — irrelevant for trained (smooth) attenuation fields (same
+        # argument as the 25-vs-50%-overlap study, PERF.md) but not
+        # bit-identical to the unpadded grid.
+        self.z_bucket = int(z_bucket)
 
         variables = {"params": generator_params}
         if generator_stats:
@@ -213,6 +223,11 @@ class CCTAContrastCorrector:
         volume = jnp.asarray(volume)
         if self.is_2d:
             return self._correct_2d(volume)
+        if self.z_bucket > 0 and volume.shape[2] % self.z_bucket:
+            d = volume.shape[2]
+            pad = self.z_bucket - d % self.z_bucket
+            padded = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
+            return self.correct_volume(padded)[:, :, :d]
         return self.correct_volume(volume)
 
     # ------------------------------------------------------------------

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16",
                    help="compute dtype (float32 = strict-parity serving)")
+    p.add_argument("--z-bucket", type=int, default=64,
+                   help="pad volume z to this multiple before correcting "
+                        "(bounds recompiles for mixed z extents; 0 = off)")
     p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
                    help="pre-compile for this volume shape (e.g. 512 512 400)")
     args = p.parse_args()
@@ -45,7 +48,7 @@ def main():
 
     kwargs = dict(
         inference_patch_size=tuple(args.patch), overlap=args.overlap,
-        batch_size=args.batch,
+        batch_size=args.batch, z_bucket=args.z_bucket,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     if args.reference_pt:

@@ -51,3 +51,29 @@ def test_correct_then_measure_hu_shift(tmp_path, rng):
     assert np.abs(d).max() <= 600 + 1
     summary = hds.summarize_hu_shift(corr)
     assert all(np.isfinite(v["mean"]) for v in summary.values())
+
+
+def test_corrector_z_bucket(rng):
+    """z_bucket pads/crops around the jitted correction; output shape exact
+    and values near the identity-path result."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1,
+                          init_channels_out=2)
+    v = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
+    vol = rng.integers(-800, 600, (20, 20, 18), dtype=np.int16)
+    base = CCTAContrastCorrector(gen, v["params"], v.get("batch_stats"),
+                                 inference_patch_size=(16, 16, 16), batch_size=2)
+    bucketed = CCTAContrastCorrector(gen, v["params"], v.get("batch_stats"),
+                                     inference_patch_size=(16, 16, 16),
+                                     batch_size=2, z_bucket=8)
+    out_b = np.asarray(bucketed(vol))
+    assert out_b.shape == vol.shape
+    # bucketing == manual edge-pad + correct + crop (exact)
+    padded = np.pad(vol, ((0, 0), (0, 0), (0, 6)), mode="edge")
+    ref = np.asarray(base(padded))[:, :, :18]
+    np.testing.assert_allclose(out_b, ref, atol=1e-3)
