@@ -14,8 +14,10 @@ PATCH = (16, 16, 16)
 
 
 @pytest.mark.parametrize("weight_clip", [0.01, None])
-def test_split_equals_combined(rng, weight_clip):
-    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+@pytest.mark.parametrize("layout", ["direct", "packed"])
+def test_split_equals_combined(rng, weight_clip, layout):
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1,
+                          init_channels_out=2, layout=layout)
     critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
     tx = make_optimizer(lr=1e-3)
     cfg = StepConfig(weight_clip=weight_clip, augment=None)
