@@ -31,10 +31,12 @@ def _tiny_models():
 
 
 @pytest.mark.slow
-def test_data_parallel_step_matches_single_device(rng):
+@pytest.mark.parametrize("layout", ["direct", "packed"])
+def test_data_parallel_step_matches_single_device(rng, layout):
     """The DP-compiled combined step must produce the same new params as the
     single-device program on the same global batch (GSPMD correctness)."""
     gen, critic = _tiny_models()
+    gen = gen.clone(layout=layout)
     tx = make_optimizer(lr=1e-3)
     cfg = StepConfig(augment=None)  # deterministic: no augmentation
 
