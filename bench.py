@@ -16,8 +16,8 @@ in < 2 s. The default run prints, in order:
    the 350-450 HU target corridor.
 
 Since the block-space ("packed") corrector landed, BOTH overlap settings
-beat the < 2 s target on the v5e bench chip (0.655 s @ 25%, 1.649 s @ 50%
-at the default batch 16 with remainder batches).
+beat the < 2 s target on the v5e bench chip (0.616 s @ 25%, 1.540 s @ 50%
+at the default batch 24 with remainder batches).
 
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
 it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
@@ -141,8 +141,8 @@ def bench_inference(overlap: float, headline: bool):
     shape = (512, 512, 400)
     patch = (128, 128, 128)
     packed_bench = os.environ.get("BENCH_LAYOUT", "packed") == "packed"
-    # packed fits batch 16 (fastest — sweep in PERF.md); direct OOMs above 8
-    batch = int(os.environ.get("BENCH_BATCH", "16" if packed_bench else "8"))
+    # packed fits batch 24 (fastest — sweep in PERF.md); direct OOMs above 8
+    batch = int(os.environ.get("BENCH_BATCH", "24" if packed_bench else "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # flagship generator, bf16 compute / f32 params (MXU-native)

@@ -41,8 +41,8 @@ class CCTAContrastCorrector:
         generator_stats=None,
         inference_patch_size: Tuple[int, ...] = (128, 128, 128),
         overlap: float = 0.5,
-        # None -> 16 for the packed sliding window (fastest of {4, 8, 16},
-        # fits HBM — PERF.md), 8 for the direct fallback (16 OOMs there)
+        # None -> 24 for the packed sliding window (fastest of {4..32},
+        # fits HBM — PERF.md), 8 for the direct fallback (16+ OOMs there)
         batch_size: int | None = None,
         scaler: Scaler = FactorZeroCenterScaler(),
         dtype=jnp.float32,
@@ -75,7 +75,7 @@ class CCTAContrastCorrector:
         self.overlap = overlap
 
         # layout="auto": run the sliding window in block space (ops/packed —
-        # 0.655 s @ 25% / 1.649 s @ 50% overlap per 512x512x400 volume vs
+        # 0.616 s @ 25% / 1.540 s @ 50% overlap per 512x512x400 volume vs
         # 1.82 / 5.11 s direct) whenever the generator supports it; "direct"
         # forces the reference-shaped path. Numerics are identical
         # (tests/test_packed.py).
@@ -106,7 +106,7 @@ class CCTAContrastCorrector:
         )
         if layout == "packed" and not packed:
             raise ValueError("layout='packed' unsupported for this generator/patch")
-        self.batch_size = batch_size if batch_size is not None else (16 if packed else 8)
+        self.batch_size = batch_size if batch_size is not None else (24 if packed else 8)
         batch_size = self.batch_size
 
         if self.is_2d:
