@@ -75,16 +75,18 @@ void trilinear_f32(
     const long sy = D, sx = H * D;
     for (long i = 0; i < n; ++i) {
         float xf = xs[i], yf = ys[i], zf = zs[i];
-        // clamp the floor FIRST, then take the fraction against the clamped
-        // base (reference fast_trilinear / geometry.trilinear_interpolate
-        // semantics for out-of-range coordinates)
-        const long x0 = std::min(std::max((long)std::floor(xf), 0L), W - 1);
-        const long y0 = std::min(std::max((long)std::floor(yf), 0L), H - 1);
-        const long z0 = std::min(std::max((long)std::floor(zf), 0L), D - 1);
+        // reference fast_trilinear semantics: base index TRUNCATES toward
+        // zero (np .astype(int64)), the +1 neighbor is clipped independently
+        // of the clipped base, and the fraction is taken against the clamped
+        // base — exact even for deep out-of-range coordinates
+        const long x0p = (long)xf, y0p = (long)yf, z0p = (long)zf;
+        const long x0 = std::min(std::max(x0p, 0L), W - 1);
+        const long y0 = std::min(std::max(y0p, 0L), H - 1);
+        const long z0 = std::min(std::max(z0p, 0L), D - 1);
         const float fx = xf - x0, fy = yf - y0, fz = zf - z0;
-        const long x1 = std::min(x0 + 1L, W - 1);
-        const long y1 = std::min(y0 + 1L, H - 1);
-        const long z1 = std::min(z0 + 1L, D - 1);
+        const long x1 = std::min(std::max(x0p + 1L, 0L), W - 1);
+        const long y1 = std::min(std::max(y0p + 1L, 0L), H - 1);
+        const long z1 = std::min(std::max(z0p + 1L, 0L), D - 1);
 
         const float c000 = vol[x0 * sx + y0 * sy + z0];
         const float c100 = vol[x1 * sx + y0 * sy + z0];

@@ -40,14 +40,20 @@ def trilinear_interpolate(
     volume: np.ndarray, xs: np.ndarray, ys: np.ndarray, zs: np.ndarray
 ) -> np.ndarray:
     """Vectorized trilinear interpolation at fractional voxel coordinates with
-    clamp-to-edge boundary handling (reference ``fast_trilinear``)."""
+    clamp-to-edge boundary handling (reference ``fast_trilinear``,
+    geometry.py:30-58 — exact semantics: the base index truncates toward zero
+    and the +1 neighbor is clipped independently of the clipped base, so even
+    deep out-of-range coordinates extrapolate identically)."""
     shape = volume.shape
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, shape[0] - 1)
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, shape[1] - 1)
-    z0 = np.clip(np.floor(zs).astype(np.int64), 0, shape[2] - 1)
-    x1 = np.clip(x0 + 1, 0, shape[0] - 1)
-    y1 = np.clip(y0 + 1, 0, shape[1] - 1)
-    z1 = np.clip(z0 + 1, 0, shape[2] - 1)
+    x0p = np.asarray(xs).astype(np.int64)
+    y0p = np.asarray(ys).astype(np.int64)
+    z0p = np.asarray(zs).astype(np.int64)
+    x0 = np.clip(x0p, 0, shape[0] - 1)
+    y0 = np.clip(y0p, 0, shape[1] - 1)
+    z0 = np.clip(z0p, 0, shape[2] - 1)
+    x1 = np.clip(x0p + 1, 0, shape[0] - 1)
+    y1 = np.clip(y0p + 1, 0, shape[1] - 1)
+    z1 = np.clip(z0p + 1, 0, shape[2] - 1)
 
     fx, fy, fz = xs - x0, ys - y0, zs - z0
     c000 = volume[x0, y0, z0]
@@ -124,7 +130,13 @@ def get_patch_bounds(
     target_shape: Sequence[int], source_shape: Sequence[int], coords: np.ndarray
 ) -> np.ndarray:
     """Bounding box of shape ``target_shape`` centered on ``coords``, clamped
-    inside ``source_shape`` (reference ``get_patch_bounds``, geometry.py:131-138)."""
+    inside ``source_shape`` (reference ``get_patch_bounds``, geometry.py:131-138).
+
+    Deliberate divergence: -1 target dims are resolved to the source dim
+    BEFORE clamping. The reference resolves them only for ``half``, so a -1
+    dim clamped at the low edge yields a degenerate ``[0, -1]`` window whose
+    ``slice(0, -1)`` silently drops the last row (pinned by
+    ``tests/test_reference_parity_numpy.py``)."""
     target = utils.parse_patch_size(target_shape, source_shape)
     half = target // 2
     coords = np.asarray(coords)
