@@ -89,6 +89,21 @@ def ref():
         load_pickle=lambda *a, **k: None, write_pickle=lambda *a, **k: None,
     )
 
+    # HU_distribution_shift imports trainer.utils (-> batchgenerators/wandb);
+    # stub just the one helper it calls, BEFORE the import machinery can try
+    # to execute the real trainer/utils.py
+    def _divide_scans_in_fold(fold):
+        out = {}
+        for path, label in fold:
+            out.setdefault(label, []).append(path)
+        return out
+
+    trainer_pkg = _ensure_stub("contrast_gan_3D.trainer")
+    tr_utils = _ensure_stub(
+        "contrast_gan_3D.trainer.utils", divide_scans_in_fold=_divide_scans_in_fold
+    )
+    trainer_pkg.utils = tr_utils
+
     mods = {}
     for name in (
         "constants",
@@ -98,6 +113,7 @@ def ref():
         "data.Scaler",
         "data.utils",
         "eval.marker_recall_rate",
+        "eval.HU_distribution_shift",
     ):
         mods[name] = importlib.import_module(f"contrast_gan_3D.{name}")
     mods["ScanType"] = sys.modules["contrast_gan_3D.alias"].ScanType
@@ -384,6 +400,73 @@ def test_marker_recall_pipeline_parity(ref, rng, tmp_path):
         assert set(want_sum[bucket]) == set(got_sum[bucket])
         for art, recall in want_sum[bucket].items():
             assert got_sum[bucket][art] == pytest.approx(recall, abs=1e-12)
+
+
+def test_load_mevis_coords_parity(ref, tmp_path):
+    io_ref = ref["utils.io_utils"]
+    xml = tmp_path / "ostia.xml"
+    xml.write_text(
+        "<ListSize>2</ListSize>\n"
+        "<pos>1.5 -2.25 30.0</pos>\n<vec>0.0 0.5 1.0</vec>\n"
+        "<pos>-4.5 8.125 12.5</pos>\n<vec>1.0 0.0 0.25</vec>\n"
+    )
+    want_pts, want_vecs = io_ref.load_mevis_coords(xml)
+    got_pts, got_vecs = our_io.load_mevis_coords(xml)
+    np.testing.assert_allclose(got_pts, want_pts)
+    np.testing.assert_allclose(got_vecs, want_vecs)
+
+
+# ---------------------------------------------------------------- HU shift
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")  # reference mp.Pool fork
+def test_hu_distribution_shift_pipeline_parity(ref, rng, tmp_path, monkeypatch):
+    """Full voxel-collection pipeline (mask rasterization -> masked gathers ->
+    per-ScanType aggregation) on identical on-disk patients. The reference's
+    ``load_sitk_image`` is monkeypatched to our .mhd reader (the readers
+    themselves are covered by the io goldens tests), so what's under test is
+    reference HU_distribution_shift.py:14-74 logic vs ours."""
+    hu_ref = ref["eval.HU_distribution_shift"]
+    io_ref = ref["utils.io_utils"]
+    from contrast_gan_3d_tpu.eval import hu_distribution_shift as our_hu
+
+    spacing = np.array([0.5, 0.5, 0.7])
+    origin = np.array([-5.0, -4.0, -3.0])
+    eval_paths = []
+    for i, label in enumerate([0, -1, 1]):
+        vol = rng.integers(-500, 900, (24, 20, 16), dtype=np.int16)
+        scan = tmp_path / f"scan{i}.mhd"
+        our_io.write_mhd(vol, scan, spacing=spacing, origin=origin)
+        myo = rng.random((24, 20, 16)) < 0.2
+        myo_path = tmp_path / f"myo{i}.mhd"
+        our_io.write_mhd(myo.astype(np.uint8), myo_path, spacing=spacing, origin=origin)
+        cdir = tmp_path / f"ctls{i}"
+        cdir.mkdir()
+        pts_img = rng.uniform(0, (23, 19, 15), (40, 3))
+        pts_world = pts_img * spacing + origin
+        np.savetxt(cdir / "vessel0.txt", np.hstack([pts_world, np.ones((40, 1))]))
+        ostia_world = pts_world[:2]
+        (cdir / "ostia.xml").write_text(
+            "<ListSize>2</ListSize>\n"
+            + "".join(
+                f"<pos>{x} {y} {z}</pos>\n<vec>0 0 1</vec>\n" for x, y, z in ostia_world
+            )
+        )
+        eval_paths.append(([str(scan), str(cdir), str(myo_path)], label))
+
+    monkeypatch.setattr(
+        io_ref, "load_sitk_image",
+        lambda p, segmentation=False: our_io.load_scan(p, segmentation=segmentation),
+    )
+    want = hu_ref.collect_voxels_intensity(eval_paths, processes=2)
+    got = our_hu.collect_voxels_intensity(eval_paths, workers=2)
+
+    want_by_val = {st.value: d for st, d in want.items()}
+    got_by_val = {st.value: d for st, d in got.items()}
+    assert set(want_by_val) == set(got_by_val) == {-1, 0, 1}
+    for val, by_region in want_by_val.items():
+        assert set(by_region) == {"centerlines", "ostia", "myocardium"}
+        assert set(got_by_val[val]) == set(by_region)
+        for region, vals in by_region.items():
+            np.testing.assert_array_equal(got_by_val[val][region], vals)
 
 
 def test_marker_recall_rate_fn_parity(ref, rng):
