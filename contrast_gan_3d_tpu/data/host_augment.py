@@ -6,9 +6,10 @@ p=0.2; reference ``experiments/basic_conf.py:88-113``), but executed by
 ``native.warp_augment_int16`` on the host inside the async prefetch workers.
 Rationale: TPUs are extremely slow at data-dependent gathers — the device
 trilinear warp measured 1.4 s for 8x128^3 patches on v5e, ~60% of a whole
-train step — while the C++ warp is ~30 ms/patch on host and fully overlaps
-with device compute. The device path remains available (StepConfig.augment)
-for hosts without a toolchain."""
+train step — while the C++ warp (AVX-512 16-wide z-lines with gather-based
+trilinear taps + OpenMP slab-split) is ~11 ms/patch on one host core and
+fully overlaps with device compute. The device path remains available
+(StepConfig.augment) for hosts without a toolchain."""
 
 import threading
 from dataclasses import dataclass, field

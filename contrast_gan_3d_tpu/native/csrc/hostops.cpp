@@ -22,6 +22,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // Copy a (px, py, pz, C) window starting at (sx, sy, sz) — which MAY be
@@ -149,10 +153,10 @@ void warp_augment_int16(
 
     // per-axis half-pixel coarse-field cells and fractions:
     //   src = clamp((dst + 0.5) * G / dim - 0.5, 0, G - 1)
-    std::vector<long> gxs, gys, gzs;
+    std::vector<int> gxs, gys, gzs;
     std::vector<float> axs, ays, azs;
     if (coarse) {
-        auto fill = [G](std::vector<long>& cells, std::vector<float>& fracs, long dim) {
+        auto fill = [G](std::vector<int>& cells, std::vector<float>& fracs, long dim) {
             cells.resize(dim);
             fracs.resize(dim);
             const float scale = (float)G / (float)dim;
@@ -160,7 +164,7 @@ void warp_augment_int16(
                 float f = (i + 0.5f) * scale - 0.5f;
                 f = std::min(std::max(f, 0.f), (float)(G - 1));
                 long c = std::min(std::max((long)f, 0L), std::max(G - 2, 0L));
-                cells[i] = c;
+                cells[i] = (int)c;
                 fracs[i] = f - c;
             }
         };
@@ -169,13 +173,26 @@ void warp_augment_int16(
         fill(gzs, azs, D);
     }
 
+#if defined(__AVX512F__)
+    // 16-wide z-line kernel: the gathers dominate (8 trilinear taps + 1
+    // nearest mask tap per voxel); vpgatherdd on 32-bit windows at int16
+    // element offsets reads {scan[i], scan[i+1]} in one go — capped at
+    // element N-2 with a high-half select for i == N-1, so no scratch
+    // copies and no out-of-bounds reads. Tails use lane masks.
+    const bool use_simd = W * H * D >= 2 && W * H * D < (1L << 31);
+#else
+    const bool use_simd = false;
+#endif
+
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
     for (long x = 0; x < W; ++x) {
         const float rx = x - cx;
-        // xy-bilerped coarse z-lines for the current (x, y): Ez[gz*3 + c]
-        std::vector<float> Ez(coarse ? (size_t)G * 3 : 0);
+        // xy-bilerped coarse z-lines for the current (x, y), per component
+        std::vector<float> EzX(coarse ? (size_t)G : 0);
+        std::vector<float> EzY(coarse ? (size_t)G : 0);
+        std::vector<float> EzZ(coarse ? (size_t)G : 0);
         for (long y = 0; y < H; ++y) {
             const float ry = y - cy;
             // affine coords accumulate along z: p(z) = b + a_col2 * z
@@ -195,14 +212,187 @@ void warp_augment_int16(
                 const float* r10 = coarse + gx1 * gss + gy * gs;
                 const float* r01 = coarse + gx * gss + gy1 * gs;
                 const float* r11 = coarse + gx1 * gss + gy1 * gs;
-                for (long gz = 0; gz < G; ++gz)
-                    for (int c = 0; c < 3; ++c)
-                        Ez[gz * 3 + c] = w00 * r00[gz * 3 + c] + w10 * r10[gz * 3 + c]
-                                       + w01 * r01[gz * 3 + c] + w11 * r11[gz * 3 + c];
+                for (long gz = 0; gz < G; ++gz) {
+                    EzX[gz] = w00 * r00[gz * 3 + 0] + w10 * r10[gz * 3 + 0]
+                            + w01 * r01[gz * 3 + 0] + w11 * r11[gz * 3 + 0];
+                    EzY[gz] = w00 * r00[gz * 3 + 1] + w10 * r10[gz * 3 + 1]
+                            + w01 * r01[gz * 3 + 1] + w11 * r11[gz * 3 + 1];
+                    EzZ[gz] = w00 * r00[gz * 3 + 2] + w10 * r10[gz * 3 + 2]
+                            + w01 * r01[gz * 3 + 2] + w11 * r11[gz * 3 + 2];
+                }
             }
 
             int16_t* __restrict os = out_scan + x * sx + y * sy;
             int16_t* __restrict og = out_seg + x * sx + y * sy;
+
+#if defined(__AVX512F__)
+            if (use_simd) {
+                const __m512i iota = _mm512_set_epi32(
+                    15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+                const __m512i vzero = _mm512_setzero_si512();
+                const __m512i vone = _mm512_set1_epi32(1);
+                const __m512 fone = _mm512_set1_ps(1.f);
+                const __m512 fhalf = _mm512_set1_ps(0.5f);
+                const __m512i vW1 = _mm512_set1_epi32((int)W - 1);
+                const __m512i vH1 = _mm512_set1_epi32((int)H - 1);
+                const __m512i vD1 = _mm512_set1_epi32((int)D - 1);
+                const __m512i vsx = _mm512_set1_epi32((int)sx);
+                const __m512i vsy = _mm512_set1_epi32((int)sy);
+                const __m512i vcap = _mm512_set1_epi32((int)(W * H * D) - 2);
+                const __m512 va2 = _mm512_set1_ps(affine[2]);
+                const __m512 va5 = _mm512_set1_ps(affine[5]);
+                const __m512 va8 = _mm512_set1_ps(affine[8]);
+                const __m512 vbx = _mm512_set1_ps(bx);
+                const __m512 vby = _mm512_set1_ps(by);
+                const __m512 vbz = _mm512_set1_ps(bz);
+                const __m512i vG1 = _mm512_set1_epi32((int)G - 1);
+                const __m512 vamp0 = coarse ? _mm512_set1_ps(amp[0]) : fone;
+                const __m512 vamp1 = coarse ? _mm512_set1_ps(amp[1]) : fone;
+                const __m512 vamp2 = coarse ? _mm512_set1_ps(amp[2]) : fone;
+
+                for (long z = 0; z < D; z += 16) {
+                    const int rem = (int)std::min((long)16, D - z);
+                    const __mmask16 m =
+                        rem == 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << rem) - 1u);
+
+                    const __m512i vzi = _mm512_add_epi32(_mm512_set1_epi32((int)z), iota);
+                    const __m512 vz = _mm512_cvtepi32_ps(vzi);
+                    __m512 xs = _mm512_fmadd_ps(va2, vz, vbx);
+                    __m512 ys = _mm512_fmadd_ps(va5, vz, vby);
+                    __m512 zs = _mm512_fmadd_ps(va8, vz, vbz);
+
+                    if (coarse) {
+                        const __m512i gz = _mm512_maskz_loadu_epi32(m, gzs.data() + z);
+                        const __m512 az = _mm512_maskz_loadu_ps(m, azs.data() + z);
+                        const __m512i gz1 =
+                            _mm512_min_epi32(_mm512_add_epi32(gz, vone), vG1);
+                        const __m512 raz = _mm512_sub_ps(fone, az);
+                        __m512 e0 = _mm512_i32gather_ps(gz, EzX.data(), 4);
+                        __m512 e1 = _mm512_i32gather_ps(gz1, EzX.data(), 4);
+                        xs = _mm512_fmadd_ps(
+                            vamp0,
+                            _mm512_add_ps(_mm512_mul_ps(e0, raz), _mm512_mul_ps(e1, az)),
+                            xs);
+                        e0 = _mm512_i32gather_ps(gz, EzY.data(), 4);
+                        e1 = _mm512_i32gather_ps(gz1, EzY.data(), 4);
+                        ys = _mm512_fmadd_ps(
+                            vamp1,
+                            _mm512_add_ps(_mm512_mul_ps(e0, raz), _mm512_mul_ps(e1, az)),
+                            ys);
+                        e0 = _mm512_i32gather_ps(gz, EzZ.data(), 4);
+                        e1 = _mm512_i32gather_ps(gz1, EzZ.data(), 4);
+                        zs = _mm512_fmadd_ps(
+                            vamp2,
+                            _mm512_add_ps(_mm512_mul_ps(e0, raz), _mm512_mul_ps(e1, az)),
+                            zs);
+                    }
+
+                    // floor, clamp, fraction vs clamped base (matches scalar)
+                    const __m512i fl_x = _mm512_cvt_roundps_epi32(
+                        xs, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    const __m512i fl_y = _mm512_cvt_roundps_epi32(
+                        ys, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    const __m512i fl_z = _mm512_cvt_roundps_epi32(
+                        zs, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    const __m512i x0 =
+                        _mm512_min_epi32(_mm512_max_epi32(fl_x, vzero), vW1);
+                    const __m512i y0 =
+                        _mm512_min_epi32(_mm512_max_epi32(fl_y, vzero), vH1);
+                    const __m512i z0 =
+                        _mm512_min_epi32(_mm512_max_epi32(fl_z, vzero), vD1);
+                    const __m512 fx = _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0));
+                    const __m512 fy = _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0));
+                    const __m512 fz = _mm512_sub_ps(zs, _mm512_cvtepi32_ps(z0));
+                    const __m512i x1 = _mm512_min_epi32(_mm512_add_epi32(x0, vone), vW1);
+                    const __m512i y1 = _mm512_min_epi32(_mm512_add_epi32(y0, vone), vH1);
+                    const __m512i z1 = _mm512_min_epi32(_mm512_add_epi32(z0, vone), vD1);
+                    const __m512 gx = _mm512_sub_ps(fone, fx);
+                    const __m512 gy = _mm512_sub_ps(fone, fy);
+                    const __m512 gz_w = _mm512_sub_ps(fone, fz);
+
+                    const __m512i b00 = _mm512_add_epi32(
+                        _mm512_mullo_epi32(x0, vsx), _mm512_mullo_epi32(y0, vsy));
+                    const __m512i b10 = _mm512_add_epi32(
+                        _mm512_mullo_epi32(x1, vsx), _mm512_mullo_epi32(y0, vsy));
+                    const __m512i b01 = _mm512_add_epi32(
+                        _mm512_mullo_epi32(x0, vsx), _mm512_mullo_epi32(y1, vsy));
+                    const __m512i b11 = _mm512_add_epi32(
+                        _mm512_mullo_epi32(x1, vsx), _mm512_mullo_epi32(y1, vsy));
+
+                    // capped 32-bit gather of an int16 element: low half at
+                    // i <= N-2, high half of the window at N-2 for i == N-1
+                    auto tap = [&](const int16_t* base, __m512i idx) -> __m512i {
+                        const __m512i capped = _mm512_min_epi32(idx, vcap);
+                        const __m512i g = _mm512_mask_i32gather_epi32(
+                            vzero, m, capped, (const void*)base, 2);
+                        const __mmask16 hi = _mm512_cmpgt_epi32_mask(idx, vcap);
+                        const __m512i lo16 =
+                            _mm512_srai_epi32(_mm512_slli_epi32(g, 16), 16);
+                        const __m512i hi16 = _mm512_srai_epi32(g, 16);
+                        return _mm512_mask_blend_epi32(hi, lo16, hi16);
+                    };
+                    auto tapf = [&](__m512i idx) -> __m512 {
+                        return _mm512_cvtepi32_ps(tap(scan, idx));
+                    };
+
+                    const __m512 wgg = _mm512_mul_ps(gy, gz_w);
+                    const __m512 wfg = _mm512_mul_ps(fy, gz_w);
+                    const __m512 wgf = _mm512_mul_ps(gy, fz);
+                    const __m512 wff = _mm512_mul_ps(fy, fz);
+                    __m512 v = _mm512_mul_ps(
+                        tapf(_mm512_add_epi32(b00, z0)), _mm512_mul_ps(gx, wgg));
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b10, z0)), _mm512_mul_ps(fx, wgg), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b01, z0)), _mm512_mul_ps(gx, wfg), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b00, z1)), _mm512_mul_ps(gx, wgf), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b11, z0)), _mm512_mul_ps(fx, wfg), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b10, z1)), _mm512_mul_ps(fx, wgf), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b01, z1)), _mm512_mul_ps(gx, wff), v);
+                    v = _mm512_fmadd_ps(
+                        tapf(_mm512_add_epi32(b11, z1)), _mm512_mul_ps(fx, wff), v);
+
+                    const __m512i vi = _mm512_cvt_roundps_epi32(
+                        _mm512_add_ps(v, fhalf),
+                        _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                    _mm512_mask_cvtepi32_storeu_epi16(os + z, m, vi);
+
+                    // nearest-neighbour mask sample
+                    const __m512i xn = _mm512_min_epi32(
+                        _mm512_max_epi32(
+                            _mm512_cvt_roundps_epi32(
+                                _mm512_add_ps(xs, fhalf),
+                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                            vzero),
+                        vW1);
+                    const __m512i yn = _mm512_min_epi32(
+                        _mm512_max_epi32(
+                            _mm512_cvt_roundps_epi32(
+                                _mm512_add_ps(ys, fhalf),
+                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                            vzero),
+                        vH1);
+                    const __m512i zn = _mm512_min_epi32(
+                        _mm512_max_epi32(
+                            _mm512_cvt_roundps_epi32(
+                                _mm512_add_ps(zs, fhalf),
+                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                            vzero),
+                        vD1);
+                    const __m512i sidx = _mm512_add_epi32(
+                        _mm512_add_epi32(
+                            _mm512_mullo_epi32(xn, vsx), _mm512_mullo_epi32(yn, vsy)),
+                        zn);
+                    _mm512_mask_cvtepi32_storeu_epi16(og + z, m, tap(seg, sidx));
+                }
+                continue;  // next y
+            }
+#endif  // __AVX512F__
+
             for (long z = 0; z < D; ++z) {
                 float xs = bx + affine[2] * z;
                 float ys = by + affine[5] * z;
@@ -210,12 +400,11 @@ void warp_augment_int16(
 
                 if (coarse) {
                     const long gz = gzs[z];
+                    const long gz1 = std::min(gz + 1, G - 1);
                     const float az = azs[z];
-                    const float* e0 = &Ez[gz * 3];
-                    const float* e1 = &Ez[std::min(gz + 1, G - 1) * 3];
-                    xs += amp[0] * (e0[0] * (1 - az) + e1[0] * az);
-                    ys += amp[1] * (e0[1] * (1 - az) + e1[1] * az);
-                    zs += amp[2] * (e0[2] * (1 - az) + e1[2] * az);
+                    xs += amp[0] * (EzX[gz] * (1 - az) + EzX[gz1] * az);
+                    ys += amp[1] * (EzY[gz] * (1 - az) + EzY[gz1] * az);
+                    zs += amp[2] * (EzZ[gz] * (1 - az) + EzZ[gz1] * az);
                 }
 
                 // trilinear scan sample, clamped (fraction vs clamped floor)

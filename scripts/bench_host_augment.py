@@ -9,8 +9,8 @@ Measures, on this host, for 128^3 patches:
   ~58% of samples skip the warp entirely
 - mmap crop cost (native crop_pad_int16)
 - the resulting sustainable patches/s and the margin vs a given train-step
-  consumption rate (--consumption, default 49 patches/s = the 4:1-schedule
-  effective rate from PERF.md)
+  consumption rate (--consumption, default 83.7 patches/s = the packed-layout
+  4:1-schedule effective rate from PERF.md)
 
 Prints one JSON object.
 """
@@ -31,7 +31,7 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--patch", type=int, default=128)
     p.add_argument("--reps", type=int, default=10)
-    p.add_argument("--consumption", type=float, default=49.0)
+    p.add_argument("--consumption", type=float, default=83.7)
     args = p.parse_args()
 
     from contrast_gan_3d_tpu import native
