@@ -14,6 +14,7 @@ asynchronous.
 """
 
 import itertools
+import time
 from dataclasses import dataclass
 from typing import Dict, Iterable, Optional
 
@@ -189,6 +190,7 @@ class Trainer:
         if val_loaders and self.cfg.val_every:
             self._manage_loaders(val_loaders, "start")
         logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
+        t_last, it_last = time.perf_counter(), start
         for iteration in range(start, self.cfg.train_iterations):
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
             images_due = _due(iteration, self.cfg.log_images_every, skip_zero=False)
@@ -204,6 +206,16 @@ class Trainer:
 
             if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                # sustained throughput since the previous log point (the
+                # scalar fetch above synced the device, so the wall interval
+                # covers data, compute, validation and checkpoint time)
+                now = time.perf_counter()
+                if iteration > it_last:
+                    n_patches = sum(p["data"].shape[0] for p in patches.values())
+                    host["patches_per_sec"] = (
+                        (iteration - it_last) * n_patches / max(now - t_last, 1e-9)
+                    )
+                t_last, it_last = now, iteration
                 self.logger_interface.log_scalars(host, iteration, "train")
             if images_due:
                 self._log_train_images(subopt, mask, names, iteration, rng_before)

@@ -357,8 +357,10 @@ def _make_patient_tree(root: Path, rng, names):
     return ctl_root, ann_root
 
 
-@pytest.mark.filterwarnings("ignore::DeprecationWarning")  # the reference's
-# mp.Pool forks from the (multi-threaded) pytest process — its warning, not ours
+# the reference's mp.Pool forks from the (multi-threaded) pytest process —
+# its warnings (fork-in-threads Deprecation/RuntimeWarning), not ours
+@pytest.mark.filterwarnings("ignore::DeprecationWarning")
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
 def test_marker_recall_pipeline_parity(ref, rng, tmp_path):
     """Full pipeline: per-patient nearest-centerline distances -> per-ScanType
     aggregation -> recall@5mm -> optimal-vs-suboptimal summary, reference
@@ -418,6 +420,7 @@ def test_load_mevis_coords_parity(ref, tmp_path):
 
 # ---------------------------------------------------------------- HU shift
 @pytest.mark.filterwarnings("ignore::DeprecationWarning")  # reference mp.Pool fork
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
 def test_hu_distribution_shift_pipeline_parity(ref, rng, tmp_path, monkeypatch):
     """Full voxel-collection pipeline (mask rasterization -> masked gathers ->
     per-ScanType aggregation) on identical on-disk patients. The reference's

@@ -77,6 +77,11 @@ def test_fit_end_to_end(tmp_path, rng):
     for _, _, scalars in train_logs:
         for v in scalars.values():
             assert np.isfinite(v)
+    # sustained-throughput scalar appears from the second log point on
+    assert any("patches_per_sec" in s for _, _, s in train_logs)
+    assert all(
+        s["patches_per_sec"] > 0 for _, _, s in train_logs if "patches_per_sec" in s
+    )
     # critic trained and was clipped
     clip = trainer.step_cfg.weight_clip
     for leaf in jax.tree_util.tree_leaves(state.critic_params):
@@ -103,8 +108,10 @@ def test_schedule_branches(tmp_path, rng):
     trainer = _build_trainer(tmp_path, log, iterations=2)
     trainer.fit(loaders)
     by_step = {s: sc for _, s, sc in log.scalars if _ == "train"}
+    # device metrics per schedule branch (+ the host-side throughput scalar
+    # from the second log point on)
     assert set(by_step[0]) == {"D", "G", "G-full", "sim", "HU"}  # combined
-    assert set(by_step[1]) == {"D"}  # critic only
+    assert set(by_step[1]) - {"patches_per_sec"} == {"D"}  # critic only
 
 
 def test_mesh_validate_padding_exact(tmp_path, rng):
