@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from contrast_gan_3d_tpu import native
-from contrast_gan_3d_tpu.data.augment import AugmentConfig
+from contrast_gan_3d_tpu.data.augment import Augment2DConfig, AugmentConfig
 
 
 def rotation_matrix_np(angles: np.ndarray) -> np.ndarray:
@@ -74,3 +74,43 @@ class HostAugmenter:
         if not any_transform:
             return scan, seg
         return native.warp_augment_int16(scan, seg, affine, coarse, amp)
+
+
+@dataclass
+class HostAugmenter2D:
+    """conf_2D-family per-slice transforms (rotation +-angle p_rotation,
+    per-axis mirroring under a p_mirror gate — ``Augment2DConfig`` /
+    reference conf_2D.py:30-56) via the native 2D warp. Mirror folds into
+    the 2x2 affine (``src = diag(mx, my) @ R @ (dst - c) + c`` — exactly the
+    device path's ``(rel @ R.T) * (mx, my)``). Rationale: the on-device 2D
+    augmentation measured 484 ms per 512x128^2 batch on the bench v5e (TPUs
+    are slow at data-dependent gathers), ~10x the augmentation-free 2D train
+    step; the host warp runs in the prefetch workers, fully overlapped."""
+
+    cfg: Augment2DConfig
+    rng: np.random.Generator
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def sample_params(self) -> Tuple[np.ndarray, bool]:
+        cfg, rng = self.cfg, self.rng
+        affine = np.eye(2, dtype=np.float32)
+        any_transform = False
+        if cfg.do_rotation and rng.random() < cfg.p_rotation:
+            a = rng.uniform(-cfg.angle, cfg.angle)
+            c, s = np.float32(np.cos(a)), np.float32(np.sin(a))
+            affine = np.array([[c, -s], [s, c]], np.float32)
+            any_transform = True
+        if cfg.do_mirror and rng.random() < cfg.p_mirror:
+            mx = np.float32(-1.0 if rng.random() < 0.5 else 1.0)
+            my = np.float32(-1.0 if rng.random() < 0.5 else 1.0)
+            affine = np.diag([mx, my]).astype(np.float32) @ affine
+            any_transform = any_transform or mx < 0 or my < 0
+        return affine, any_transform
+
+    def __call__(self, scan: np.ndarray, seg: np.ndarray):
+        """Maybe-augment one (W, H) int16 slice + mask pair."""
+        with self._lock:
+            affine, any_transform = self.sample_params()
+        if not any_transform:
+            return scan, seg
+        return native.warp_augment2d_int16(scan, seg, affine)

@@ -160,7 +160,9 @@ class CCTAPatchSampler:
     def sample_one(self, path: str) -> Tuple[np.ndarray, str]:
         data_and_seg, meta = load_patient(path)  # (W, H, D, 2) int16 memmap
         patch = (self._sample_2d if self.is_2d else self._sample_3d)(data_and_seg, meta)
-        if self.augmenter is not None and not self.is_2d:
+        if self.augmenter is not None:
+            # HostAugmenter (3D) / HostAugmenter2D — builder wires the one
+            # matching the patch dimensionality
             scan, seg = self.augmenter(patch[..., 0], patch[..., 1])
             patch = np.stack([scan, seg], axis=-1)
         return patch, meta["name"]

@@ -100,6 +100,16 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
             angle=float(np.deg2rad(cfg.rotation_deg)),
             p_rotation=cfg.p_rotation,
         )
+        if cfg.augment_backend == "host":
+            from contrast_gan_3d_tpu import native
+
+            if native.has_native():
+                from contrast_gan_3d_tpu.data.host_augment import HostAugmenter2D
+
+                host_augmenter = HostAugmenter2D(
+                    augment, np.random.default_rng(cfg.seed)
+                )
+                augment = None  # warp happens in the prefetch workers
     elif cfg.augment:
         augment = AugmentConfig(
             do_elastic=cfg.do_elastic,

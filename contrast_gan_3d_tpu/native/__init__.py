@@ -82,6 +82,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.warp_augment2d_int16.restype = None
+        lib.warp_augment2d_int16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         logger.warning("Native hostops unavailable (%s); using numpy fallback", e)
@@ -163,6 +170,28 @@ def warp_augment_int16(
         scan.ctypes.data, seg.ctypes.data,
         *(int(d) for d in scan.shape),
         affine.ctypes.data, cf_ptr, G, amp_ptr,
+        out_scan.ctypes.data, out_seg.ctypes.data,
+    )
+    return out_scan, out_seg
+
+
+def warp_augment2d_int16(scan: np.ndarray, seg: np.ndarray, affine: np.ndarray):
+    """2D spatial-augmentation warp of one (W, H) int16 slice + mask pair:
+    ``src = affine @ (dst - center) + center`` (rotation with mirror folded
+    into the 2x2), bilinear scan / nearest mask with the device 2D sampling
+    conventions (ops/resample.py). Requires the native library."""
+    lib = _build_and_load()
+    assert lib is not None, "native hostops unavailable"
+    scan = np.ascontiguousarray(scan, np.int16)
+    seg = np.ascontiguousarray(seg, np.int16)
+    affine = np.ascontiguousarray(affine, np.float32)
+    assert affine.shape == (2, 2) and scan.ndim == 2
+    out_scan = np.empty_like(scan)
+    out_seg = np.empty_like(seg)
+    lib.warp_augment2d_int16(
+        scan.ctypes.data, seg.ctypes.data,
+        *(int(d) for d in scan.shape),
+        affine.ctypes.data,
         out_scan.ctypes.data, out_seg.ctypes.data,
     )
     return out_scan, out_seg

@@ -446,4 +446,155 @@ void warp_augment_int16(
     }
 }
 
+// 2D spatial-augmentation warp of one (W, H) int16 slice + mask pair:
+//   src = A @ (dst - center) + center     (A = mirror-scaled rotation, 2x2)
+// Bilinear scan sampling and round-half-even nearest mask sampling with
+// EXACTLY the device 2D conventions (ops/resample.py bilinear_sample /
+// nearest_sample_2d: clamped floor base, +1 neighbor min-clamped from the
+// clamped base). Replaces the in-step device augmentation for the conf_2D
+// family — the device gather path measured 484 ms per 512x128^2 batch on
+// the bench chip, ~10x the augmentation-free 2D train step.
+void warp_augment2d_int16(
+    const int16_t* __restrict scan,
+    const int16_t* __restrict seg,
+    long W, long H,
+    const float* __restrict affine,   // row-major 2x2
+    int16_t* __restrict out_scan,
+    int16_t* __restrict out_seg)
+{
+    const float cx = (W - 1) * 0.5f, cy = (H - 1) * 0.5f;
+
+#if defined(__AVX512F__)
+    if (W * H >= 2 && W * H < (1L << 31)) {
+        const __m512i iota = _mm512_set_epi32(
+            15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+        const __m512i vzero = _mm512_setzero_si512();
+        const __m512i vone = _mm512_set1_epi32(1);
+        const __m512 fone = _mm512_set1_ps(1.f);
+        const __m512i vW1 = _mm512_set1_epi32((int)W - 1);
+        const __m512i vH1 = _mm512_set1_epi32((int)H - 1);
+        const __m512i vsx = _mm512_set1_epi32((int)H);
+        const __m512i vcap = _mm512_set1_epi32((int)(W * H) - 2);
+        const __m512 va1 = _mm512_set1_ps(affine[1]);
+        const __m512 va3 = _mm512_set1_ps(affine[3]);
+
+        for (long x = 0; x < W; ++x) {
+            const float rx = x - cx;
+            const float bx = affine[0] * rx + affine[1] * (0.f - cy) + cx;
+            const float by = affine[2] * rx + affine[3] * (0.f - cy) + cy;
+            const __m512 vbx = _mm512_set1_ps(bx);
+            const __m512 vby = _mm512_set1_ps(by);
+            int16_t* __restrict os = out_scan + x * H;
+            int16_t* __restrict og = out_seg + x * H;
+
+            for (long y = 0; y < H; y += 16) {
+                const int rem = (int)std::min((long)16, H - y);
+                const __mmask16 m =
+                    rem == 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << rem) - 1u);
+                const __m512i vyi = _mm512_add_epi32(_mm512_set1_epi32((int)y), iota);
+                const __m512 vy = _mm512_cvtepi32_ps(vyi);
+                const __m512 xs = _mm512_fmadd_ps(va1, vy, vbx);
+                const __m512 ys = _mm512_fmadd_ps(va3, vy, vby);
+
+                // device bilinear_sample: clamped floor base, min-clamped +1
+                const __m512i x0 = _mm512_min_epi32(
+                    _mm512_max_epi32(
+                        _mm512_cvt_roundps_epi32(
+                            xs, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                        vzero),
+                    vW1);
+                const __m512i y0 = _mm512_min_epi32(
+                    _mm512_max_epi32(
+                        _mm512_cvt_roundps_epi32(
+                            ys, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                        vzero),
+                    vH1);
+                const __m512i x1 = _mm512_min_epi32(_mm512_add_epi32(x0, vone), vW1);
+                const __m512i y1 = _mm512_min_epi32(_mm512_add_epi32(y0, vone), vH1);
+                const __m512 fx = _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0));
+                const __m512 fy = _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0));
+                const __m512 gx = _mm512_sub_ps(fone, fx);
+                const __m512 gy = _mm512_sub_ps(fone, fy);
+
+                const __m512i bx0 = _mm512_mullo_epi32(x0, vsx);
+                const __m512i bx1 = _mm512_mullo_epi32(x1, vsx);
+
+                auto tap = [&](const int16_t* base, __m512i idx) -> __m512i {
+                    const __m512i capped = _mm512_min_epi32(idx, vcap);
+                    const __m512i g = _mm512_mask_i32gather_epi32(
+                        vzero, m, capped, (const void*)base, 2);
+                    const __mmask16 hi = _mm512_cmpgt_epi32_mask(idx, vcap);
+                    const __m512i lo16 =
+                        _mm512_srai_epi32(_mm512_slli_epi32(g, 16), 16);
+                    const __m512i hi16 = _mm512_srai_epi32(g, 16);
+                    return _mm512_mask_blend_epi32(hi, lo16, hi16);
+                };
+                auto tapf = [&](__m512i idx) -> __m512 {
+                    return _mm512_cvtepi32_ps(tap(scan, idx));
+                };
+
+                __m512 v = _mm512_mul_ps(
+                    tapf(_mm512_add_epi32(bx0, y0)), _mm512_mul_ps(gx, gy));
+                v = _mm512_fmadd_ps(
+                    tapf(_mm512_add_epi32(bx1, y0)), _mm512_mul_ps(fx, gy), v);
+                v = _mm512_fmadd_ps(
+                    tapf(_mm512_add_epi32(bx0, y1)), _mm512_mul_ps(gx, fy), v);
+                v = _mm512_fmadd_ps(
+                    tapf(_mm512_add_epi32(bx1, y1)), _mm512_mul_ps(fx, fy), v);
+
+                const __m512i vi = _mm512_cvt_roundps_epi32(
+                    _mm512_add_ps(v, _mm512_set1_ps(0.5f)),
+                    _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+                _mm512_mask_cvtepi32_storeu_epi16(os + y, m, vi);
+
+                // nearest: round-half-even (device jnp.round), clamped
+                const __m512i xn = _mm512_min_epi32(
+                    _mm512_max_epi32(
+                        _mm512_cvt_roundps_epi32(
+                            xs, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC),
+                        vzero),
+                    vW1);
+                const __m512i yn = _mm512_min_epi32(
+                    _mm512_max_epi32(
+                        _mm512_cvt_roundps_epi32(
+                            ys, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC),
+                        vzero),
+                    vH1);
+                const __m512i sidx =
+                    _mm512_add_epi32(_mm512_mullo_epi32(xn, vsx), yn);
+                _mm512_mask_cvtepi32_storeu_epi16(og + y, m, tap(seg, sidx));
+            }
+        }
+        return;
+    }
+#endif  // __AVX512F__
+
+    for (long x = 0; x < W; ++x) {
+        const float rx = x - cx;
+        const float bx = affine[0] * rx + affine[1] * (0.f - cy) + cx;
+        const float by = affine[2] * rx + affine[3] * (0.f - cy) + cy;
+        int16_t* __restrict os = out_scan + x * H;
+        int16_t* __restrict og = out_seg + x * H;
+        for (long y = 0; y < H; ++y) {
+            const float xs = bx + affine[1] * y;
+            const float ys = by + affine[3] * y;
+            long x0 = std::min(std::max((long)std::floor(xs), 0L), W - 1);
+            long y0 = std::min(std::max((long)std::floor(ys), 0L), H - 1);
+            const long x1 = std::min(x0 + 1, W - 1);
+            const long y1 = std::min(y0 + 1, H - 1);
+            const float fx = xs - x0, fy = ys - y0;
+            const float gx = 1.f - fx, gy = 1.f - fy;
+            const float v =
+                  scan[x0 * H + y0] * gx * gy
+                + scan[x1 * H + y0] * fx * gy
+                + scan[x0 * H + y1] * gx * fy
+                + scan[x1 * H + y1] * fx * fy;
+            os[y] = (int16_t)std::floor(v + 0.5f);
+            const long xn = std::min(std::max((long)std::nearbyintf(xs), 0L), W - 1);
+            const long yn = std::min(std::max((long)std::nearbyintf(ys), 0L), H - 1);
+            og[y] = seg[xn * H + yn];
+        }
+    }
+}
+
 }  // extern "C"

@@ -43,11 +43,21 @@ def test_device_backend_keeps_jitted_augment():
 
 
 def test_2d_config_uses_2d_augment():
+    from contrast_gan_3d_tpu import native
     from contrast_gan_3d_tpu.data.augment import Augment2DConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter2D
 
     built = build(load_config("conf_2d"))
-    assert isinstance(built.step_config.augment, Augment2DConfig)
+    if native.has_native():  # default backend: host warp in the prefetchers
+        assert isinstance(built.host_augmenter, HostAugmenter2D)
+        assert built.step_config.augment is None
+    else:
+        assert isinstance(built.step_config.augment, Augment2DConfig)
     assert built.generator.remat is False  # 2D never remats
+
+    built = build(replace(load_config("conf_2d"), augment_backend="device"))
+    assert built.host_augmenter is None
+    assert isinstance(built.step_config.augment, Augment2DConfig)
 
 
 def test_layout_auto_packs_eligible_3d():

@@ -103,6 +103,75 @@ def test_host_augmenter_probabilities(rng):
     assert not np.array_equal(s3, scan)
 
 
+# ------------------------------------------------------------------- 2D
+def _device_warp2d(scan, seg, affine, shape):
+    from contrast_gan_3d_tpu.ops.resample import (
+        bilinear_sample, identity_grid_2d, nearest_sample_2d,
+    )
+
+    grid = identity_grid_2d(shape)
+    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
+    coords = (grid - center) @ jnp.asarray(affine, jnp.float32).T + center
+    out = bilinear_sample(jnp.asarray(scan, jnp.float32), coords)
+    out_seg = nearest_sample_2d(jnp.asarray(seg, jnp.float32), coords)
+    return np.asarray(out), np.asarray(out_seg)
+
+
+def test_2d_identity_affine_roundtrip(rng):
+    scan = rng.integers(-500, 500, (13, 11)).astype(np.int16)
+    seg = (rng.random((13, 11)) < 0.1).astype(np.int16)
+    out_scan, out_seg = native.warp_augment2d_int16(scan, seg, np.eye(2))
+    np.testing.assert_array_equal(out_scan, scan)
+    np.testing.assert_array_equal(out_seg, seg)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (33, 17)])
+def test_2d_rotation_mirror_matches_device(rng, shape):
+    """Rotation composed with a mirror (the conf_2D transform set) must match
+    the device 2D path (ops/resample bilinear/nearest conventions)."""
+    scan = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = (rng.random(shape) < 0.1).astype(np.int16)
+    a = 0.7
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], np.float32)
+    affine = (np.diag([-1.0, 1.0]).astype(np.float32) @ rot).astype(np.float32)
+    got_scan, got_seg = native.warp_augment2d_int16(scan, seg, affine)
+    ref_scan, ref_seg = _device_warp2d(scan, seg, affine, shape)
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
+def test_2d_pure_mirror_is_exact_flip(rng):
+    scan = rng.integers(-500, 500, (12, 12)).astype(np.int16)
+    seg = (rng.random((12, 12)) < 0.1).astype(np.int16)
+    got_scan, got_seg = native.warp_augment2d_int16(
+        scan, seg, np.diag([-1.0, 1.0]).astype(np.float32)
+    )
+    np.testing.assert_array_equal(got_scan, scan[::-1, :])
+    np.testing.assert_array_equal(got_seg, seg[::-1, :])
+
+
+def test_host_augmenter2d_probabilities(rng):
+    from contrast_gan_3d_tpu.data.augment import Augment2DConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter2D
+
+    scan = rng.integers(-500, 500, (16, 16)).astype(np.int16)
+    seg = (rng.random((16, 16)) < 0.1).astype(np.int16)
+    never = HostAugmenter2D(
+        Augment2DConfig(p_rotation=0.0, p_mirror=0.0), np.random.default_rng(0)
+    )
+    s, _ = never(scan, seg)
+    np.testing.assert_array_equal(s, scan)
+
+    always = HostAugmenter2D(
+        Augment2DConfig(p_rotation=1.0, p_mirror=1.0), np.random.default_rng(3)
+    )
+    changed = False
+    for _ in range(8):
+        s, _ = always(scan, seg)
+        changed = changed or not np.array_equal(s, scan)
+    assert changed
+
+
 @pytest.mark.parametrize("shape", [(16, 16, 16), (32, 32, 32)])
 def test_combined_transforms_match_device(rng, shape):
     """Rotation + scale + elastic COMPOSED (the realistic augmentation case)
