@@ -65,8 +65,17 @@ class BatchNorm(nn.Module):
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
+                # torch semantics (reference parity, locked by
+                # tests/test_reference_parity_train.py): the running update
+                # uses the UNBIASED batch variance (n/(n-1)) while
+                # normalization uses the biased one; flax uses biased for
+                # both — a ~1/n relative drift per update
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / (n - 1)) if n > 1 else var
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * var
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
 
         # fold everything into one fused multiply-add in the compute dtype
         mult = scale / jnp.sqrt(var + self.epsilon)

@@ -42,7 +42,11 @@ def make_optimizer(
     if kind == "adam":
         return optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
     if kind == "rmsprop":
-        return optax.rmsprop(schedule, decay=alpha, eps=eps)
+        # torch RMSprop puts eps OUTSIDE the sqrt (g / (sqrt(v) + eps));
+        # optax's default is inside — eps_in_sqrt=False matches torch's
+        # update exactly (verified numerically vs torch.optim.RMSprop;
+        # tests/test_reference_parity_numpy.py::test_optimizer_update_parity)
+        return optax.rmsprop(schedule, decay=alpha, eps=eps, eps_in_sqrt=False)
     if kind == "sgd":
         return optax.sgd(schedule)
     raise ValueError(f"Unknown optimizer kind {kind!r}")

@@ -29,12 +29,17 @@ import numpy as np
 
 
 def numpy_state_dict(state_dict: Mapping) -> Dict[str, np.ndarray]:
-    """Detach a torch state_dict (or any mapping of array-likes) to numpy."""
+    """Detach a torch state_dict (or any mapping of array-likes) to numpy.
+
+    Always COPIES: ``tensor.numpy()`` aliases the tensor's storage and JAX's
+    CPU backend can zero-copy numpy arrays — without the copy, later
+    in-place torch updates (e.g. an optimizer step on the live module)
+    would silently mutate the ported parameters."""
     out = {}
     for k, v in state_dict.items():
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        out[k] = np.asarray(v)
+        out[k] = np.array(v, copy=True)
     return out
 
 

@@ -11,6 +11,8 @@ Measures, on this host, for 128^3 patches:
 - the resulting sustainable patches/s and the margin vs a given train-step
   consumption rate (--consumption, default 83.7 patches/s = the packed-layout
   4:1-schedule effective rate from PERF.md)
+- the 2D (conf_2D-family) warp: worst-case 128^2 slice latency and slices/s
+  vs the chip's 2D consumption (--consumption-2d, default 10384 slices/s)
 
 Prints one JSON object.
 """
@@ -32,11 +34,12 @@ def main():
     p.add_argument("--patch", type=int, default=128)
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--consumption", type=float, default=83.7)
+    p.add_argument("--consumption-2d", type=float, default=10384.0)
     args = p.parse_args()
 
     from contrast_gan_3d_tpu import native
-    from contrast_gan_3d_tpu.data.augment import AugmentConfig
-    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
+    from contrast_gan_3d_tpu.data.augment import Augment2DConfig, AugmentConfig
+    from contrast_gan_3d_tpu.data.host_augment import HostAugmenter, HostAugmenter2D
 
     assert native.has_native(), "native hostops unavailable"
     n = args.patch
@@ -73,6 +76,19 @@ def main():
         lambda: native.crop_pad_int16(vol, (10, 20, 5), (n, n, n)), args.reps
     )
 
+    # 2D warp (conf_2D family): worst case = every slice rotated + mirrored
+    sl = rng.integers(-1024, 1500, (n, n), dtype=np.int16)
+    sl_seg = (rng.random((n, n)) < 0.001).astype(np.int16)
+    always2d = HostAugmenter2D(
+        Augment2DConfig(p_rotation=1.0, p_mirror=1.0), np.random.default_rng(3)
+    )
+    k2 = 400
+    always2d(sl, sl_seg)
+    t0 = time.perf_counter()
+    for _ in range(k2):
+        always2d(sl, sl_seg)
+    warp2d_s = (time.perf_counter() - t0) / k2
+
     per_patch = eff_s + crop_s
     sustained = 1.0 / per_patch
     out = {
@@ -83,6 +99,9 @@ def main():
         "sustained_patches_per_sec": round(sustained, 2),
         "consumption_patches_per_sec": args.consumption,
         "feeds_train_step": bool(sustained >= args.consumption),
+        "warp2d_us_always_on": round(warp2d_s * 1e6, 1),
+        "sustained_2d_slices_per_sec": round(1.0 / warp2d_s, 0),
+        "feeds_2d_train_step": bool(1.0 / warp2d_s >= args.consumption_2d),
     }
     print(json.dumps(out))
 

@@ -120,25 +120,30 @@ def main():
     )
     trainer.fit(loaders)
 
-    # held-out LOW scan -> correct -> measure centerline HU
-    vol, mask, meta = synth_patient(rng, tuple(args.shape), 250)
+    # held-out LOW and HIGH scans -> correct -> measure centerline HU (the
+    # correction must raise LOW and lower HIGH toward the corridor)
     corrector = CCTAContrastCorrector.from_checkpoint(
         tmp / "ckpt", generator=built.generator,
         inference_patch_size=tuple(args.patch), batch_size=4,
     )
-    corrected = np.asarray(corrector(vol))
-    m = mask.astype(bool)
-    before = float(vol[m].mean())
-    after = float(corrected[m].mean())
     lo, hi = cfg.desired_HU_bounds
+    mid = (lo + hi) / 2
     summary = {
-        "centerline_mean_hu_before": round(before, 1),
-        "centerline_mean_hu_after": round(after, 1),
         "target_corridor": [lo, hi],
-        "moved_toward_corridor": bool(abs(after - (lo + hi) / 2) < abs(before - (lo + hi) / 2)),
         "iterations": args.iterations,
         "mode": "gp" if args.gp else "wc",
     }
+    for tag, vessel_hu in (("", 250), ("high_", 550)):
+        vol, mask, meta = synth_patient(rng, tuple(args.shape), vessel_hu)
+        corrected = np.asarray(corrector(vol))
+        m = mask.astype(bool)
+        before = float(vol[m].mean())
+        after = float(corrected[m].mean())
+        summary[f"{tag}centerline_mean_hu_before"] = round(before, 1)
+        summary[f"{tag}centerline_mean_hu_after"] = round(after, 1)
+        summary[f"{tag}moved_toward_corridor"] = bool(
+            abs(after - mid) < abs(before - mid)
+        )
     print(json.dumps(summary))
     if args.out:
         args.out.write_text(json.dumps(summary, indent=2))

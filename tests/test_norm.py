@@ -1,5 +1,8 @@
-"""Memory-lean BatchNorm must match flax nn.BatchNorm exactly (same params /
-batch_stats structure, same outputs, same EMA updates)."""
+"""Memory-lean BatchNorm must match flax nn.BatchNorm (same params /
+batch_stats structure, same outputs). One DELIBERATE divergence: the
+running-var EMA uses the UNBIASED batch variance (n/(n-1)) — torch
+semantics, required for live train-step parity with the reference
+(tests/test_reference_parity_train.py); flax uses the biased variance."""
 
 import jax
 import jax.numpy as jnp
@@ -34,12 +37,22 @@ def test_train_mode_matches_flax(rng):
     y_ours, upd_ours = ours.apply(v, x, mutable=["batch_stats"])
     y_ref, upd_ref = ref.apply(v, x, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref), atol=2e-5)
-    for k in ("mean", "var"):
-        np.testing.assert_allclose(
-            np.asarray(upd_ours["batch_stats"][k]),
-            np.asarray(upd_ref["batch_stats"][k]),
-            rtol=1e-5, atol=1e-6,
-        )
+    np.testing.assert_allclose(
+        np.asarray(upd_ours["batch_stats"]["mean"]),
+        np.asarray(upd_ref["batch_stats"]["mean"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # running var: ours applies the torch n/(n-1) unbiased correction to the
+    # batch-var term before the EMA; flax's is biased
+    n = int(np.prod(x.shape[:-1]))
+    m = 0.9
+    flax_var = np.asarray(upd_ref["batch_stats"]["var"])
+    init_var = np.ones_like(flax_var)
+    batch_var = (flax_var - m * init_var) / (1 - m)
+    want_var = m * init_var + (1 - m) * batch_var * n / (n - 1)
+    np.testing.assert_allclose(
+        np.asarray(upd_ours["batch_stats"]["var"]), want_var, rtol=1e-5, atol=1e-6
+    )
 
 
 def test_eval_mode_matches_flax(rng):

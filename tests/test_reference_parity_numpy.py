@@ -472,6 +472,56 @@ def test_hu_distribution_shift_pipeline_parity(ref, rng, tmp_path, monkeypatch):
             np.testing.assert_array_equal(got_by_val[val][region], vals)
 
 
+# ---------------------------------------------------------------- optimizers
+@pytest.mark.parametrize(
+    "kind,kwargs",
+    [
+        ("adam", dict(lr=2e-4, betas=(0.5, 0.999))),  # basic_conf.py:33-37
+        ("adam", dict(lr=1e-4, betas=(0.0, 0.9))),  # gradient_penalty_conf.py
+        ("rmsprop", dict(lr=5e-5)),  # rmsprop_conf.py
+    ],
+)
+def test_optimizer_update_parity(kind, kwargs):
+    """The reference trains with torch.optim.{Adam,RMSprop} + MultiStepLR
+    stepped after every optimizer step (Trainer.py:138-140, basic_conf.py:
+    33-37). Six updates with varying gradients and a mid-run milestone must
+    produce the same parameters from our optax factory — including torch
+    RMSprop's eps-OUTSIDE-sqrt convention (eps_in_sqrt=False)."""
+    torch_mod = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    import optax
+
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+
+    w0 = np.array([0.5, -0.3, 1.2, 0.01], np.float32)
+    grads = [
+        np.array([0.1, -0.2, 0.05, 1.5], np.float32) * (i + 1) for i in range(6)
+    ]
+
+    tw = torch_mod.tensor(w0.copy(), requires_grad=True)
+    if kind == "adam":
+        opt = torch_mod.optim.Adam([tw], eps=1e-8, **kwargs)
+    else:
+        opt = torch_mod.optim.RMSprop([tw], alpha=0.99, eps=1e-8, **kwargs)
+    sched = torch_mod.optim.lr_scheduler.MultiStepLR(opt, milestones=[3], gamma=0.1)
+    for g in grads:
+        tw.grad = torch_mod.tensor(g)
+        opt.step()
+        sched.step()
+    want = tw.detach().numpy()
+
+    tx = make_optimizer(
+        kind, lr=kwargs["lr"], betas=kwargs.get("betas", (0.9, 0.999)),
+        milestones=[3], lr_gamma=0.1,
+    )
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params), want, atol=1e-6, rtol=1e-6)
+
+
 def test_marker_recall_rate_fn_parity(ref, rng):
     mrr_ref = ref["eval.marker_recall_rate"]
     d = rng.uniform(0, 12, 200)

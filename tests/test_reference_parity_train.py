@@ -1,0 +1,286 @@
+"""Live-reference TRAIN-STEP parity.
+
+Executes the ACTUAL reference ``Trainer.train_critic`` / ``train_generator``
+methods (trainer/Trainer.py:108-161 — the exact ``train_step`` math at
+iteration 0, minus its logging side effects) with the reference models,
+losses, torch Adam + MultiStepLR and weight clipping, on identical weights
+and batches, and asserts our fused ``combined_step`` / ``critic_step``
+produce the same updated parameters, BatchNorm statistics and loss scalars.
+
+This closes the loop on update semantics the per-component parity tests
+can't see: optimizer math (incl. torch's eps conventions), scheduler
+stepping, the critic-then-generator ordering against the stale ``opt_hat``,
+weight-clip placement after the optimizer step, and BatchNorm train-mode
+stat threading (critic stats update on real THEN fake; the reference's
+third critic forward inside train_generator also touches running stats —
+a documented divergence we do not replicate, so critic stats are compared
+at the post-critic-update snapshot).
+
+Writing this test surfaced (and fixed) three real semantic gaps: optax
+RMSprop's eps-inside-sqrt default (torch puts it outside —
+``make_optimizer`` now passes ``eps_in_sqrt=False``), the flax-convention
+BIASED running-variance EMA (torch uses the unbiased n/(n-1) batch variance
+— ``models/norm.BatchNorm`` now matches torch), and ``numpy_state_dict``
+returning tensor-aliasing views that later in-place torch updates mutated.
+
+Post-update parameters are compared with a two-tier bound: Adam's t=1
+update is sign-like, so coordinates with near-zero gradients legitimately
+differ by up to ~lr from fp-level gradient noise (see _assert_tree_close).
+"""
+
+import sys
+import types
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+from contrast_gan_3d_tpu.trainer.steps import StepConfig, build_train_steps, init_state
+from contrast_gan_3d_tpu.utils.torch_port import (
+    critic_variables_from_torch,
+    generator_variables_from_torch,
+    numpy_state_dict,
+)
+
+from tests.test_reference_parity import fill_deterministic, load_reference_models
+from tests.test_reference_parity_numpy import _ensure_stub
+
+REF = Path("/root/reference/contrast_gan_3D")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="no reference checkout")
+
+PATCH = (32, 32, 32)
+B_OPT, B_LOW, B_HIGH = 3, 2, 2
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    """The reference model modules plus its Trainer class, loaded live."""
+    mods = load_reference_models()
+    from enum import Enum
+
+    class RefScanType(Enum):
+        OPT = 0
+        LOW = -1
+        HIGH = 1
+
+    _ensure_stub("contrast_gan_3D.alias", ScanType=RefScanType, BGenAugmenter=object)
+    # utils package (real __init__ + logging_utils) for create_logger
+    pkg = sys.modules["contrast_gan_3D"]
+    pkg.__path__ = [str(REF)]
+    import importlib
+
+    importlib.import_module("contrast_gan_3D.utils")
+    # trainer-side stubs: the real trainer/utils.py and logger/ import
+    # batchgenerators / wandb (absent) — only these two names are touched
+    trainer_pkg = _ensure_stub("contrast_gan_3D.trainer")
+    tr_utils = _ensure_stub(
+        "contrast_gan_3D.trainer.utils", find_latest_checkpoint=lambda d: None
+    )
+    trainer_pkg.utils = tr_utils
+    logger_pkg = _ensure_stub("contrast_gan_3D.trainer.logger")
+    li = _ensure_stub(
+        "contrast_gan_3D.trainer.logger.LoggerInterface",
+        MultiThreadedLogger=object, SingleThreadedLogger=object,
+    )
+    logger_pkg.LoggerInterface = li
+
+    full = "contrast_gan_3D.trainer.Trainer"
+    if full not in sys.modules:
+        spec = importlib.util.spec_from_file_location(full, REF / "trainer" / "Trainer.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+    mods["Trainer"] = sys.modules[full].Trainer
+    return mods
+
+
+def _make_reference_trainer(mods, gen_t, crit_t, scaler):
+    lo, hi = float(scaler(350.0)), float(scaler(450.0))
+    hu_loss = mods["loss"].HULoss(lo, hi, (B_LOW + B_HIGH, 1, *PATCH))
+    sched = partial(
+        torch.optim.lr_scheduler.MultiStepLR, milestones=[6000, 8000], gamma=0.1
+    )
+    return mods["Trainer"](
+        train_iterations=10, val_iterations=1, validate_every=10**9,
+        train_generator_every=5, train_critic_every=1,
+        log_every=10**9, log_images_every=10**9,
+        generator_class=lambda: gen_t, critic_class=lambda: crit_t,
+        generator_optim_class=partial(torch.optim.Adam, lr=2e-4, betas=(0.5, 0.999)),
+        critic_optim_class=partial(torch.optim.Adam, lr=2e-4, betas=(0.5, 0.999)),
+        hu_loss_instance=hu_loss,
+        logger_interface=types.SimpleNamespace(logger=None),
+        device=torch.device("cpu"),
+        weight_clip=0.01,
+        generator_lr_scheduler_class=sched,
+        critic_lr_scheduler_class=sched,
+    )
+
+
+def _our_state_and_steps(gen_t, crit_t):
+    gen = ResnetGenerator(tconv_placement="torch")
+    critic = PatchGANDiscriminator()
+    tx = make_optimizer("adam", lr=2e-4, betas=(0.5, 0.999), milestones=[6000, 8000])
+    cfg = StepConfig(weight_clip=0.01, dtype=jnp.float32, augment=None)
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    gv = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    cv = critic_variables_from_torch(numpy_state_dict(crit_t.state_dict()))
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gv["params"]),
+        gen_stats=jax.tree.map(jnp.asarray, gv["batch_stats"]),
+        critic_params=jax.tree.map(jnp.asarray, cv["params"]),
+        critic_stats=jax.tree.map(jnp.asarray, cv["batch_stats"]),
+    )
+    return build_train_steps(gen, critic, tx, tx, cfg), state
+
+
+def _batches(rng):
+    opt = rng.integers(-200, 900, (B_OPT, *PATCH)).astype(np.int16)
+    subopt = rng.integers(-200, 900, (B_LOW + B_HIGH, *PATCH)).astype(np.int16)
+    mask = (rng.random((B_LOW + B_HIGH, *PATCH)) < 0.01).astype(np.int16)
+    return opt, subopt, mask
+
+
+def _torch_batches(scaler, opt, subopt, mask):
+    t = lambda a: torch.from_numpy(np.asarray(scaler(a.astype(np.float32)))[:, None])
+    return t(opt), t(subopt), torch.from_numpy(mask.astype(np.float32)[:, None])
+
+
+def _assert_tree_close(got, want, atol, rtol, what, step_bound=None):
+    """Leaf-wise comparison. With ``step_bound`` (post-Adam-update params):
+    Adam's t=1 update is sign-like (m_hat/(sqrt(v_hat)+eps)), so coordinates
+    with near-zero gradients may take an O(lr) step in either framework from
+    fp-level gradient noise — those are bounded by ~lr each, not by the
+    strict tolerance. Require >=99.9%% of elements strictly close AND every
+    element within ``step_bound`` (a few x lr)."""
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_want = jax.tree_util.tree_leaves_with_path(jax.tree.map(jnp.asarray, want))
+    assert len(flat_got) == len(flat_want), what
+    for (pg, g), (pw, w) in zip(flat_got, flat_want):
+        assert pg == pw, (what, pg, pw)
+        g = np.asarray(g, np.float32)
+        w = np.asarray(w, np.float32)
+        name = f"{what}:{jax.tree_util.keystr(pg)}"
+        if step_bound is None:
+            np.testing.assert_allclose(g, w, atol=atol, rtol=rtol, err_msg=name)
+        else:
+            diff = np.abs(g - w)
+            assert diff.max() <= step_bound, (name, float(diff.max()))
+            ok = diff <= atol + rtol * np.abs(w)
+            frac = float(ok.mean())
+            assert frac >= 0.999, (name, frac, float(diff.max()))
+
+
+def test_combined_wc_iteration_parity(ref_env):
+    """Iteration 0 (critic + generator both due, weight-clip mode): the full
+    reference update — G forward, critic update on (real, detached fake) with
+    clipping, generator update against the UPDATED critic reusing the stale
+    opt_hat — must match our fused combined_step: params, stats, losses."""
+    mods = ref_env
+    gen_t = fill_deterministic(mods["generator"].ResnetGenerator(4, 2, 16), seed=20)
+    crit_t = fill_deterministic(
+        mods["discriminator"].PatchGANDiscriminator(1, 8, 3, negative_slope=0.2),
+        seed=21,
+    )
+    scaler = FactorZeroCenterScaler()
+    steps, state = _our_state_and_steps(gen_t, crit_t)  # port BEFORE torch updates
+
+    rng = np.random.default_rng(22)
+    opt, subopt, mask = _batches(rng)
+    opt_t, subopt_t, mask_t = _torch_batches(scaler, opt, subopt, mask)
+
+    tr = _make_reference_trainer(mods, gen_t, crit_t, scaler)
+    gen_t.train()
+    crit_t.train()
+    attenuation = tr.generator(subopt_t)
+    opt_hat = subopt_t - attenuation
+    d_log = tr.train_critic(opt_t, opt_hat, True)
+    crit_after_update = numpy_state_dict(crit_t.state_dict())  # pre-3rd-forward
+    g_log = tr.train_generator(subopt_t, opt_hat, mask_t)
+
+    new_state, metrics = steps.combined_step(
+        state, jnp.asarray(opt), jnp.asarray(subopt), jnp.asarray(mask)
+    )
+
+    # losses
+    assert float(metrics["D"]) == pytest.approx(float(d_log["D"].detach()), abs=2e-5)
+    for k in ("G", "G-full", "sim", "HU"):
+        assert float(metrics[k]) == pytest.approx(float(g_log[k].detach()), abs=2e-5), k
+
+    want_g = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    want_c = critic_variables_from_torch(crit_after_update)
+    _assert_tree_close(
+        new_state.gen_params, want_g["params"], 2e-6, 2e-4, "gen_params",
+        step_bound=5e-4,  # ~2.5x lr
+    )
+    _assert_tree_close(
+        new_state.gen_stats, want_g["batch_stats"], 1e-5, 1e-3, "gen_stats"
+    )
+    _assert_tree_close(
+        new_state.critic_params, want_c["params"], 2e-6, 2e-4, "critic_params",
+        step_bound=5e-4,
+    )
+    _assert_tree_close(
+        new_state.critic_stats, want_c["batch_stats"], 1e-5, 1e-3, "critic_stats"
+    )
+    # weight clip actually engaged on both sides
+    clipped = [
+        np.abs(np.asarray(p)).max()
+        for p in jax.tree_util.tree_leaves(new_state.critic_params)
+    ]
+    assert max(clipped) <= 0.01 + 1e-7
+
+
+def test_critic_only_iteration_parity(ref_env):
+    """Iterations where only the critic trains (4 of 5 under the reference
+    schedule): generator forward + critic update only."""
+    mods = ref_env
+    gen_t = fill_deterministic(mods["generator"].ResnetGenerator(4, 2, 16), seed=30)
+    crit_t = fill_deterministic(
+        mods["discriminator"].PatchGANDiscriminator(1, 8, 3, negative_slope=0.2),
+        seed=31,
+    )
+    scaler = FactorZeroCenterScaler()
+    steps, state = _our_state_and_steps(gen_t, crit_t)
+
+    rng = np.random.default_rng(32)
+    opt, subopt, mask = _batches(rng)
+    opt_t, subopt_t, _ = _torch_batches(scaler, opt, subopt, mask)
+
+    tr = _make_reference_trainer(mods, gen_t, crit_t, scaler)
+    gen_t.train()
+    crit_t.train()
+    opt_hat = subopt_t - tr.generator(subopt_t)
+    d_log = tr.train_critic(opt_t, opt_hat, False)
+
+    new_state, metrics = steps.critic_step(
+        state, jnp.asarray(opt), jnp.asarray(subopt), jnp.asarray(mask)
+    )
+    assert float(metrics["D"]) == pytest.approx(float(d_log["D"].detach()), abs=2e-5)
+
+    want_c = critic_variables_from_torch(numpy_state_dict(crit_t.state_dict()))
+    want_g = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    _assert_tree_close(
+        new_state.critic_params, want_c["params"], 2e-6, 2e-4, "critic_params",
+        step_bound=5e-4,
+    )
+    _assert_tree_close(
+        new_state.critic_stats, want_c["batch_stats"], 1e-5, 1e-3, "critic_stats"
+    )
+    # generator params untouched; its BatchNorm stats advanced by the forward
+    _assert_tree_close(new_state.gen_params, want_g["params"], 0, 1e-7, "gen_params")
+    _assert_tree_close(
+        new_state.gen_stats, want_g["batch_stats"], 1e-5, 1e-3, "gen_stats"
+    )
