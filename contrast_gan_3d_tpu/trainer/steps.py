@@ -68,6 +68,10 @@ class StepConfig:
     scaler: Scaler = field(default_factory=FactorZeroCenterScaler)
     augment: Optional[AugmentConfig] = field(default_factory=AugmentConfig)
     dtype: Any = jnp.float32
+    # fixed GP interpolation eps (scalar, applied to every sample) instead of
+    # per-sample uniform draws — deterministic-penalty hook for the live
+    # reference train-step parity tests; None (default) = random eps
+    gp_eps: Optional[float] = None
 
     @property
     def hu_bounds_scaled(self) -> Tuple[float, float]:
@@ -182,8 +186,12 @@ def build_train_steps(
         loss = cfg.gan_loss_weight * losses.wasserstein_loss(fake_logits, real_logits)
         if use_gp:
             critic_fn = lambda x: _apply(critic, c_params, c_stats, x, train=True)
+            fixed_eps = None
+            if cfg.gp_eps is not None:
+                n = min(real.shape[0], fake.shape[0])
+                fixed_eps = jnp.full((n,) + (1,) * (real.ndim - 1), cfg.gp_eps, real.dtype)
             loss = loss + losses.gradient_penalty(
-                critic_fn, real, fake, key, cfg.gp_weight
+                critic_fn, real, fake, key, cfg.gp_weight, eps=fixed_eps
             )
         return loss, stats2
 

@@ -158,7 +158,7 @@ def _torch_batches(scaler, opt, subopt, mask):
     return t(opt), t(subopt), torch.from_numpy(mask.astype(np.float32)[:, None])
 
 
-def _assert_tree_close(got, want, atol, rtol, what, step_bound=None):
+def _assert_tree_close(got, want, atol, rtol, what, step_bound=None, frac_ok=0.999):
     """Leaf-wise comparison. With ``step_bound`` (post-Adam-update params):
     Adam's t=1 update is sign-like (m_hat/(sqrt(v_hat)+eps)), so coordinates
     with near-zero gradients may take an O(lr) step in either framework from
@@ -180,7 +180,10 @@ def _assert_tree_close(got, want, atol, rtol, what, step_bound=None):
             assert diff.max() <= step_bound, (name, float(diff.max()))
             ok = diff <= atol + rtol * np.abs(w)
             frac = float(ok.mean())
-            assert frac >= 0.999, (name, frac, float(diff.max()))
+            # small leaves (e.g. a 32-element BatchNorm bias): one sensitive
+            # coordinate would dominate the fraction — allow <= 2 outliers
+            assert frac >= frac_ok or int((~ok).sum()) <= 2, (
+                name, frac, float(diff.max()))
 
 
 def test_combined_wc_iteration_parity(ref_env):
@@ -241,6 +244,102 @@ def test_combined_wc_iteration_parity(ref_env):
         for p in jax.tree_util.tree_leaves(new_state.critic_params)
     ]
     assert max(clipped) <= 0.01 + 1e-7
+
+
+def test_combined_gp_iteration_parity(ref_env, monkeypatch):
+    """Gradient-penalty mode (weight_clip=None, the gradient_penalty_conf
+    hyperparams: Adam lr 1e-4 betas (0, 0.9), lambda=10): the critic update
+    includes the eps-interpolated double-backward penalty; the generator
+    then trains against the updated critic through the retained graph.
+    eps is pinned on both sides (torch.rand monkeypatched / StepConfig.gp_eps)
+    and the sub-optimal batch is sized to the real batch so the reference's
+    random resampling never triggers. Critic running stats are NOT compared:
+    the reference's GP forward on the interpolants advances torch's running
+    stats a third time — a documented divergence (running stats play no role
+    in training math)."""
+    mods = ref_env
+    gen_t = fill_deterministic(mods["generator"].ResnetGenerator(4, 2, 16), seed=40)
+    crit_t = fill_deterministic(
+        mods["discriminator"].PatchGANDiscriminator(1, 8, 3, negative_slope=0.2),
+        seed=41,
+    )
+    scaler = FactorZeroCenterScaler()
+    EPS = 0.37
+
+    gen = ResnetGenerator(tconv_placement="torch")
+    critic = PatchGANDiscriminator()
+    tx = make_optimizer("adam", lr=1e-4, betas=(0.0, 0.9), milestones=[6000, 8000])
+    cfg = StepConfig(weight_clip=None, dtype=jnp.float32, augment=None, gp_eps=EPS)
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    gv = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    cv = critic_variables_from_torch(numpy_state_dict(crit_t.state_dict()))
+    state = state.replace(
+        gen_params=jax.tree.map(jnp.asarray, gv["params"]),
+        gen_stats=jax.tree.map(jnp.asarray, gv["batch_stats"]),
+        critic_params=jax.tree.map(jnp.asarray, cv["params"]),
+        critic_stats=jax.tree.map(jnp.asarray, cv["batch_stats"]),
+    )
+    steps = build_train_steps(gen, critic, tx, tx, cfg)
+
+    rng = np.random.default_rng(42)
+    opt = rng.integers(-200, 900, (B_OPT, *PATCH)).astype(np.int16)
+    subopt = rng.integers(-200, 900, (B_OPT, *PATCH)).astype(np.int16)  # == real size
+    mask = (rng.random((B_OPT, *PATCH)) < 0.01).astype(np.int16)
+    opt_t, subopt_t, mask_t = _torch_batches(scaler, opt, subopt, mask)
+
+    lo, hi = float(scaler(350.0)), float(scaler(450.0))
+    hu_loss = mods["loss"].HULoss(lo, hi, (B_OPT, 1, *PATCH))
+    sched = partial(
+        torch.optim.lr_scheduler.MultiStepLR, milestones=[6000, 8000], gamma=0.1
+    )
+    tr = mods["Trainer"](
+        train_iterations=10, val_iterations=1, validate_every=10**9,
+        train_generator_every=5, train_critic_every=1,
+        log_every=10**9, log_images_every=10**9,
+        generator_class=lambda: gen_t, critic_class=lambda: crit_t,
+        generator_optim_class=partial(torch.optim.Adam, lr=1e-4, betas=(0.0, 0.9)),
+        critic_optim_class=partial(torch.optim.Adam, lr=1e-4, betas=(0.0, 0.9)),
+        hu_loss_instance=hu_loss,
+        logger_interface=types.SimpleNamespace(logger=None),
+        device=torch.device("cpu"),
+        weight_clip=None,
+        generator_lr_scheduler_class=sched,
+        critic_lr_scheduler_class=sched,
+    )
+    gen_t.train()
+    crit_t.train()
+    monkeypatch.setattr(
+        torch, "rand", lambda *a, **k: torch.full(a[0] if isinstance(a[0], tuple) else a, EPS)
+    )
+    attenuation = tr.generator(subopt_t)
+    opt_hat = subopt_t - attenuation
+    d_log = tr.train_critic(opt_t, opt_hat, True)
+    g_log = tr.train_generator(subopt_t, opt_hat, mask_t)
+
+    new_state, metrics = steps.combined_step(
+        state, jnp.asarray(opt), jnp.asarray(subopt), jnp.asarray(mask)
+    )
+
+    assert float(metrics["D"]) == pytest.approx(float(d_log["D"].detach()), abs=5e-5)
+    for k in ("G", "G-full", "sim", "HU"):
+        assert float(metrics[k]) == pytest.approx(float(g_log[k].detach()), abs=2e-5), k
+
+    want_g = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    want_c = critic_variables_from_torch(numpy_state_dict(crit_t.state_dict()))
+    # b1=0 Adam is sign(g): near-zero-gradient coords are maximally
+    # eps-sensitive, so a slightly larger share takes an O(lr) step from
+    # fp-level gradient noise (each still bounded by step_bound)
+    _assert_tree_close(
+        new_state.gen_params, want_g["params"], 2e-6, 2e-4, "gen_params",
+        step_bound=3e-4, frac_ok=0.995,
+    )
+    _assert_tree_close(
+        new_state.gen_stats, want_g["batch_stats"], 1e-5, 1e-3, "gen_stats"
+    )
+    _assert_tree_close(
+        new_state.critic_params, want_c["params"], 2e-6, 2e-4, "critic_params",
+        step_bound=3e-4, frac_ok=0.995,
+    )
 
 
 def test_critic_only_iteration_parity(ref_env):
