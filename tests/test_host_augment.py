@@ -103,6 +103,23 @@ def test_host_augmenter_probabilities(rng):
     assert not np.array_equal(s3, scan)
 
 
+@pytest.mark.parametrize("shape", [(5, 4, 3), (2, 2, 2), (17, 3, 9), (16, 16, 5)])
+def test_tiny_odd_shapes_match_device(rng, shape):
+    """SIMD masked-tail edge cases: z-lines shorter than one vector, dims of
+    2, non-multiples of 16 — must still match the device path."""
+    scan = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = (rng.random(shape) < 0.2).astype(np.int16)
+    affine = (rotation_matrix_np(np.array([0.4, -0.5, 0.2])) * 1.1).astype(np.float32)
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, affine)
+    grid = identity_grid(shape)
+    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
+    coords = (grid - center) @ jnp.asarray(affine).T + center
+    ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))
+    ref_seg = np.asarray(nearest_sample(jnp.asarray(seg, jnp.float32), coords))
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
 # ------------------------------------------------------------------- 2D
 def _device_warp2d(scan, seg, affine, shape):
     from contrast_gan_3d_tpu.ops.resample import (
@@ -148,6 +165,19 @@ def test_2d_pure_mirror_is_exact_flip(rng):
     )
     np.testing.assert_array_equal(got_scan, scan[::-1, :])
     np.testing.assert_array_equal(got_seg, seg[::-1, :])
+
+
+@pytest.mark.parametrize("shape", [(3, 5), (2, 2), (16, 3), (5, 37)])
+def test_2d_tiny_odd_shapes_match_device(rng, shape):
+    scan = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = (rng.random(shape) < 0.2).astype(np.int16)
+    a = 1.1
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], np.float32)
+    affine = (np.diag([1.0, -1.0]).astype(np.float32) @ rot).astype(np.float32)
+    got_scan, got_seg = native.warp_augment2d_int16(scan, seg, affine)
+    ref_scan, ref_seg = _device_warp2d(scan, seg, affine, shape)
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
 
 
 def test_host_augmenter2d_probabilities(rng):
