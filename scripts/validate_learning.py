@@ -67,6 +67,10 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
     p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
     p.add_argument("--gp", action="store_true", help="gradient-penalty mode")
+    p.add_argument(
+        "--family", choices=["3d", "2d"], default="3d",
+        help="2d = conf_2D-family: 2D patches/models, per-slice correction",
+    )
     p.add_argument("--out", type=Path, default=None)
     args = p.parse_args()
 
@@ -88,15 +92,19 @@ def main():
             path = write_patient(vol, mask, meta, f"s{label}_{i}", tmp / "data")
             fold.append((str(path), label))
 
+    is_2d = args.family == "2d"
+    if is_2d and args.gp:
+        raise SystemExit("--family 2d validates the weight-clip conf_2D stack")
     cfg = replace(
-        load_config("gradient_penalty" if args.gp else "basic_3d"),
+        load_config("conf_2d" if is_2d else
+                    ("gradient_penalty" if args.gp else "basic_3d")),
         train_iterations=args.iterations,
         validate_every=None,
         checkpoint_every=args.iterations,
         log_every=max(1, args.iterations // 10),
         log_images_every=None,
-        train_patch_size=tuple(args.patch),
-        train_batch_size={0: 4, -1: 2, 1: 2},
+        train_patch_size=tuple(args.patch)[:2] if is_2d else tuple(args.patch),
+        train_batch_size={0: 8, -1: 4, 1: 4} if is_2d else {0: 4, -1: 2, 1: 2},
         generator_args={"n_resnet_blocks": 2, "n_updownsample_blocks": 1,
                         "init_channels_out": 8},
         critic_args={"init_channels_out": 4, "discriminator_depth": 2},
@@ -124,7 +132,9 @@ def main():
     # correction must raise LOW and lower HIGH toward the corridor)
     corrector = CCTAContrastCorrector.from_checkpoint(
         tmp / "ckpt", generator=built.generator,
-        inference_patch_size=tuple(args.patch), batch_size=4,
+        # 2D: whole-slice correction batched along z (conf_2D's val style)
+        inference_patch_size=tuple(args.shape[:2]) if is_2d else tuple(args.patch),
+        batch_size=4,
     )
     lo, hi = cfg.desired_HU_bounds
     mid = (lo + hi) / 2
@@ -132,6 +142,7 @@ def main():
         "target_corridor": [lo, hi],
         "iterations": args.iterations,
         "mode": "gp" if args.gp else "wc",
+        "family": args.family,
     }
     for tag, vessel_hu in (("", 250), ("high_", 550)):
         vol, mask, meta = synth_patient(rng, tuple(args.shape), vessel_hu)
