@@ -107,15 +107,17 @@ def ref_env():
     return mods
 
 
-def _make_reference_trainer(mods, gen_t, crit_t, scaler):
+def _make_reference_trainer(
+    mods, gen_t, crit_t, scaler, milestones=(6000, 8000), train_generator_every=5
+):
     lo, hi = float(scaler(350.0)), float(scaler(450.0))
     hu_loss = mods["loss"].HULoss(lo, hi, (B_LOW + B_HIGH, 1, *PATCH))
     sched = partial(
-        torch.optim.lr_scheduler.MultiStepLR, milestones=[6000, 8000], gamma=0.1
+        torch.optim.lr_scheduler.MultiStepLR, milestones=list(milestones), gamma=0.1
     )
     return mods["Trainer"](
         train_iterations=10, val_iterations=1, validate_every=10**9,
-        train_generator_every=5, train_critic_every=1,
+        train_generator_every=train_generator_every, train_critic_every=1,
         log_every=10**9, log_images_every=10**9,
         generator_class=lambda: gen_t, critic_class=lambda: crit_t,
         generator_optim_class=partial(torch.optim.Adam, lr=2e-4, betas=(0.5, 0.999)),
@@ -129,10 +131,10 @@ def _make_reference_trainer(mods, gen_t, crit_t, scaler):
     )
 
 
-def _our_state_and_steps(gen_t, crit_t):
+def _our_state_and_steps(gen_t, crit_t, milestones=(6000, 8000)):
     gen = ResnetGenerator(tconv_placement="torch")
     critic = PatchGANDiscriminator()
-    tx = make_optimizer("adam", lr=2e-4, betas=(0.5, 0.999), milestones=[6000, 8000])
+    tx = make_optimizer("adam", lr=2e-4, betas=(0.5, 0.999), milestones=list(milestones))
     cfg = StepConfig(weight_clip=0.01, dtype=jnp.float32, augment=None)
     state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
     gv = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
@@ -383,3 +385,99 @@ def test_critic_only_iteration_parity(ref_env):
     _assert_tree_close(
         new_state.gen_stats, want_g["batch_stats"], 1e-5, 1e-3, "gen_stats"
     )
+
+
+def test_multi_iteration_trajectory_parity(ref_env):
+    """SIX-iteration trajectory through the reference's ACTUAL
+    ``Trainer.train_step`` (its alternation dispatch, Trainer.py:163-187)
+    vs our per-branch programs — with MultiStepLR milestones [2, 4] placed
+    INSIDE the trajectory, so both LR decays fire mid-run (per-optimizer
+    update counts: the critic crosses both, the generator — updating every
+    2nd iteration — crosses the first).
+
+    This is the loop-level composition the single-step tests can't see:
+    optimizer-moment accumulation across steps, scheduler boundaries hit at
+    different counts per network, the `iteration % every` phase alignment
+    (iterations run 1..6 — generator trains on 2/4/6), weight clipping
+    interacting with Adam state over time, and BatchNorm stat threading
+    across iterations. Fresh batches every iteration from a shared stream.
+
+    Critic running stats are NOT compared (the reference's third critic
+    forward in train_generator advances them — same documented divergence
+    as the single-step tests; running stats play no role in train math)."""
+    mods = ref_env
+    N, GEN_EVERY, MILESTONES = 6, 2, (2, 4)
+    gen_t = fill_deterministic(mods["generator"].ResnetGenerator(4, 2, 16), seed=50)
+    crit_t = fill_deterministic(
+        mods["discriminator"].PatchGANDiscriminator(1, 8, 3, negative_slope=0.2),
+        seed=51,
+    )
+    scaler = FactorZeroCenterScaler()
+    steps, state = _our_state_and_steps(gen_t, crit_t, milestones=MILESTONES)
+
+    tr = _make_reference_trainer(
+        mods, gen_t, crit_t, scaler,
+        milestones=MILESTONES, train_generator_every=GEN_EVERY,
+    )
+    gen_t.train()
+    crit_t.train()
+
+    rng = np.random.default_rng(52)
+    ref_losses, our_losses = [], []
+    for it in range(1, N + 1):
+        opt, subopt, mask = _batches(rng)
+        opt_t, subopt_t, mask_t = _torch_batches(scaler, opt, subopt, mask)
+        patches = [
+            {"data": opt_t, "seg": torch.zeros_like(opt_t)},
+            {"data": subopt_t[:B_LOW], "seg": mask_t[:B_LOW]},
+            {"data": subopt_t[B_LOW:], "seg": mask_t[B_LOW:]},
+        ]
+        tr.train_step(patches, it)
+
+        fn = steps.combined_step if it % GEN_EVERY == 0 else steps.critic_step
+        state, metrics = fn(
+            state, jnp.asarray(opt), jnp.asarray(subopt), jnp.asarray(mask)
+        )
+        our_losses.append({k: float(v) for k, v in metrics.items()})
+        ref_losses.append(None)  # train_step returns nothing; checked via state
+
+    # LR schedules actually decayed: torch's per-network schedulers report
+    # gamma^2 (critic, 6 updates past both milestones) and gamma^1
+    # (generator, 3 updates past the first)
+    assert tr.lr_scheduler_D.get_last_lr()[0] == pytest.approx(2e-4 * 0.01)
+    assert tr.lr_scheduler_G.get_last_lr()[0] == pytest.approx(2e-4 * 0.1)
+
+    # loss trajectory sanity on our side (finite, critic loss present every
+    # iteration, generator losses only on 2/4/6)
+    for i, m in enumerate(our_losses, start=1):
+        assert np.isfinite(m["D"])
+        assert ("G" in m) == (i % GEN_EVERY == 0)
+
+    want_g = generator_variables_from_torch(numpy_state_dict(gen_t.state_dict()))
+    want_c = critic_variables_from_torch(numpy_state_dict(crit_t.state_dict()))
+    # six compounding updates: per-coordinate drift is bounded by the summed
+    # (decayed) step sizes; the strict-close fraction is looser than the
+    # single-step tests but every coordinate must stay within the trajectory
+    # step bound
+    # (~98% observed: six compounding sign-like Adam updates flip more
+    # near-zero-gradient coordinates than a single step; every one is still
+    # bounded by a couple of lr-sized steps)
+    _assert_tree_close(
+        state.gen_params, want_g["params"], 1e-5, 1e-3, "gen_params",
+        step_bound=3e-3, frac_ok=0.97,
+    )
+    # stats atol 1e-3: running means sit at O(0.1-1); near-zero coordinates
+    # accumulate the params' drift through six batch-mean updates
+    _assert_tree_close(
+        state.gen_stats, want_g["batch_stats"], 1e-3, 1e-2, "gen_stats"
+    )
+    _assert_tree_close(
+        state.critic_params, want_c["params"], 1e-5, 1e-3, "critic_params",
+        step_bound=3e-3, frac_ok=0.97,
+    )
+    # weight clip engaged throughout
+    clipped = [
+        np.abs(np.asarray(p)).max()
+        for p in jax.tree_util.tree_leaves(state.critic_params)
+    ]
+    assert max(clipped) <= 0.01 + 1e-7
