@@ -53,6 +53,56 @@ def test_correct_then_measure_hu_shift(tmp_path, rng):
     assert all(np.isfinite(v["mean"]) for v in summary.values())
 
 
+def test_correct_patients_overlap_io_matches_sequential(tmp_path, rng):
+    """The pipelined (loader/writer-threaded) multi-patient path writes
+    bit-identical files in the same order as the sequential path."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    patients = []
+    for i, hu in enumerate((250, 420, 550)):
+        pdir, _ = _write_synth_patient(tmp_path, rng, f"s{i}", vessel_hu=hu)
+        patients.append(pdir / f"s{i}.mhd")
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=(16, 16, 16), batch_size=2,
+    )
+
+    seq = correct_patients(corrector, tmp_path / "seq", patients, overlap_io=False)
+    pipe = correct_patients(corrector, tmp_path / "pipe", patients, overlap_io=True)
+    assert [p.name for p in seq] == [p.name for p in pipe]
+    for ps, pp in zip(seq, pipe):
+        a, meta_a = io_utils.load_scan(ps)
+        b, meta_b = io_utils.load_scan(pp)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(meta_a["spacing"], meta_b["spacing"])
+
+
+def test_correct_patients_overlap_io_loader_error(tmp_path, rng):
+    """A missing input surfaces as an exception from the pipelined path
+    (no hang, threads joined)."""
+    import jax
+    import jax.numpy as jnp
+
+    pdir, _ = _write_synth_patient(tmp_path, rng, "ok", vessel_hu=300)
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=(16, 16, 16), batch_size=2,
+    )
+    with pytest.raises(Exception):
+        correct_patients(
+            corrector, tmp_path / "out",
+            [pdir / "ok.mhd", tmp_path / "missing.mhd"], overlap_io=True,
+        )
+
+
 def test_corrector_z_bucket(rng):
     """z_bucket pads/crops around the jitted correction; output shape exact
     and values near the identity-path result."""
