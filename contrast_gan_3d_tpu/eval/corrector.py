@@ -108,6 +108,10 @@ class CCTAContrastCorrector:
             raise ValueError("layout='packed' unsupported for this generator/patch")
         self.batch_size = batch_size if batch_size is not None else (24 if packed else 8)
         batch_size = self.batch_size
+        # kept for shard_over (mesh re-targeting preserves the layout choice)
+        self._packed = packed
+        self._variables = variables
+        self._dtype = dtype
 
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
@@ -229,6 +233,44 @@ class CCTAContrastCorrector:
             padded = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
             return self.correct_volume(padded)[:, :, :d]
         return self.correct_volume(volume)
+
+    # ------------------------------------------------------------------
+    def shard_over(self, mesh, axis: Optional[str] = None) -> "CCTAContrastCorrector":
+        """Re-target this corrector to a multi-chip mesh: the patch grid of
+        every volume is split across ``mesh`` (``parallel/inference``, the
+        TPU-native analogue of the reference's ``mp.Pool`` fan-out) while the
+        layout choice carries over — a packed corrector runs the packed
+        psum_scatter slab path. Returns ``self`` for chaining."""
+        if self.is_2d:
+            raise ValueError("shard_over applies to the 3D sliding window only")
+        from contrast_gan_3d_tpu.parallel.inference import (
+            make_sharded_volume_corrector,
+        )
+        from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS
+
+        if self._packed:
+            gen_p = self.generator.clone(
+                layout="packed", packed_input=True, packed_output=True
+            )
+            variables = self._variables
+
+            def apply(x):
+                return gen_p.apply(variables, x, train=False)
+
+        else:
+            apply = self.apply_fn
+        self.correct_volume = make_sharded_volume_corrector(
+            apply,
+            mesh,
+            patch_size=self.inference_patch_size,
+            overlap=self.overlap,
+            batch_size=self.batch_size,
+            scaler=self.scaler,
+            dtype=self._dtype,
+            axis=axis or DATA_AXIS,
+            packed_io=self._packed,
+        )
+        return self
 
     # ------------------------------------------------------------------
     def correct_file(self, scan_path, out_path=None, meta=None) -> np.ndarray:

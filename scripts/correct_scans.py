@@ -28,7 +28,9 @@ def main():
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--patch-size", type=int, nargs=3, default=(128, 128, 128))
     p.add_argument("--overlap", type=float, default=0.5)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="generator forward batch (default: the corrector's "
+                        "layout-aware choice, 24 packed / 8 direct)")
     p.add_argument("--reference-pt", action="store_true",
                    help="checkpoint is a reference torch .pt file")
     p.add_argument("--sharded", action="store_true",
@@ -49,15 +51,11 @@ def main():
             args.checkpoint_dir, iteration=args.iteration, **kwargs
         )
     if args.sharded:
-        from contrast_gan_3d_tpu.parallel import data_mesh, make_sharded_volume_corrector
+        from contrast_gan_3d_tpu.parallel import data_mesh
 
-        corrector.correct_volume = make_sharded_volume_corrector(
-            corrector.apply_fn,
-            data_mesh(),
-            patch_size=tuple(args.patch_size),
-            overlap=args.overlap,
-            batch_size=args.batch_size,
-        )
+        # patch grid split across all visible chips; keeps the corrector's
+        # layout (packed block-space by default)
+        corrector.shard_over(data_mesh())
     correct_patients(corrector, args.out_dir, args.scans)
 
 

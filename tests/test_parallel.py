@@ -93,6 +93,27 @@ def test_pad_batch_to_multiple():
     assert pad_batch_to_multiple(x, 5) is x
 
 
+def test_corrector_shard_over_matches_unsharded(rng):
+    """CCTAContrastCorrector.shard_over re-targets the (packed-default)
+    corrector to the mesh with unchanged numerics — the one-call path
+    scripts/correct_scans.py --sharded uses."""
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+
+    gen, _ = _tiny_models()
+    variables = gen.init(jax.random.key(3), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    assert corrector._packed  # the production default layout carries over
+    vol = jnp.asarray(rng.integers(-1024, 1500, (24, 20, 16), dtype=np.int16))
+    want = np.asarray(corrector(vol))
+    assert corrector.shard_over(data_mesh()) is corrector
+    np.testing.assert_allclose(
+        want, np.asarray(corrector(vol)), rtol=1e-4, atol=5e-2
+    )
+
+
 def test_sharded_packed_corrector_matches_direct(rng):
     """packed_io sharded correction == the direct sharded path (block-space
     gathers, f4 accumulator, packed psum_scatter slabs)."""
