@@ -128,11 +128,13 @@ def load_reference_checkpoint(
     path,
     n_resnet_blocks: int = 4,
     n_updownsample_blocks: int = 2,
-    discriminator_depth: int = 3,
+    discriminator_depth: Optional[int] = None,
 ) -> Dict:
     """Load a reference ``<iteration>.pt`` checkpoint file (the torch.save
     dict written by reference ``trainer/Trainer.py:321-327``) into flax
     variables. Requires torch (only for deserialization).
+    ``discriminator_depth`` defaults to counting the saved
+    ``model.middle.*`` blocks.
 
     Returns ``{"iteration", "generator": variables,
     "critic": variables | None}`` — ``critic`` is None for genuine reference
@@ -154,8 +156,175 @@ def load_reference_checkpoint(
     }
     critic_sd = ckpt.get("discriminator") or ckpt.get("critic")
     if critic_sd is not None:
-        out["critic"] = critic_variables_from_torch(critic_sd, discriminator_depth)
+        depth = discriminator_depth
+        if depth is None:
+            depth = len(
+                {k.split(".")[2] for k in critic_sd if k.startswith("model.middle.")}
+            )
+        out["critic"] = critic_variables_from_torch(critic_sd, depth)
     return out
+
+
+# ---------------------------------------------------------------------------
+# The inverse direction: flax variables -> reference torch state_dicts.
+# Completes bidirectional migration — checkpoints trained HERE can be loaded
+# by the reference's torch models/eval stack (reference
+# eval/CCTAContrastCorrector.py:55-56 reads ckpt["generator"]).
+#
+# Exactness caveat (mirror of the import note above): the exported
+# transpose-conv weights reproduce torch ONLY for generators trained with
+# ``tconv_placement="torch"``; the from-scratch training default ("same",
+# faster on TPU) places the tconv window one voxel off torch's, so an
+# exported "same" checkpoint drives the torch model with a one-voxel output
+# shift (weights themselves are unchanged). Round-trip + torch-forward
+# equivalence is tested in tests/test_torch_export.py.
+
+
+def _conv_kernel_to_torch(k: np.ndarray) -> np.ndarray:
+    """(*k, I, O) -> (O, I, *k)."""
+    nd = k.ndim - 2
+    return np.ascontiguousarray(k.transpose(nd + 1, nd, *range(nd)))
+
+
+def _tconv_kernel_to_torch(k: np.ndarray) -> np.ndarray:
+    """spatially flipped (*k, I, O) -> (I, O, *k)."""
+    nd = k.ndim - 2
+    k = k[(slice(None, None, -1),) * nd]
+    return np.ascontiguousarray(k.transpose(nd, nd + 1, *range(nd)))
+
+
+def _conv_block_to_torch(
+    out: Dict[str, np.ndarray],
+    prefix: str,
+    params: Mapping,
+    stats: Optional[Mapping],
+    transpose: bool = False,
+) -> None:
+    """One of our ConvBlocks -> reference ``<prefix>.conv`` /
+    ``<prefix>.normalization`` state_dict entries."""
+    conv_name = "ConvTranspose_0" if transpose else "Conv_0"
+    unknown = set(params) - {conv_name, "BatchNorm_0"}
+    if unknown:
+        raise NotImplementedError(
+            f"torch export supports batch/none norms only; found {sorted(unknown)} "
+            f"under '{prefix}' (the reference LayerNorm variant is export-unsupported)"
+        )
+    conv = params[conv_name]
+    to_torch = _tconv_kernel_to_torch if transpose else _conv_kernel_to_torch
+    out[f"{prefix}.conv.weight"] = to_torch(np.asarray(conv["kernel"], np.float32))
+    if "bias" in conv:
+        out[f"{prefix}.conv.bias"] = np.array(conv["bias"], np.float32)
+    if "BatchNorm_0" in params:
+        bn = params["BatchNorm_0"]
+        out[f"{prefix}.normalization.weight"] = np.array(bn["scale"], np.float32)
+        out[f"{prefix}.normalization.bias"] = np.array(bn["bias"], np.float32)
+        s = (stats or {}).get("BatchNorm_0") or {}
+        out[f"{prefix}.normalization.running_mean"] = np.array(
+            s.get("mean", np.zeros_like(bn["scale"])), np.float32
+        )
+        out[f"{prefix}.normalization.running_var"] = np.array(
+            s.get("var", np.ones_like(bn["scale"])), np.float32
+        )
+        # torch BatchNorm state_dicts carry this counter; required for
+        # load_state_dict(strict=True)
+        out[f"{prefix}.normalization.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def generator_state_dict_from_variables(
+    variables: Mapping,
+    n_resnet_blocks: int = 4,
+    n_updownsample_blocks: int = 2,
+) -> Dict[str, np.ndarray]:
+    """Our flax generator variables -> a reference
+    ``ResnetGenerator.state_dict()`` (numpy values; wrap with torch.as_tensor
+    or use :func:`save_reference_checkpoint`)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats") or {}
+    sd: Dict[str, np.ndarray] = {}
+    _conv_block_to_torch(sd, "model.first", params["first"], stats.get("first"))
+    for i in range(n_updownsample_blocks):
+        _conv_block_to_torch(
+            sd, f"model.downsampling.{i}", params[f"down_{i}"], stats.get(f"down_{i}")
+        )
+    for i in range(n_resnet_blocks):
+        p = params[f"resnet_{i}"]
+        s = stats.get(f"resnet_{i}") or {}
+        _conv_block_to_torch(
+            sd, f"model.resnet_backbone.{i}.block0", p["ConvBlock_0"], s.get("ConvBlock_0")
+        )
+        _conv_block_to_torch(
+            sd, f"model.resnet_backbone.{i}.block1", p["ConvBlock_1"], s.get("ConvBlock_1")
+        )
+    # reverse of the import: torch upsampling.j runs wide->narrow, our up_{i}
+    # counts channels down (reference generator.py:61-77 loop order)
+    for j in range(n_updownsample_blocks):
+        name = f"up_{n_updownsample_blocks - 1 - j}"
+        _conv_block_to_torch(
+            sd, f"model.upsampling.{j}", params[name], stats.get(name), transpose=True
+        )
+    sd["model.last_conv.weight"] = _conv_kernel_to_torch(
+        np.asarray(params["last_conv"]["Conv_0"]["kernel"], np.float32)
+    )
+    sd["model.last_conv.bias"] = np.array(
+        params["last_conv"]["Conv_0"]["bias"], np.float32
+    )
+    return sd
+
+
+def critic_state_dict_from_variables(
+    variables: Mapping, discriminator_depth: int = 3
+) -> Dict[str, np.ndarray]:
+    """Our flax critic variables -> a reference
+    ``PatchGANDiscriminator.state_dict()`` (numpy values)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats") or {}
+    sd: Dict[str, np.ndarray] = {}
+    _conv_block_to_torch(sd, "model.first", params["first"], stats.get("first"))
+    for n in range(discriminator_depth):
+        _conv_block_to_torch(
+            sd, f"model.middle.{n}", params[f"middle_{n}"], stats.get(f"middle_{n}")
+        )
+    sd["model.last.weight"] = _conv_kernel_to_torch(
+        np.asarray(params["last"]["Conv_0"]["kernel"], np.float32)
+    )
+    sd["model.last.bias"] = np.array(params["last"]["Conv_0"]["bias"], np.float32)
+    return sd
+
+
+def save_reference_checkpoint(
+    path,
+    generator_variables: Mapping,
+    critic_variables: Optional[Mapping] = None,
+    iteration: int = 0,
+    n_resnet_blocks: int = 4,
+    n_updownsample_blocks: int = 2,
+    discriminator_depth: int = 3,
+) -> None:
+    """Write a reference-format ``<iteration>.pt`` torch checkpoint (the
+    dict layout of reference ``trainer/Trainer.py:321-327``) from our flax
+    variables, so reference tooling can consume checkpoints trained here.
+    Unlike genuine reference checkpoints, the critic IS saved (under the
+    ``discriminator`` key the reference's loader looks up) when provided.
+    Requires torch (serialization only)."""
+    import torch  # gated: only needed when actually writing .pt files
+
+    def to_torch(sd):
+        return {k: torch.as_tensor(v) for k, v in sd.items()}
+
+    ckpt = {
+        "iteration": int(iteration),
+        "generator": to_torch(
+            generator_state_dict_from_variables(
+                generator_variables, n_resnet_blocks, n_updownsample_blocks
+            )
+        ),
+        "discriminator": None,
+    }
+    if critic_variables is not None:
+        ckpt["discriminator"] = to_torch(
+            critic_state_dict_from_variables(critic_variables, discriminator_depth)
+        )
+    torch.save(ckpt, path)
 
 
 def critic_variables_from_torch(
