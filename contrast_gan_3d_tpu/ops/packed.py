@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contrast_gan_3d_tpu.ops.s2d_conv import depth_to_space, space_to_depth
+from contrast_gan_3d_tpu.ops.s2d_conv import space_to_depth
 
 
 @lru_cache(maxsize=64)

@@ -20,7 +20,6 @@ down-weight patch borders, removing the seam artifacts of patchly's uniform
 averaging (reference aggregates with equal weights).
 """
 
-import math
 from functools import lru_cache, partial
 from typing import Callable, List, Sequence, Tuple
 
