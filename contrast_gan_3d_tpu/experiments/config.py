@@ -210,6 +210,24 @@ def conf_2d() -> ExperimentConfig:
     )
 
 
+def gradient_penalty_2d() -> ExperimentConfig:
+    """gradient_penalty_conf_2D.py: the 2D family with the WGAN-GP
+    hyperparameters. The reference composes this by shared-dict mutation
+    (conf_2D's star-import and gradient_penalty_conf both mutate
+    basic_conf's ``critic_args`` in place), which nets out to the 2D 16-ch
+    critic with the Identity norm — expressed here directly."""
+    cfg = conf_2d()
+    return replace(
+        cfg,
+        name="gradient_penalty_2d",
+        weight_clip=None,
+        betas=(0.0, 0.9),
+        lr=1e-4,
+        gp_weight=10.0,
+        critic_args={**cfg.critic_args, "norm": None},
+    )
+
+
 def test_conf() -> ExperimentConfig:
     """test_conf.py: 61-iteration smoke run with frequent everything."""
     return replace(
@@ -243,6 +261,7 @@ PRESETS: Dict[str, Callable[[], ExperimentConfig]] = {
     "small_patch": small_patch,
     "train_generator_more": train_generator_more,
     "conf_2d": conf_2d,
+    "gradient_penalty_2d": gradient_penalty_2d,
     "test_conf": test_conf,
     "test_conf_2d": test_conf_2d,
 }

@@ -39,6 +39,15 @@ def test_preset_values_match_reference():
     assert c2d.is_2d and c2d.train_patch_size == (128, 128)
     assert c2d.generator_args["n_resnet_blocks"] == 6
 
+    gp2d = load_config("gradient_penalty_2d")
+    assert gp2d.is_2d and gp2d.weight_clip is None and gp2d.lr == 1e-4
+    assert gp2d.betas == (0.0, 0.9) and gp2d.gp_weight == 10.0
+    # net result of the reference's shared-dict mutations: 2D 16-ch critic
+    # with the Identity norm (gradient_penalty_conf_2D.py)
+    assert gp2d.critic_args["norm"] is None
+    assert gp2d.critic_args["init_channels_out"] == 16
+    assert gp2d.critic_args["ndim"] == 2
+
     tc = load_config("test_conf")
     assert tc.train_iterations == 61 and tc.validate_every == 10
 
