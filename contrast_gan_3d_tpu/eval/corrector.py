@@ -110,9 +110,9 @@ class CCTAContrastCorrector:
         batch_size = self.batch_size
         # kept for shard_over (mesh re-targeting preserves the layout choice)
         self._packed = packed
-        self._variables = variables
         self._dtype = dtype
 
+        self._apply_packed = None
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
         elif packed:
@@ -122,8 +122,11 @@ class CCTAContrastCorrector:
             gen_p = generator.clone(
                 layout="packed", packed_input=True, packed_output=True
             )
+            # kept for shard_over: the mesh corrector reuses the same
+            # packed apply so both paths stay numerically in lockstep
+            self._apply_packed = lambda x: gen_p.apply(variables, x, train=False)
             self.correct_volume = make_volume_corrector(
-                lambda x: gen_p.apply(variables, x, train=False),
+                self._apply_packed,
                 patch_size=tuple(inference_patch_size),
                 overlap=overlap,
                 batch_size=batch_size,
@@ -165,28 +168,38 @@ class CCTAContrastCorrector:
     def from_reference_checkpoint(
         cls,
         pt_path,
-        n_resnet_blocks: int = 4,
-        n_updownsample_blocks: int = 2,
-        init_channels_out: int = 16,
-        ndim: int = 3,
+        n_resnet_blocks: Optional[int] = None,
+        n_updownsample_blocks: Optional[int] = None,
+        init_channels_out: Optional[int] = None,
+        ndim: Optional[int] = None,
         dtype=jnp.float32,
         **kwargs,
     ) -> "CCTAContrastCorrector":
         """Build directly from a REFERENCE ``<iteration>.pt`` torch
         checkpoint (reference trainer/Trainer.py:321-327 format): users of
         the reference can correct volumes with their existing checkpoints.
-        The generator is constructed with ``tconv_placement='torch'`` so the
-        ported weights reproduce the torch model exactly (utils/torch_port)."""
+        Architecture hyper-parameters default to what the saved state_dict
+        contains (explicit values that disagree raise — never a silent
+        truncation). The generator is constructed with
+        ``tconv_placement='torch'`` so the ported weights reproduce the
+        torch model exactly (utils/torch_port)."""
         from contrast_gan_3d_tpu.utils.torch_port import load_reference_checkpoint
 
         payload = load_reference_checkpoint(
             pt_path, n_resnet_blocks, n_updownsample_blocks
         )
+        arch = payload["generator_arch"]
+        for name, given in (("init_channels_out", init_channels_out), ("ndim", ndim)):
+            if given is not None and given != arch[name]:
+                raise ValueError(
+                    f"{name}={given} does not match the checkpoint "
+                    f"(found {arch[name]})"
+                )
         generator = ResnetGenerator(
-            n_resnet_blocks=n_resnet_blocks,
-            n_updownsample_blocks=n_updownsample_blocks,
-            init_channels_out=init_channels_out,
-            ndim=ndim,
+            n_resnet_blocks=arch["n_resnet_blocks"],
+            n_updownsample_blocks=arch["n_updownsample_blocks"],
+            init_channels_out=arch["init_channels_out"],
+            ndim=arch["ndim"],
             tconv_placement="torch",
             dtype=dtype,
         )
@@ -248,19 +261,8 @@ class CCTAContrastCorrector:
         )
         from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS
 
-        if self._packed:
-            gen_p = self.generator.clone(
-                layout="packed", packed_input=True, packed_output=True
-            )
-            variables = self._variables
-
-            def apply(x):
-                return gen_p.apply(variables, x, train=False)
-
-        else:
-            apply = self.apply_fn
         self.correct_volume = make_sharded_volume_corrector(
-            apply,
+            self._apply_packed if self._packed else self.apply_fn,
             mesh,
             patch_size=self.inference_patch_size,
             overlap=self.overlap,

@@ -11,6 +11,7 @@ scaling in chips for the generator FLOPs; the collective moves ~1 volume of
 bytes (half an all-reduce).
 """
 
+import functools
 import math
 from functools import partial
 from typing import Callable, Tuple
@@ -197,20 +198,25 @@ def make_sharded_volume_corrector(
         )
         return scaler.unscale(corrected)
 
+    @functools.lru_cache(maxsize=32)
+    def _padded_weight_field(padded: Tuple[int, int, int]) -> jax.Array:
+        # weights over the patch grid; constant 1s in the z slab-padding
+        # tail (untouched rows - avoids 0/0 in the normalization). Cached
+        # per shape INCLUDING the pad: the un-cached version re-fetched the
+        # full device field (D2H) and re-uploaded it on every call.
+        weight_sum = _weight_field(padded, patch_size, stride, sigma_scale)
+        z_extra = (-padded[2]) % ((4 * n_dev) if packed_io else n_dev)
+        if z_extra:
+            weight_sum = jnp.pad(
+                weight_sum, ((0, 0), (0, 0), (0, z_extra)), constant_values=1.0
+            )
+        return weight_sum
+
     def correct(volume: jax.Array) -> jax.Array:
         shape = tuple(volume.shape)
         padded = [max(s_, p) for s_, p in zip(shape, patch_size)]
         if packed_io:
             padded = [d + ((-d) % 4) for d in padded]
-        # weights over the patch grid; constant 1s in the z slab-padding
-        # tail (untouched rows - avoids 0/0 in the normalization)
-        weight_sum = _weight_field(tuple(padded), patch_size, stride, sigma_scale)
-        z_extra = (-padded[2]) % ((4 * n_dev) if packed_io else n_dev)
-        if z_extra:
-            weight_sum = np.pad(
-                np.asarray(weight_sum), ((0, 0), (0, 0), (0, z_extra)),
-                constant_values=1.0,
-            )
-        return _correct(volume, shape, weight_sum)
+        return _correct(volume, shape, _padded_weight_field(tuple(padded)))
 
     return correct

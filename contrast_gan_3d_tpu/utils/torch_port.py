@@ -81,15 +81,44 @@ def _conv_block(
     return params, stats
 
 
+def _count_indexed(keys, prefix: str) -> int:
+    """Number of distinct ``<prefix><i>.`` submodules in a state_dict."""
+    n = len(prefix.split("."))
+    return len({k.split(".")[n - 1] for k in keys if k.startswith(prefix)})
+
+
+def _check_counts(requested: Optional[int], found: int, what: str) -> int:
+    """None -> derive from the state_dict; explicit mismatch -> loud error
+    (a silent mismatch would truncate the model and corrupt every output)."""
+    if requested is None:
+        return found
+    if requested != found:
+        raise ValueError(
+            f"{what}={requested} does not match the state_dict (found {found})"
+        )
+    return requested
+
+
 def generator_variables_from_torch(
     state_dict: Mapping,
-    n_resnet_blocks: int = 4,
-    n_updownsample_blocks: int = 2,
+    n_resnet_blocks: Optional[int] = None,
+    n_updownsample_blocks: Optional[int] = None,
 ) -> Dict:
     """Reference ``ResnetGenerator.state_dict()`` -> flax ``{"params", ...}``
     variables for :class:`models.generator.ResnetGenerator` (same
-    architecture hyper-parameters)."""
+    architecture hyper-parameters). Block counts default to what the
+    state_dict actually contains; explicit counts that disagree raise."""
     sd = numpy_state_dict(state_dict)
+    n_resnet_blocks = _check_counts(
+        n_resnet_blocks,
+        _count_indexed(sd, "model.resnet_backbone."),
+        "n_resnet_blocks",
+    )
+    n_updownsample_blocks = _check_counts(
+        n_updownsample_blocks,
+        _count_indexed(sd, "model.downsampling."),
+        "n_updownsample_blocks",
+    )
     params: Dict = {}
     stats: Dict = {}
 
@@ -126,17 +155,17 @@ def generator_variables_from_torch(
 
 def load_reference_checkpoint(
     path,
-    n_resnet_blocks: int = 4,
-    n_updownsample_blocks: int = 2,
+    n_resnet_blocks: Optional[int] = None,
+    n_updownsample_blocks: Optional[int] = None,
     discriminator_depth: Optional[int] = None,
 ) -> Dict:
     """Load a reference ``<iteration>.pt`` checkpoint file (the torch.save
     dict written by reference ``trainer/Trainer.py:321-327``) into flax
-    variables. Requires torch (only for deserialization).
-    ``discriminator_depth`` defaults to counting the saved
-    ``model.middle.*`` blocks.
+    variables. Requires torch (only for deserialization). All architecture
+    counts default to what the saved state_dicts contain; explicit values
+    that disagree raise.
 
-    Returns ``{"iteration", "generator": variables,
+    Returns ``{"iteration", "generator": variables, "generator_arch",
     "critic": variables | None}`` — ``critic`` is None for genuine reference
     checkpoints (its save list names ``discriminator`` but the attribute is
     ``critic``, so reference runs silently never saved it).
@@ -154,14 +183,25 @@ def load_reference_checkpoint(
         ),
         "critic": None,
     }
-    critic_sd = ckpt.get("discriminator") or ckpt.get("critic")
+    gsd = ckpt["generator"]
+    out["generator_arch"] = {
+        "n_resnet_blocks": _count_indexed(gsd, "model.resnet_backbone."),
+        "n_updownsample_blocks": _count_indexed(gsd, "model.downsampling."),
+        "init_channels_out": int(gsd["model.first.conv.weight"].shape[0]),
+        # 5-D conv kernels = 3D model, 4-D = the is_2D variant
+        "ndim": len(gsd["model.first.conv.weight"].shape) - 2,
+    }
+    # our exports store the critic under "critic_state_dict": the reference
+    # Trainer's load_checkpoint does getattr(self, k).load_state_dict(v) for
+    # every non-None model_torch_attrs key, and it has no `discriminator`
+    # attribute (the module is `critic`, Trainer.py:89 vs :316) — a non-None
+    # "discriminator" entry would crash a reference resume. Unknown keys are
+    # setattr'd and harmless.
+    critic_sd = (
+        ckpt.get("critic_state_dict") or ckpt.get("discriminator") or ckpt.get("critic")
+    )
     if critic_sd is not None:
-        depth = discriminator_depth
-        if depth is None:
-            depth = len(
-                {k.split(".")[2] for k in critic_sd if k.startswith("model.middle.")}
-            )
-        out["critic"] = critic_variables_from_torch(critic_sd, depth)
+        out["critic"] = critic_variables_from_torch(critic_sd, discriminator_depth)
     return out
 
 
@@ -232,14 +272,26 @@ def _conv_block_to_torch(
 
 def generator_state_dict_from_variables(
     variables: Mapping,
-    n_resnet_blocks: int = 4,
-    n_updownsample_blocks: int = 2,
+    n_resnet_blocks: Optional[int] = None,
+    n_updownsample_blocks: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Our flax generator variables -> a reference
     ``ResnetGenerator.state_dict()`` (numpy values; wrap with torch.as_tensor
-    or use :func:`save_reference_checkpoint`)."""
+    or use :func:`save_reference_checkpoint`). Block counts default to the
+    variables' own ``resnet_*``/``up_*`` counts; explicit mismatch raises
+    (a silent mismatch would truncate the exported model)."""
     params = variables["params"]
     stats = variables.get("batch_stats") or {}
+    n_resnet_blocks = _check_counts(
+        n_resnet_blocks,
+        len([k for k in params if k.startswith("resnet_")]),
+        "n_resnet_blocks",
+    )
+    n_updownsample_blocks = _check_counts(
+        n_updownsample_blocks,
+        len([k for k in params if k.startswith("down_")]),
+        "n_updownsample_blocks",
+    )
     sd: Dict[str, np.ndarray] = {}
     _conv_block_to_torch(sd, "model.first", params["first"], stats.get("first"))
     for i in range(n_updownsample_blocks):
@@ -272,12 +324,19 @@ def generator_state_dict_from_variables(
 
 
 def critic_state_dict_from_variables(
-    variables: Mapping, discriminator_depth: int = 3
+    variables: Mapping, discriminator_depth: Optional[int] = None
 ) -> Dict[str, np.ndarray]:
     """Our flax critic variables -> a reference
-    ``PatchGANDiscriminator.state_dict()`` (numpy values)."""
+    ``PatchGANDiscriminator.state_dict()`` (numpy values). The depth
+    defaults to the variables' ``middle_*`` count; explicit mismatch raises
+    (a silent mismatch would truncate the exported model)."""
     params = variables["params"]
     stats = variables.get("batch_stats") or {}
+    discriminator_depth = _check_counts(
+        discriminator_depth,
+        len([k for k in params if k.startswith("middle_")]),
+        "discriminator_depth",
+    )
     sd: Dict[str, np.ndarray] = {}
     _conv_block_to_torch(sd, "model.first", params["first"], stats.get("first"))
     for n in range(discriminator_depth):
@@ -296,16 +355,25 @@ def save_reference_checkpoint(
     generator_variables: Mapping,
     critic_variables: Optional[Mapping] = None,
     iteration: int = 0,
-    n_resnet_blocks: int = 4,
-    n_updownsample_blocks: int = 2,
-    discriminator_depth: int = 3,
+    n_resnet_blocks: Optional[int] = None,
+    n_updownsample_blocks: Optional[int] = None,
+    discriminator_depth: Optional[int] = None,
 ) -> None:
     """Write a reference-format ``<iteration>.pt`` torch checkpoint (the
     dict layout of reference ``trainer/Trainer.py:321-327``) from our flax
     variables, so reference tooling can consume checkpoints trained here.
-    Unlike genuine reference checkpoints, the critic IS saved (under the
-    ``discriminator`` key the reference's loader looks up) when provided.
-    Requires torch (serialization only)."""
+    Architecture counts are derived from the variables (explicit mismatch
+    raises). Requires torch (serialization only).
+
+    Unlike genuine reference checkpoints, the critic IS saved when provided
+    — under ``critic_state_dict``, NOT ``discriminator``: the reference
+    Trainer's ``load_checkpoint`` calls ``getattr(self, k).load_state_dict``
+    for every non-None ``model_torch_attrs`` entry, and it has no
+    ``discriminator`` attribute (the module is ``critic``, Trainer.py:89),
+    so a non-None ``discriminator`` key would crash a reference resume.
+    ``discriminator`` stays None exactly like genuine files; unknown keys
+    are setattr'd by the reference loader and harmless. Our
+    :func:`load_reference_checkpoint` reads ``critic_state_dict`` back."""
     import torch  # gated: only needed when actually writing .pt files
 
     def to_torch(sd):
@@ -321,18 +389,22 @@ def save_reference_checkpoint(
         "discriminator": None,
     }
     if critic_variables is not None:
-        ckpt["discriminator"] = to_torch(
+        ckpt["critic_state_dict"] = to_torch(
             critic_state_dict_from_variables(critic_variables, discriminator_depth)
         )
     torch.save(ckpt, path)
 
 
 def critic_variables_from_torch(
-    state_dict: Mapping, discriminator_depth: int = 3
+    state_dict: Mapping, discriminator_depth: Optional[int] = None
 ) -> Dict:
     """Reference ``PatchGANDiscriminator.state_dict()`` -> flax variables for
-    :class:`models.discriminator.PatchGANDiscriminator`."""
+    :class:`models.discriminator.PatchGANDiscriminator`. The depth defaults
+    to the state_dict's ``model.middle.*`` count; explicit mismatch raises."""
     sd = numpy_state_dict(state_dict)
+    discriminator_depth = _check_counts(
+        discriminator_depth, _count_indexed(sd, "model.middle."), "discriminator_depth"
+    )
     params: Dict = {}
     stats: Dict = {}
     p, _ = _conv_block(sd, "model.first")

@@ -55,10 +55,16 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
     p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--gp", action="store_true",
+                   help="gradient-penalty mode on BOTH sides (weight_clip "
+                        "None, Adam (0, 0.9) lr 1e-4, gp_weight 10; GP eps "
+                        "draws differ across frameworks, so this compares "
+                        "endpoint quality, not trajectories)")
     p.add_argument("--out", type=Path,
                    default=Path(__file__).resolve().parent.parent
                    / "reference_training_comparison.json")
     args = p.parse_args()
+    lr, betas, clip = (1e-4, (0.0, 0.9), None) if args.gp else (LR, BETAS, CLIP)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -119,14 +125,16 @@ def main():
     scaler = FactorZeroCenterScaler()
     gen = ResnetGenerator(tconv_placement="torch", **GEN_CFG)
     critic = PatchGANDiscriminator(**CRITIC_CFG)
-    tx = make_optimizer("adam", lr=LR, betas=BETAS)
-    cfg = StepConfig(weight_clip=CLIP, dtype=jnp.float32, augment=None)
+    tx = make_optimizer("adam", lr=lr, betas=betas)
+    cfg = StepConfig(weight_clip=clip, dtype=jnp.float32, augment=None)
     state = init_state(gen, critic, tx, tx, jax.random.key(0), tuple(args.patch))
-    gv = generator_variables_from_torch(
-        numpy_state_dict(gen_t.state_dict()), **{
-            k: GEN_CFG[k] for k in ("n_resnet_blocks", "n_updownsample_blocks")
-        },
-    )
+    def port_generator():
+        return generator_variables_from_torch(
+            numpy_state_dict(gen_t.state_dict()),
+            GEN_CFG["n_resnet_blocks"], GEN_CFG["n_updownsample_blocks"],
+        )
+
+    gv = port_generator()
     cv = critic_variables_from_torch(
         numpy_state_dict(crit_t.state_dict()), CRITIC_CFG["discriminator_depth"]
     )
@@ -175,12 +183,13 @@ def main():
         train_generator_every=GEN_EVERY, train_critic_every=CRITIC_EVERY,
         log_every=10**9, log_images_every=10**9,
         generator_class=lambda: gen_t, critic_class=lambda: crit_t,
-        generator_optim_class=partial(torch.optim.Adam, lr=LR, betas=BETAS),
-        critic_optim_class=partial(torch.optim.Adam, lr=LR, betas=BETAS),
+        generator_optim_class=partial(torch.optim.Adam, lr=lr, betas=betas),
+        critic_optim_class=partial(torch.optim.Adam, lr=lr, betas=betas),
         hu_loss_instance=mods["loss"].HULoss(lo_s, hi_s, (n_sub, 1, *args.patch)),
         logger_interface=types.SimpleNamespace(logger=None),
         device=torch.device("cpu"),
-        weight_clip=CLIP,
+        weight_clip=clip,
+        rng=np.random.default_rng(5),
     )
     gen_t.train()
     crit_t.train()
@@ -227,11 +236,7 @@ def main():
         gen, state.gen_params, state.gen_stats,
         inference_patch_size=tuple(args.patch), batch_size=4,
     )
-    ref_v = generator_variables_from_torch(
-        numpy_state_dict(gen_t.state_dict()), **{
-            k: GEN_CFG[k] for k in ("n_resnet_blocks", "n_updownsample_blocks")
-        },
-    )
+    ref_v = port_generator()
     ref_corr = CCTAContrastCorrector(
         gen, ref_v["params"], ref_v.get("batch_stats"),
         inference_patch_size=tuple(args.patch), batch_size=4,
@@ -242,8 +247,10 @@ def main():
     summary = {
         "iterations": args.iterations,
         "target_corridor": [lo, hi],
-        "setup": "identical init (ported), identical batch stream, WC mode, "
-                 f"Adam lr {LR} betas {BETAS}, critic/{CRITIC_EVERY} gen/{GEN_EVERY}",
+        "mode": "gp" if args.gp else "wc",
+        "setup": "identical init (ported), identical batch stream, "
+                 f"{'GP' if args.gp else 'WC'} mode, "
+                 f"Adam lr {lr} betas {betas}, critic/{CRITIC_EVERY} gen/{GEN_EVERY}",
     }
     for tag, vessel_hu in (("low", 250), ("high", 550)):
         vol, mask, _ = synth_patient(rng, tuple(args.shape), vessel_hu)

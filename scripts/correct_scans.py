@@ -10,7 +10,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
-from pathlib import Path
 
 import jax
 
@@ -32,10 +31,14 @@ def main():
                    help="generator forward batch (default: the corrector's "
                         "layout-aware choice, 24 packed / 8 direct)")
     p.add_argument("--reference-pt", action="store_true",
-                   help="checkpoint is a reference torch .pt file")
+                   help="checkpoint is a reference torch .pt file "
+                        "(architecture auto-derived from its state_dict)")
     p.add_argument("--sharded", action="store_true",
                    help="shard each volume's patch grid over all local devices")
     args = p.parse_args()
+    if args.reference_pt and args.iteration is not None:
+        p.error("--iteration applies to checkpoint DIRS; a --reference-pt "
+                "file IS one iteration")
 
     kwargs = dict(
         inference_patch_size=tuple(args.patch_size),

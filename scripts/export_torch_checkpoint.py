@@ -6,8 +6,10 @@ Inverse of ``import_torch_checkpoint.py``: takes a msgpack checkpoint
 layout the reference expects (reference ``trainer/Trainer.py:321-327``), so
 its eval stack — ``CCTAContrastCorrector`` reads ``ckpt["generator"]``
 (reference ``eval/CCTAContrastCorrector.py:55-56``) — runs on generators
-trained here. The critic IS included (under the ``discriminator`` key),
-which genuine reference checkpoints never manage to save.
+trained here. The critic IS included — under ``critic_state_dict``, a key
+the reference Trainer resume tolerates (its loader crashes on a non-None
+``discriminator`` entry since the attribute is named ``critic``); genuine
+reference checkpoints never manage to save a critic at all.
 
 NOTE: exact torch equivalence requires the checkpoint to come from a run
 with ``tconv_placement="torch"`` (e.g. one imported from the reference and
@@ -29,9 +31,12 @@ def main():
     p.add_argument("out_path", type=Path, help="output .pt file")
     p.add_argument("--iteration", type=int, default=None,
                    help="checkpoint step to export when a dir is given")
-    p.add_argument("--n-resnet-blocks", type=int, default=4)
-    p.add_argument("--n-updownsample-blocks", type=int, default=2)
-    p.add_argument("--discriminator-depth", type=int, default=3)
+    p.add_argument("--n-resnet-blocks", type=int, default=None,
+                   help="cross-check only (auto-derived from the checkpoint)")
+    p.add_argument("--n-updownsample-blocks", type=int, default=None,
+                   help="cross-check only (auto-derived from the checkpoint)")
+    p.add_argument("--discriminator-depth", type=int, default=None,
+                   help="cross-check only (auto-derived from the checkpoint)")
     p.add_argument("--no-critic", action="store_true",
                    help="export the generator only")
     args = p.parse_args()

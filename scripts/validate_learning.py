@@ -72,6 +72,10 @@ def main():
         help="2d = conf_2D-family: 2D patches/models, per-slice correction",
     )
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed override (cohort stays fixed); the toy "
+                        "WGAN oscillates — use to separate seed noise from "
+                        "regressions")
     args = p.parse_args()
 
     from contrast_gan_3d_tpu.data.pipeline import create_loaders
@@ -114,6 +118,7 @@ def main():
         milestones=(),
         num_workers=(2, 1),
         logger="console",
+        **({"seed": args.seed} if args.seed is not None else {}),
     )
     built = build(cfg, checkpoint_dir=str(tmp / "ckpt"))
     host_rng, key = seed_everything(built.seed)

@@ -28,6 +28,7 @@ from contrast_gan_3d_tpu.utils.torch_port import (
 )
 
 from tests.test_reference_parity import fill_deterministic, load_reference_models
+from tests.test_reference_parity_train import ref_env  # noqa: F401 (fixture)
 
 GEN_CFG = dict(n_resnet_blocks=2, n_updownsample_blocks=1, init_channels_out=8)
 CRITIC_CFG = dict(init_channels_out=4, discriminator_depth=2)
@@ -143,13 +144,71 @@ def test_export_torch_checkpoint_script(ref, tmp_path):
 
     ckpt = torch.load(pt)
     assert ckpt["iteration"] == 777
+    # 'discriminator' must stay None: the reference Trainer's load_checkpoint
+    # getattr's every non-None model_torch_attrs key and has no
+    # `discriminator` attribute — the critic travels under critic_state_dict
+    assert ckpt["discriminator"] is None
     tg = ref["generator"].ResnetGenerator(**GEN_CFG)
     tg.load_state_dict(ckpt["generator"], strict=True)
     tc = ref["discriminator"].PatchGANDiscriminator(
         1, CRITIC_CFG["init_channels_out"], CRITIC_CFG["discriminator_depth"],
         negative_slope=0.2,
     )
-    tc.load_state_dict(ckpt["discriminator"], strict=True)
+    tc.load_state_dict(ckpt["critic_state_dict"], strict=True)
+
+
+def test_reference_trainer_resumes_from_export(ref_env, tmp_path):
+    """The ACTUAL reference Trainer.load_checkpoint must accept an exported
+    .pt: its loader getattr's every non-None model_torch_attrs key (and has
+    no `discriminator` attribute), so the critic must travel under a
+    tolerated key and the generator weights must land in the live module."""
+    from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+    from tests.test_reference_parity_train import _make_reference_trainer
+
+    mods = ref_env
+    gen = ResnetGenerator(tconv_placement="torch", **GEN_CFG)
+    critic = PatchGANDiscriminator(**CRITIC_CFG)
+    gv = jax.tree.map(
+        np.asarray,
+        dict(gen.init(jax.random.key(21), jnp.zeros((1, 16, 16, 16, 1)), train=False)),
+    )
+    cv = jax.tree.map(
+        np.asarray,
+        dict(critic.init(jax.random.key(22), jnp.zeros((1, 16, 16, 16, 1)), train=False)),
+    )
+    pt = tmp_path / "4321.pt"
+    save_reference_checkpoint(pt, gv, cv, iteration=4321)
+
+    gen_t = mods["generator"].ResnetGenerator(**GEN_CFG)
+    crit_t = mods["discriminator"].PatchGANDiscriminator(
+        1, CRITIC_CFG["init_channels_out"], CRITIC_CFG["discriminator_depth"],
+        negative_slope=0.2,
+    )
+    tr = _make_reference_trainer(mods, gen_t, crit_t, FactorZeroCenterScaler())
+    tr.load_checkpoint(pt)  # the real loader, no crash
+    assert tr.iteration == 4321
+    want = generator_state_dict_from_variables(gv)
+    got = {k: v.detach().numpy() for k, v in gen_t.state_dict().items()}
+    for k, v in want.items():
+        np.testing.assert_array_equal(got[k], v, err_msg=k)
+
+
+def test_explicit_count_mismatch_raises(ref):
+    """Silent truncation guard: explicit architecture counts that disagree
+    with the state_dict / variables raise instead of dropping blocks."""
+    tg = ref["generator"].ResnetGenerator(**GEN_CFG)
+    sd = numpy_state_dict(tg.state_dict())
+    with pytest.raises(ValueError, match="n_resnet_blocks"):
+        generator_variables_from_torch(sd, n_resnet_blocks=GEN_CFG["n_resnet_blocks"] + 2)
+    variables = generator_variables_from_torch(sd)
+    with pytest.raises(ValueError, match="n_updownsample_blocks"):
+        generator_state_dict_from_variables(variables, n_updownsample_blocks=5)
+    tc = ref["discriminator"].PatchGANDiscriminator(
+        1, CRITIC_CFG["init_channels_out"], CRITIC_CFG["discriminator_depth"],
+        negative_slope=0.2,
+    )
+    with pytest.raises(ValueError, match="discriminator_depth"):
+        critic_variables_from_torch(numpy_state_dict(tc.state_dict()), 3)
 
 
 def test_save_reference_checkpoint_roundtrip(tmp_path):
