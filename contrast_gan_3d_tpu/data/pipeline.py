@@ -45,7 +45,7 @@ class PrefetchLoader:
         # workers; each exhausted worker posts one sentinel so __next__ can
         # terminate instead of spinning on an empty queue forever
         self._sentinel = object()
-        self._done_workers = 0
+        self._done_box = {"n": 0}
         self._done_lock = threading.Lock()
         # exact-replay resume (num_threads == 1): every queue item carries
         # the sampler state captured right AFTER its draw; get_state returns
@@ -59,11 +59,19 @@ class PrefetchLoader:
             return
         if self._last_state is None:
             self._last_state = self.sampler.get_state()
-        self._stop.clear()
-        self._done_workers = 0
+        # fresh per-generation stop/queue/counter: a worker that outlived a
+        # stop() (join timeout — e.g. stuck in a slow mmap page-in) holds
+        # the OLD objects, so its event stays set forever and it can never
+        # produce into (or count toward) the new generation
+        self._stop = threading.Event()
+        self._done_box = {"n": 0}
         self._queue = queue.Queue(maxsize=self.prefetch + self.num_threads)
         for i in range(self.num_threads):
-            t = threading.Thread(target=self._worker, name=f"prefetch-{i}", daemon=True)
+            t = threading.Thread(
+                target=self._worker,
+                args=(self._stop, self._queue, self._done_box),
+                name=f"prefetch-{i}", daemon=True,
+            )
             t.start()
             self._threads.append(t)
 
@@ -78,18 +86,22 @@ class PrefetchLoader:
                 pass
         for t in self._threads:
             t.join(timeout=5)
+            if t.is_alive():
+                # harmless zombie: its generation's stop event is set, so it
+                # exits at its next check and cannot touch the next start()
+                logger.warning("prefetch worker %s did not stop in 5 s", t.name)
         self._threads = []
 
-    def _worker(self):
+    def _worker(self, stop: threading.Event, q: queue.Queue, done_box: Dict):
         track = self.num_threads == 1  # draw order is only defined then
-        while not self._stop.is_set():
+        while not stop.is_set():
             try:
                 batch = self.sampler.next_batch()
                 state_after = self.sampler.get_state() if track else None
             except StopIteration:
                 with self._done_lock:
-                    self._done_workers += 1
-                self._queue.put(self._sentinel)  # space reserved in maxsize
+                    done_box["n"] += 1
+                q.put(self._sentinel)  # space reserved in maxsize
                 return
             if self.to_device:
                 batch = dict(batch)
@@ -100,9 +112,9 @@ class PrefetchLoader:
                 )
                 batch["data"] = put(batch["data"])
                 batch["seg"] = put(batch["seg"])
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
-                    self._queue.put((state_after, batch), timeout=0.5)
+                    q.put((state_after, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -135,12 +147,12 @@ class PrefetchLoader:
                 if self._stop.is_set():
                     raise StopIteration
                 with self._done_lock:
-                    if self._done_workers >= len(self._threads):
+                    if self._done_box["n"] >= len(self._threads):
                         raise StopIteration  # all finite workers exhausted
                 continue
             if item is self._sentinel:
                 with self._done_lock:
-                    all_done = self._done_workers >= len(self._threads)
+                    all_done = self._done_box["n"] >= len(self._threads)
                 if all_done and self._queue.empty():
                     raise StopIteration
                 continue

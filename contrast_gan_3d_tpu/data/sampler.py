@@ -145,8 +145,16 @@ class CCTAPatchSampler:
                 ctls[idx, :3], meta["offset"], meta["spacing"]
             )
             z = int(np.clip(z, 0, D - 1))
+            # pad small in-plane dims up to the patch first (the reference's
+            # centerline branch skips pad_nd_image, CCTADataLoader.py:55-69 —
+            # a sub-patch scan would emit a short patch and break collation);
+            # the center shifts by the pad offset so the vessel stays inside
             sl = np.asarray(data_and_seg[:, :, z])  # (W, H, 2)
-            bbox = geom.get_patch_bounds((pw, ph), sl.shape[:2], np.array([x, y]))
+            off = [(max(pw - W, 0)) // 2, (max(ph - H, 0)) // 2]
+            sl = _pad_to(sl, (pw, ph))
+            bbox = geom.get_patch_bounds(
+                (pw, ph), sl.shape[:2], np.array([x + off[0], y + off[1]])
+            )
             return sl[bbox[0, 0] : bbox[0, 1], bbox[1, 0] : bbox[1, 1]]
         with self._rng_lock:
             z = int(self.rng.integers(0, D))
@@ -185,4 +193,9 @@ class CCTAPatchSampler:
 
     def __iter__(self):
         while True:
-            yield self.next_batch()
+            try:
+                yield self.next_batch()
+            except StopIteration:
+                # PEP 479: a finite sampler's end-of-pass must end the loop,
+                # not surface as "generator raised StopIteration"
+                return

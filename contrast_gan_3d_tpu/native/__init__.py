@@ -11,6 +11,8 @@ import hashlib
 import os
 import stat
 import subprocess
+import tempfile
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -23,9 +25,20 @@ logger = create_logger(name=__name__)
 _SRC = Path(__file__).parent / "csrc" / "hostops.cpp"
 _LIB = None
 _TRIED = False
+_BUILD_LOCK = threading.Lock()
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _BUILD_LOCK:
+        return _build_and_load_locked()
+
+
+def _build_and_load_locked() -> Optional[ctypes.CDLL]:
+    """Under _BUILD_LOCK: first native use comes from N concurrent prefetch
+    worker threads — without the lock they all raced the same build."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
@@ -49,15 +62,26 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             )
         so_path = cache / f"hostops_{tag}.so"
         if not so_path.exists():
-            tmp = so_path.with_suffix(".so.tmp")
+            # unique tmp per builder + atomic replace: concurrent PROCESSES
+            # (parallel experiments, pytest workers) may build simultaneously
+            # — a shared tmp name would let one rename the other's
+            # half-written object into place and CDLL a corrupt library
+            fd, tmp_name = tempfile.mkstemp(
+                dir=cache, prefix=f"hostops_{tag}.", suffix=".tmp.so"
+            )
+            os.close(fd)
+            tmp = Path(tmp_name)
             base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                     str(_SRC), "-o", str(tmp)]
-            try:  # OpenMP: the warp slab-splits one patch across host cores
-                subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
-                               check=True, capture_output=True)
-            except subprocess.CalledProcessError:
-                subprocess.run(base, check=True, capture_output=True)
-            tmp.rename(so_path)
+            try:
+                try:  # OpenMP: the warp slab-splits one patch across cores
+                    subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
+                                   check=True, capture_output=True)
+                except subprocess.CalledProcessError:
+                    subprocess.run(base, check=True, capture_output=True)
+                os.replace(tmp, so_path)
+            finally:
+                tmp.unlink(missing_ok=True)
             logger.info("Built native hostops -> %s", so_path)
         so_st = so_path.stat()
         if so_st.st_uid != os.getuid() or (so_st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):

@@ -39,6 +39,20 @@ from contrast_gan_3d_tpu.models import losses
 from contrast_gan_3d_tpu.trainer.optim import clip_params
 
 
+def _sharded_jit(mesh, batch_axis: str, arg_kinds: str, donate: bool = True):
+    """jax.jit partial with per-argument replicated ('r') / batch-sharded
+    ('b') NamedShardings when a mesh is given (plain jit otherwise)."""
+    donate_kw = {"donate_argnums": 0} if donate else {}
+    if mesh is None:
+        return partial(jax.jit, **donate_kw)
+    from contrast_gan_3d_tpu.parallel.mesh import replicate, shard_batch
+
+    kinds = {"r": replicate(mesh), "b": shard_batch(mesh, batch_axis)}
+    return partial(
+        jax.jit, in_shardings=tuple(kinds[k] for k in arg_kinds), **donate_kw
+    )
+
+
 class GANTrainState(struct.PyTreeNode):
     """Full training state: both networks' params + BatchNorm stats, both
     optimizer states, the PRNG key and the iteration counter. Unlike the
@@ -136,7 +150,9 @@ def _prepare_batches(cfg: StepConfig, key, opt, subopt, subopt_mask):
     if cfg.augment is not None:
         k1, k2 = jax.random.split(key)
         # the OPT stream has no loss mask — augment data only (reuse the
-        # data array as a dummy seg to keep one code path, discard it)
+        # data array as a dummy seg to keep one code path; the discarded seg
+        # output is dead code inside the jit, so XLA DCEs its nearest-warp
+        # gather — same for the whole unused opt path in generator_only_step)
         opt, _ = augment_batch(opt, opt, k1, cfg.augment)
         subopt, subopt_mask = augment_batch(subopt, subopt_mask, k2, cfg.augment)
     opt = cfg.scaler(opt).astype(cfg.dtype)[..., None]
@@ -209,15 +225,20 @@ def build_train_steps(
         )
         return state, loss_d
 
-    def gen_loss_fn(g_params, g_stats, c_params, c_stats, subopt, mask):
-        atten, _ = _apply_mutable(generator, g_params, g_stats, subopt)
-        opt_hat = subopt - atten
+    def gen_losses(opt_hat, subopt, mask, c_params, c_stats):
+        """The generator's loss head (adversarial + ZNCC + HU corridor,
+        reference Trainer.py:151-154) — the one definition every branch
+        (fused, generator-only, split-phase) differentiates."""
         fake_logits = _apply(critic, c_params, c_stats, opt_hat, train=True)
         loss_g = cfg.gan_loss_weight * -losses.wasserstein_loss(fake_logits)
         loss_sim = cfg.sim_loss_weight * losses.zncc_loss(opt_hat, subopt)
         loss_hu = cfg.hu_loss_weight * losses.hu_loss(opt_hat, mask, hu_lo, hu_hi)
         full = loss_g + loss_sim + loss_hu
         return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
+
+    def gen_loss_fn(g_params, g_stats, c_params, c_stats, subopt, mask):
+        atten, _ = _apply_mutable(generator, g_params, g_stats, subopt)
+        return gen_losses(subopt - atten, subopt, mask, c_params, c_stats)
 
     def update_generator(state: GANTrainState, subopt, mask, new_gen_stats):
         (_, metrics), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
@@ -246,18 +267,7 @@ def build_train_steps(
         opt_hat = subopt_b - atten
         return state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        batch_sh = NamedSharding(mesh, P(batch_axis))
-        _jit = partial(
-            jax.jit,
-            donate_argnums=0,
-            in_shardings=(repl, batch_sh, batch_sh, batch_sh),
-        )
-    else:
-        _jit = partial(jax.jit, donate_argnums=0)
+    _jit = _sharded_jit(mesh, batch_axis, "rbbb")
 
     @_jit
     def critic_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
@@ -296,14 +306,9 @@ def build_train_steps(
         )
 
         def gen_head(oh):
-            fake_logits = _apply(
-                critic, state.critic_params, state.critic_stats, oh, train=True
+            return gen_losses(
+                oh, subopt_b, subopt_mask, state.critic_params, state.critic_stats
             )
-            loss_g = cfg.gan_loss_weight * -losses.wasserstein_loss(fake_logits)
-            loss_sim = cfg.sim_loss_weight * losses.zncc_loss(oh, subopt_b)
-            loss_hu = cfg.hu_loss_weight * losses.hu_loss(oh, subopt_mask, hu_lo, hu_hi)
-            full = loss_g + loss_sim + loss_hu
-            return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
 
         (_, metrics), d_opt_hat = jax.value_and_grad(gen_head, has_aux=True)(opt_hat)
         (g_grads,) = gen_vjp(d_opt_hat)
@@ -336,14 +341,9 @@ def build_train_steps(
         state = state.replace(gen_stats=new_gen_stats)
 
         def gen_head(oh):
-            fake_logits = _apply(
-                critic, state.critic_params, state.critic_stats, oh, train=True
+            return gen_losses(
+                oh, subopt_b, subopt_mask, state.critic_params, state.critic_stats
             )
-            loss_g = cfg.gan_loss_weight * -losses.wasserstein_loss(fake_logits)
-            loss_sim = cfg.sim_loss_weight * losses.zncc_loss(oh, subopt_b)
-            loss_hu = cfg.hu_loss_weight * losses.hu_loss(oh, subopt_mask, hu_lo, hu_hi)
-            full = loss_g + loss_sim + loss_hu
-            return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
 
         (_, metrics), d_opt_hat = jax.value_and_grad(gen_head, has_aux=True)(opt_hat)
         (g_grads,) = gen_vjp(d_opt_hat)
@@ -369,20 +369,7 @@ def build_train_steps(
         state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
         return state, {"D": loss_d}, subopt_s, mask_s
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        _jit_gen = partial(
-            jax.jit,
-            donate_argnums=0,
-            in_shardings=(
-                NamedSharding(mesh, P()),
-                NamedSharding(mesh, P(batch_axis)),
-                NamedSharding(mesh, P(batch_axis)),
-            ),
-        )
-    else:
-        _jit_gen = partial(jax.jit, donate_argnums=0)
+    _jit_gen = _sharded_jit(mesh, batch_axis, "rbb")
 
     @_jit_gen
     def generator_phase(state: GANTrainState, subopt_s, mask_s):
@@ -443,20 +430,7 @@ def build_val_steps(
     """
 
     val_cfg_scaler = cfg.scaler
-
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        _jit = partial(
-            jax.jit,
-            in_shardings=(
-                NamedSharding(mesh, P()),
-                NamedSharding(mesh, P(batch_axis)),
-                NamedSharding(mesh, P(batch_axis)),
-            ),
-        )
-    else:
-        _jit = jax.jit
+    _jit = _sharded_jit(mesh, batch_axis, "rbb", donate=False)
 
     @_jit
     def val_opt_step(state: GANTrainState, batch, w):
@@ -493,15 +467,7 @@ def build_preview_step(
     and attenuation match what the step saw. Only needed when
     ``cfg.augment`` is set (host-augmented batches arrive pre-augmented)."""
     assert cfg.augment is not None
-
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        batch_sh = NamedSharding(mesh, P(batch_axis))
-        _jit = partial(jax.jit, in_shardings=(repl, repl, batch_sh, batch_sh))
-    else:
-        _jit = jax.jit
+    _jit = _sharded_jit(mesh, batch_axis, "rrbb", donate=False)
 
     @_jit
     def preview(state: GANTrainState, rng_key, subopt, mask):

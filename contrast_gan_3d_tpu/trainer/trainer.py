@@ -304,6 +304,10 @@ class Trainer:
             )
 
         val_loss = {
+            # reference normalization kept verbatim (Trainer.py:303-308):
+            # D divides the 1-real + 2-subopt sum by val_iterations only, so
+            # fake logits weigh 2x the reals in the reported scalar; G/sim
+            # divide by the subopt batch count
             "D": (loss_real_C + loss_fake_C) / self.cfg.val_iterations,
             "G": loss_G / n_subopt,
             "sim": loss_sim / n_subopt,

@@ -32,6 +32,29 @@ def test_prefetch_loader_lifecycle(tmp_path, rng):
     loader.stop()
 
 
+def test_2d_centerline_sampling_pads_small_scans(tmp_path, rng):
+    """A scan smaller than the 2D patch must still emit full-size patches
+    from the centerline-guided branch (the reference's branch skips
+    pad_nd_image, CCTADataLoader.py:55-69 — a latent short-patch crash)."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1, shape=(10, 12, 8))
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, (16, 16), batch_size=4, rng=rng)
+    for _ in range(8):  # both branches fire at 50/50 across draws
+        batch = sampler.next_batch()
+        assert batch["data"].shape == (4, 16, 16)
+        assert batch["seg"].shape == (4, 16, 16)
+
+
+def test_finite_sampler_iteration_protocol(tmp_path, rng):
+    """PEP 479: iterating a finite sampler ends cleanly at end-of-pass
+    instead of raising 'generator raised StopIteration'."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(paths, PATCH, batch_size=2, rng=rng, infinite=False)
+    batches = list(sampler)
+    assert sum(len(b["name"]) for b in batches) == len(paths)
+
+
 def test_create_loaders_per_scantype(tmp_path, rng):
     fold = make_dataset(tmp_path, rng, n_per_label=2)
     loaders = create_loaders(
