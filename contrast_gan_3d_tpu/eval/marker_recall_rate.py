@@ -80,12 +80,20 @@ def eval_model_marker_recall_rate(
 ) -> Tuple[Dict, Dict]:
     """Fan out over patients found by name glob in both roots; aggregate
     per-ScanType distances and recall (reference :66-128)."""
+    def best_match(root, name):
+        # exact-name hit first: the reference takes glob(f"*{name}*")[0]
+        # verbatim (:78-83), which can pair patient '1' with patient '10'
+        # when IDs are substrings of each other
+        hits = sorted(Path(root).glob(f"*{name}*"))
+        exact = [h for h in hits if h.name == str(name) or h.stem == str(name)]
+        return (exact or hits or [None])[0]
+
     jobs = []
     for label, name in labels_df[["label", "ID"]].values:
-        ap = sorted(Path(annotations_root_dir).glob(f"*{name}*"))
-        cp = sorted(Path(centerlines_root_dir).glob(f"*{name}*"))
-        if ap and cp:
-            jobs.append((int(label), ap[0], cp[0]))
+        ap = best_match(annotations_root_dir, name)
+        cp = best_match(centerlines_root_dir, name)
+        if ap is not None and cp is not None:
+            jobs.append((int(label), ap, cp))
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         results = list(

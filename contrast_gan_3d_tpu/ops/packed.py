@@ -95,7 +95,6 @@ def _block_flip(xp: jax.Array, f: int, c: int, axis: int) -> jax.Array:
     """Full-resolution flip of a packed tensor along spatial ``axis``
     (0/1/2): reverse the block order AND the within-block position on that
     axis (a channel-dim permutation through a (fx,fy,fz,c) view)."""
-    b = xp.shape[:4][1 + axis]
     xp = jnp.flip(xp, axis=1 + axis)
     v = xp.reshape(*xp.shape[:4], f, f, f, c)
     v = jnp.flip(v, axis=4 + axis)

@@ -274,11 +274,20 @@ def make_volume_corrector(
 
 
 def num_patches(
-    shape: Sequence[int], patch_size: Sequence[int], overlap: float = 0.5
+    shape: Sequence[int],
+    patch_size: Sequence[int],
+    overlap: float = 0.5,
+    packed_io: bool = False,
 ) -> int:
-    """Patch count the corrector will run for a given volume shape."""
+    """Patch count the corrector will run for a given volume shape. With
+    ``packed_io`` (the production default layout) the stride snaps DOWN to a
+    multiple of 4 and dims edge-pad up to block multiples — pass it to count
+    the grid that corrector actually executes."""
     stride = [max(1, int(round(p * (1.0 - overlap)))) for p in patch_size]
     padded = [max(s, p) for s, p in zip(shape, patch_size)]
+    if packed_io:
+        stride = [max(4, s - s % 4) for s in stride]
+        padded = [d + ((-d) % 4) for d in padded]
     return int(
         np.prod([len(grid_starts(padded[i], patch_size[i], stride[i])) for i in range(3)])
     )

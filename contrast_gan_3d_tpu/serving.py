@@ -53,10 +53,13 @@ class CorrectionService:
 
     def warmup(self, shape: Tuple[int, ...]):
         """Pre-compile the sliding-window program for ``shape`` so the first
-        request doesn't pay the XLA compile."""
+        request doesn't pay the XLA compile. Bypasses the request stats —
+        the compile latency is not a served request and would permanently
+        skew mean/max."""
         t0 = time.perf_counter()
         dummy = np.zeros(shape, np.int16)
-        np.asarray(self.correct(dummy))
+        with self._device_lock:
+            np.asarray(self.corrector(dummy))
         logger.info("Warmed up %s in %.1f s", shape, time.perf_counter() - t0)
 
     def correct(self, volume: np.ndarray) -> np.ndarray:
@@ -115,6 +118,11 @@ def _make_handler(service: CorrectionService):
                 return self._json(404, {"error": f"unknown path {self.path}"})
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    # a negative length would make rfile.read(-1) block until
+                    # client EOF, pinning the handler thread
+                    self.send_error(400, "missing/invalid Content-Length")
+                    return
                 if length > MAX_BODY_BYTES:
                     self.send_error(413, f"body {length} B > {MAX_BODY_BYTES} B cap")
                     return

@@ -30,11 +30,22 @@ PathLike = Union[str, Path]
 
 
 def basename(path: PathLike) -> str:
-    return str(path).rstrip("/").split("/")[-1]
+    return Path(path).name
+
+
+_IMAGE_SUFFIXES = (".nii.gz", ".nii", ".mhd", ".mha", ".npy", ".gz")
 
 
 def stem(path: PathLike) -> str:
-    return basename(path).split(".")[0]
+    """Filename without its imaging suffix. Strips only KNOWN suffixes (the
+    old split('.')[0] collapsed DICOM-UID-style names like
+    '1.2.840.113.mhd' to '1', colliding preprocess/correction outputs)."""
+    name = basename(path)
+    low = name.lower()
+    for suffix in _IMAGE_SUFFIXES:
+        if low.endswith(suffix):
+            return name[: -len(suffix)]
+    return name
 
 
 # ---------------------------------------------------------------------------
@@ -251,31 +262,36 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
     hdr = blob[:348]
     if hdr[344:348] not in (b"n+1\0", b"ni1\0"):
         raise ValueError(f"{path}: not a NIfTI-1 file")
-    dim = np.frombuffer(hdr, "<i2", 8, offset=40)
-    datatype = int(np.frombuffer(hdr, "<i2", 1, offset=70)[0])
-    pixdim = np.frombuffer(hdr, "<f4", 8, offset=76)
-    vox_offset = int(np.frombuffer(hdr, "<f4", 1, offset=108)[0])
-    scl_slope = float(np.frombuffer(hdr, "<f4", 1, offset=112)[0])
-    scl_inter = float(np.frombuffer(hdr, "<f4", 1, offset=116)[0])
-    qform_code = int(np.frombuffer(hdr, "<i2", 1, offset=252)[0])
-    sform_code = int(np.frombuffer(hdr, "<i2", 1, offset=254)[0])
+    # byte order: the magic is endian-invariant, sizeof_hdr (=348) is not —
+    # spec-legal big-endian files decode with swapped fields otherwise
+    bo = "<" if int(np.frombuffer(hdr, "<i4", 1, offset=0)[0]) == 348 else ">"
+    if int(np.frombuffer(hdr, bo + "i4", 1, offset=0)[0]) != 348:
+        raise ValueError(f"{path}: bad NIfTI-1 sizeof_hdr")
+    dim = np.frombuffer(hdr, bo + "i2", 8, offset=40)
+    datatype = int(np.frombuffer(hdr, bo + "i2", 1, offset=70)[0])
+    pixdim = np.frombuffer(hdr, bo + "f4", 8, offset=76)
+    vox_offset = int(np.frombuffer(hdr, bo + "f4", 1, offset=108)[0])
+    scl_slope = float(np.frombuffer(hdr, bo + "f4", 1, offset=112)[0])
+    scl_inter = float(np.frombuffer(hdr, bo + "f4", 1, offset=116)[0])
+    qform_code = int(np.frombuffer(hdr, bo + "i2", 1, offset=252)[0])
+    sform_code = int(np.frombuffer(hdr, bo + "i2", 1, offset=254)[0])
 
     ndim = int(dim[0])
     shape = tuple(int(d) for d in dim[1 : 1 + ndim])[:3]
     dtype = np.dtype(_NIFTI_DTYPES[datatype])
     n = int(np.prod(shape))
-    array = np.frombuffer(blob, dtype.newbyteorder("<"), n, offset=vox_offset)
+    array = np.frombuffer(blob, dtype.newbyteorder(bo), n, offset=vox_offset)
     # NIfTI on-disk: x fastest
     array = np.transpose(array.reshape(shape[::-1]), (2, 1, 0))
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         array = array * (scl_slope or 1.0) + scl_inter
 
     if sform_code > 0:
-        srow = np.frombuffer(hdr, "<f4", 12, offset=280).reshape(3, 4)
+        srow = np.frombuffer(hdr, bo + "f4", 12, offset=280).reshape(3, 4)
         affine_ras = np.vstack([srow, [0, 0, 0, 1]])
     elif qform_code > 0:
-        b, c, d = (float(np.frombuffer(hdr, "<f4", 1, offset=o)[0]) for o in (256, 260, 264))
-        qo = np.array([float(np.frombuffer(hdr, "<f4", 1, offset=o)[0]) for o in (268, 272, 276)])
+        b, c, d = (float(np.frombuffer(hdr, bo + "f4", 1, offset=o)[0]) for o in (256, 260, 264))
+        qo = np.array([float(np.frombuffer(hdr, bo + "f4", 1, offset=o)[0]) for o in (268, 272, 276)])
         a = np.sqrt(max(0.0, 1.0 - (b * b + c * c + d * d)))
         rot = np.array(
             [
@@ -328,12 +344,20 @@ def load_scan(
     volume, direction, spacing, origin = reorient(
         volume, meta["direction"], meta["spacing"], meta["offset"], target_orientation
     )
-    volume = volume.astype(np.int16)
-    if not segmentation:
-        diff = int(volume.min()) - MIN_HU
+    if segmentation:
+        volume = volume.astype(np.int16)
+    else:
+        # shift/clip in int64, cast int16 LAST: the reference casts first
+        # (io_utils.py:89) so unsigned-offset data above 32767 (e.g.
+        # MET_USHORT stored at +32768) wraps negative and its min()-shift
+        # branch never fires — silently corrupted HU. Identical results for
+        # all int16-range inputs (the shipped datasets); correct instead of
+        # garbage beyond it.
+        vol = volume.astype(np.int64)
+        diff = int(vol.min()) - MIN_HU
         if diff >= abs(MIN_HU):
-            volume = volume - diff
-        volume = volume.clip(MIN_HU, MAX_HU)
+            vol = vol - diff
+        volume = vol.clip(MIN_HU, MAX_HU).astype(np.int16)
     return volume, {
         "spacing": spacing,
         "offset": origin,

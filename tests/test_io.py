@@ -33,24 +33,24 @@ def test_mhd_uncompressed(tmp_path, rng):
     np.testing.assert_array_equal(back, vol)
 
 
-def _write_minimal_nifti(path, vol_xyz, affine_ras, gz=False):
-    """Hand-rolled NIfTI-1 writer for tests (sform only)."""
+def _write_minimal_nifti(path, vol_xyz, affine_ras, gz=False, bo="<"):
+    """Hand-rolled NIfTI-1 writer for tests (sform only; ``bo`` byte order)."""
     hdr = bytearray(352)
-    hdr[0:4] = np.int32(348).tobytes()
-    dim = np.zeros(8, "<i2")
+    hdr[0:4] = np.array(348, bo + "i4").tobytes()
+    dim = np.zeros(8, bo + "i2")
     dim[0] = 3
     dim[1:4] = vol_xyz.shape
     hdr[40:56] = dim.tobytes()
-    hdr[70:72] = np.int16(4).tobytes()  # datatype int16
-    hdr[72:74] = np.int16(16).tobytes()  # bitpix
-    pixdim = np.zeros(8, "<f4")
+    hdr[70:72] = np.array(4, bo + "i2").tobytes()  # datatype int16
+    hdr[72:74] = np.array(16, bo + "i2").tobytes()  # bitpix
+    pixdim = np.zeros(8, bo + "f4")
     pixdim[1:4] = np.linalg.norm(affine_ras[:3, :3], axis=0)
     hdr[76:108] = pixdim.tobytes()
-    hdr[108:112] = np.float32(352).tobytes()  # vox_offset
-    hdr[254:256] = np.int16(1).tobytes()  # sform_code
-    hdr[280:328] = affine_ras[:3, :].astype("<f4").tobytes()
+    hdr[108:112] = np.array(352, bo + "f4").tobytes()  # vox_offset
+    hdr[254:256] = np.array(1, bo + "i2").tobytes()  # sform_code
+    hdr[280:328] = affine_ras[:3, :].astype(bo + "f4").tobytes()
     hdr[344:348] = b"n+1\0"
-    data = np.ascontiguousarray(np.transpose(vol_xyz, (2, 1, 0))).astype("<i2").tobytes()
+    data = np.ascontiguousarray(np.transpose(vol_xyz, (2, 1, 0))).astype(bo + "i2").tobytes()
     blob = bytes(hdr) + data
     if gz:
         with gzip.open(path, "wb") as fd:
@@ -137,6 +137,33 @@ def test_load_asoca_annotations(tmp_path):
     assert out.shape == (2, 3)
 
 
+def test_nifti_big_endian(tmp_path, rng):
+    """Spec-legal big-endian NIfTI-1 (magic is endian-invariant; sizeof_hdr
+    is the byte-order sniff) must read identically."""
+    vol = rng.integers(-500, 500, size=(6, 5, 4)).astype(np.int16)
+    _write_minimal_nifti(tmp_path / "be.nii", vol, np.eye(4), bo=">")
+    back, meta = io_utils.read_nifti(tmp_path / "be.nii")
+    np.testing.assert_array_equal(back, vol)
+    np.testing.assert_allclose(meta["direction"], np.diag([-1.0, -1.0, 1.0]))
+
+
+def test_load_scan_unsigned_offset_above_int16(tmp_path):
+    """MET_USHORT data stored at +32768 (values above 32767) must shift to
+    real HU instead of wrapping negative. The reference casts int16 FIRST
+    (io_utils.py:89) and silently corrupts such volumes — divergence kept
+    deliberately (documented in load_scan)."""
+    hu = np.full((4, 4, 4), 400, np.int64)
+    hu[0, 0, 0] = 0
+    vol = (hu + 32768).astype(np.uint16)  # min-shift diff = 32768 >= 1024
+    io_utils.write_mhd(vol, tmp_path / "u16.mhd")
+    out, _ = io_utils.load_scan(tmp_path / "u16.mhd")
+    # reference formula: shift by diff = min - MIN_HU = 32768 + 1024
+    np.testing.assert_array_equal(out, hu - 1024)
+
+
 def test_stem_and_basename():
     assert io_utils.stem("/a/b/scan.nii.gz") == "scan"
     assert io_utils.basename("/a/b/c.mhd") == "c.mhd"
+    # DICOM-UID-style names keep their dots (only the imaging suffix strips)
+    assert io_utils.stem("1.2.840.113.mhd") == "1.2.840.113"
+    assert io_utils.stem("weird.name.npy") == "weird.name"

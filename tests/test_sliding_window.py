@@ -74,6 +74,14 @@ def test_volume_smaller_than_patch(rng):
 def test_num_patches():
     assert num_patches((512, 512, 400), (128, 128, 128), overlap=0.5) == 7 * 7 * 6
     assert num_patches((16, 16, 16), (16, 16, 16)) == 1
+    # packed_io: stride snaps down to a multiple of 4 and dims pad to blocks
+    # (overlap 0.45 -> direct stride 70 vs packed 68; z 401 pads to 404)
+    assert num_patches((512, 512, 401), (128, 128, 128), overlap=0.45) == 245
+    assert num_patches((512, 512, 401), (128, 128, 128), overlap=0.45,
+                       packed_io=True) == 294
+    # at the default geometry both layouts agree
+    assert num_patches((512, 512, 400), (128, 128, 128), overlap=0.5) == \
+        num_patches((512, 512, 400), (128, 128, 128), overlap=0.5, packed_io=True)
 
 
 def test_non_divisible_patch_auto_upsample(rng):
