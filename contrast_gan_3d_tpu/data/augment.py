@@ -143,7 +143,7 @@ def _augment2d_one(data: jax.Array, seg: jax.Array, key: jax.Array, cfg: Augment
         gate = jax.random.bernoulli(k_mir_p, getattr(cfg, "p_mirror", 0.5))
         mx = jnp.where(gate & jax.random.bernoulli(k_mir_x, 0.5), -1.0, 1.0)
         my = jnp.where(gate & jax.random.bernoulli(k_mir_y, 0.5), -1.0, 1.0)
-        rel = rel * jnp.array([1.0, 1.0]) * jnp.stack([mx, my])
+        rel = rel * jnp.stack([mx, my])
 
     coords = rel + center
     return bilinear_sample(data, coords), nearest_sample_2d(seg, coords)

@@ -96,6 +96,7 @@ class CCTAContrastCorrector:
             and generator.layout in ("direct", "packed")
             and generator.norm == "batch"
             and generator.ndim == 3
+            and generator.n_updownsample_blocks >= 1
             and stride_ok
             and all(
                 p % max(4, 2**generator.n_updownsample_blocks) == 0

@@ -66,19 +66,24 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         eligible = (
             not cfg.is_2d
             and cfg.generator_args.get("norm", "batch") == "batch"
+            and cfg.generator_args.get("n_updownsample_blocks", 2) >= 1
             # % block for the stage strides; >= 8 for the (L+1)-block
             # reflect-pad slabs (ops/packed.reflect_pad_packed)
             and all(p % block == 0 and p >= 8 for p in cfg.train_patch_size)
             and all(p % block == 0 and p >= 8 for p in cfg.val_patch_size)
         )
         layout = "packed" if eligible else "direct"
+    # builder defaults first, user args win (an explicit remat/dtype/ndim in
+    # generator_args/critic_args previously raised duplicate-keyword errors);
+    # "layout" stays excluded — its raw value ("auto") was resolved above
     generator = ResnetGenerator(
-        ndim=ndim, dtype=dtype, remat=remat, layout=layout,
-        **{k: v for k, v in cfg.generator_args.items() if k not in ("ndim", "layout")},
+        **{
+            **dict(ndim=ndim, dtype=dtype, remat=remat, layout=layout),
+            **{k: v for k, v in cfg.generator_args.items() if k != "layout"},
+        }
     )
     critic = PatchGANDiscriminator(
-        ndim=ndim, dtype=dtype, remat=remat,
-        **{k: v for k, v in cfg.critic_args.items() if k != "ndim"},
+        **{**dict(ndim=ndim, dtype=dtype, remat=remat), **cfg.critic_args}
     )
 
     gen_tx = make_optimizer(
@@ -92,6 +97,11 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
 
     augment = None
     host_augmenter = None
+    # resolved ONCE: the host augmenters below must see the same
+    # DEFAULT_SEED fallback as the loaders/model init (a raw None here made
+    # default-config host augmentation OS-entropy-seeded, i.e. irreproducible;
+    # create_loaders additionally respawns per-loader child rngs from this)
+    seed = DEFAULT_SEED if cfg.seed is None else cfg.seed
     if cfg.augment and cfg.is_2d:
         from contrast_gan_3d_tpu.data.augment import Augment2DConfig
 
@@ -107,7 +117,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
                 from contrast_gan_3d_tpu.data.host_augment import HostAugmenter2D
 
                 host_augmenter = HostAugmenter2D(
-                    augment, np.random.default_rng(cfg.seed)
+                    augment, np.random.default_rng(seed)
                 )
                 augment = None  # warp happens in the prefetch workers
     elif cfg.augment:
@@ -129,7 +139,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
                 from contrast_gan_3d_tpu.data.host_augment import HostAugmenter
 
                 host_augmenter = HostAugmenter(
-                    augment, np.random.default_rng(cfg.seed)
+                    augment, np.random.default_rng(seed)
                 )
                 augment = None  # warp happens in the prefetch workers
 
@@ -153,7 +163,6 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         checkpoint_dir=checkpoint_dir,
     )
 
-    seed = DEFAULT_SEED if cfg.seed is None else cfg.seed
     rng = np.random.default_rng(seed)
     if cfg.logger == "wandb" and HAS_WANDB:
         # 2D runs render the batch as one slice grid (reference WandbLogger2D)

@@ -200,6 +200,11 @@ class ResnetGenerator(nn.Module):
             raise ValueError("layout='packed' is 3D-only")
         if self.norm != "batch":
             raise ValueError("layout='packed' supports norm='batch' only")
+        if self.n_updownsample_blocks < 1:
+            # the f_out=1 unpack rides the last downsample and up_0 assumes
+            # c0*2 input channels — with zero blocks the backbone would see
+            # f=2-packed activations (wrong channel count)
+            raise ValueError("layout='packed' needs n_updownsample_blocks >= 1")
         c0 = self.init_channels_out
         n = self.n_updownsample_blocks
         if self.packed_input:

@@ -90,28 +90,32 @@ class StepConfig:
     @property
     def hu_bounds_scaled(self) -> Tuple[float, float]:
         # reference train.py:146: HULoss receives scaler(desired_HU_bounds)
-        return (float(self.scaler(self.hu_bounds[0])), float(self.scaler(self.hu_bounds[1])))
+        return losses.scale_bounds(self.scaler, self.hu_bounds)
 
 
-def _apply(model: nn.Module, params, stats, x, train: bool):
+def _apply(model: nn.Module, params, stats, x, train: bool, rngs=None):
     """Model apply without threading state."""
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
     if train and stats:
-        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        out, _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+        )
         return out
-    return model.apply(variables, x, train=train)
+    return model.apply(variables, x, train=train, rngs=rngs)
 
 
-def _apply_mutable(model: nn.Module, params, stats, x, train: bool = True):
+def _apply_mutable(model: nn.Module, params, stats, x, train: bool = True, rngs=None):
     """Model apply that returns (out, new_stats)."""
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-        out, updates = model.apply(variables, x, train=train, mutable=["batch_stats"])
+        out, updates = model.apply(
+            variables, x, train=train, mutable=["batch_stats"], rngs=rngs
+        )
         return out, updates.get("batch_stats", stats)
-    return model.apply(variables, x, train=train), stats
+    return model.apply(variables, x, train=train, rngs=rngs), stats
 
 
 def init_state(
@@ -195,6 +199,15 @@ def build_train_steps(
     """
     hu_lo, hu_hi = cfg.hu_bounds_scaled
     use_gp = cfg.weight_clip is None
+    # the reference's optional ResNet-block dropout (blocks.py:31-36): flax
+    # Dropout needs a "dropout" rng at train time. The key folds out of the
+    # branch's k_aug, so no-dropout configs keep bit-identical PRNG streams.
+    # (Split-phase runs redraw the mask in the generator phase — the fused
+    # paths share one mask per iteration like the reference's retain_graph.)
+    has_dropout = float(getattr(generator, "resnet_dropout_prob", 0.0) or 0.0) > 0.0
+
+    def _gen_rngs(key):
+        return {"dropout": jax.random.fold_in(key, 7)} if has_dropout else None
 
     def critic_loss_fn(c_params, c_stats, real, fake, key):
         real_logits, stats1 = _apply_mutable(critic, c_params, c_stats, real)
@@ -236,14 +249,16 @@ def build_train_steps(
         full = loss_g + loss_sim + loss_hu
         return full, {"G": loss_g, "G-full": full, "sim": loss_sim, "HU": loss_hu}
 
-    def gen_loss_fn(g_params, g_stats, c_params, c_stats, subopt, mask):
-        atten, _ = _apply_mutable(generator, g_params, g_stats, subopt)
+    def gen_loss_fn(g_params, g_stats, c_params, c_stats, subopt, mask, drop_key):
+        atten, _ = _apply_mutable(
+            generator, g_params, g_stats, subopt, rngs=_gen_rngs(drop_key)
+        )
         return gen_losses(subopt - atten, subopt, mask, c_params, c_stats)
 
     def update_generator(state: GANTrainState, subopt, mask, new_gen_stats):
         (_, metrics), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
             state.gen_params, state.gen_stats, state.critic_params,
-            state.critic_stats, subopt, mask,
+            state.critic_stats, subopt, mask, state.rng,
         )
         updates, new_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
         new_params = optax.apply_updates(state.gen_params, updates)
@@ -262,7 +277,8 @@ def build_train_steps(
         # Trainer.py:170-171); the gen-update branch recomputes the forward
         # for its own grads but reuses THIS stats update.
         atten, new_gen_stats = _apply_mutable(
-            generator, state.gen_params, state.gen_stats, subopt_b
+            generator, state.gen_params, state.gen_stats, subopt_b,
+            rngs=_gen_rngs(k_aug),
         )
         opt_hat = subopt_b - atten
         return state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp
@@ -293,7 +309,8 @@ def build_train_steps(
 
         def gen_fwd(g_params):
             atten, new_stats = _apply_mutable(
-                generator, g_params, state.gen_stats, subopt_b
+                generator, g_params, state.gen_stats, subopt_b,
+                rngs=_gen_rngs(k_aug),
             )
             return subopt_b - atten, new_stats
 
@@ -331,7 +348,8 @@ def build_train_steps(
 
         def gen_fwd(g_params):
             atten, new_stats = _apply_mutable(
-                generator, g_params, state.gen_stats, subopt_b
+                generator, g_params, state.gen_stats, subopt_b,
+                rngs=_gen_rngs(k_aug),
             )
             return subopt_b - atten, new_stats
 

@@ -117,8 +117,16 @@ def extract_ostia_patch(
 
 
 def ensure_valid_bounds(s: int, e: int, target_size: int, size: int) -> Tuple[int, int]:
-    """Shift a [s, e) window so it fits in [0, size) (reference geometry.py:115-127)."""
-    assert not (s < 0 and e > size), f"{target_size} < {size}"
+    """Shift a [s, e) window so it fits in [0, size) (reference geometry.py:115-127).
+
+    Deliberate divergence: when ``target_size > size`` the window is the
+    whole source (the caller pads). The reference either trips its assert
+    (centered case) or rewrites an off-center window to a NEGATIVE start
+    ``size - target_size`` — a silent wrap-around slice that extracts the
+    wrong (and short) patch."""
+    if target_size >= size:
+        return 0, size
+    assert not (s < 0 and e > size), f"window [{s}, {e}) invalid for size {size}"
     if s < 0:
         s, e = 0, target_size
     if e > size:

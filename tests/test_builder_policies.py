@@ -81,3 +81,44 @@ def test_layout_explicit_override():
 def test_layout_auto_direct_for_unaligned_patches():
     cfg = replace(load_config("basic_3d"), train_patch_size=(126, 126, 126))
     assert build(cfg).generator.layout == "direct"
+
+
+def test_layout_auto_direct_without_updownsampling():
+    """The packed pipeline needs >= 1 up/down block (the f_out=1 unpack
+    rides the last downsample) — auto must fall back to direct."""
+    cfg = replace(
+        load_config("basic_3d"),
+        generator_args={"n_resnet_blocks": 2, "n_updownsample_blocks": 0,
+                        "init_channels_out": 4},
+    )
+    assert build(cfg).generator.layout == "direct"
+
+
+def test_model_args_may_override_builder_defaults():
+    """generator_args/critic_args carrying remat/dtype/ndim used to raise
+    duplicate-keyword TypeErrors; explicit user values win now."""
+    cfg = replace(
+        load_config("basic_3d"),
+        generator_args={"n_resnet_blocks": 1, "n_updownsample_blocks": 1,
+                        "init_channels_out": 2, "remat": True},
+        critic_args={"init_channels_out": 2, "discriminator_depth": 1,
+                     "remat": True},
+    )
+    built = build(cfg)
+    assert built.generator.remat and built.critic.remat
+
+
+def test_host_augmenter_seeded_deterministically():
+    """Default config (seed=None): the host augmenter must get the
+    DEFAULT_SEED fallback, not OS entropy."""
+    from contrast_gan_3d_tpu import native
+
+    if not native.has_native():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rngs = [
+        build(load_config("basic_3d")).host_augmenter.rng.bit_generator.state
+        for _ in range(2)
+    ]
+    assert rngs[0] == rngs[1]

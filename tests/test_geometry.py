@@ -90,6 +90,14 @@ def test_extract_ostia_patch_shape(rng):
     assert patches.shape == (2, 19, 19, 19)
 
 
-def test_ensure_valid_bounds_raises_when_too_large():
-    with pytest.raises(AssertionError):
-        geom.ensure_valid_bounds(-1, 11, 12, 10)
+def test_ensure_valid_bounds_oversized_target_clamps():
+    """target > source: the whole source comes back (the caller pads).
+    The reference asserts on the centered case and silently produces a
+    negative wrap-around start on off-center ones (geometry.py:115-120) —
+    documented divergence."""
+    assert geom.ensure_valid_bounds(-1, 11, 12, 10) == (0, 10)
+    # off-center window, the reference's silent-corruption case
+    assert geom.ensure_valid_bounds(3, 15, 12, 10) == (0, 10)
+    # in-range behavior unchanged (reference-exact)
+    assert geom.ensure_valid_bounds(-2, 6, 8, 10) == (0, 8)
+    assert geom.ensure_valid_bounds(5, 13, 8, 10) == (2, 10)

@@ -46,3 +46,26 @@ def test_split_equals_combined(rng, weight_clip, layout):
     ):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
     assert int(s_split.step) == int(s_combined.step) == 1
+
+
+def test_dropout_runs_in_every_branch(rng):
+    """resnet_dropout_prob > 0 (the reference's optional ResNet dropout,
+    blocks.py:31-36) needs a 'dropout' rng threaded into every train-time
+    generator apply — previously any nonzero prob crashed the first step."""
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1,
+                          init_channels_out=2, resnet_dropout_prob=0.5)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    steps = build_train_steps(gen, critic, tx, tx, StepConfig(augment=None))
+
+    opt = jnp.asarray(rng.integers(-500, 500, (2, *PATCH), dtype=np.int16))
+    sub = jnp.asarray(rng.integers(-500, 500, (2, *PATCH), dtype=np.int16))
+    msk = jnp.asarray((rng.random((2, *PATCH)) < 0.05).astype(np.int16))
+
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    for name in ("combined_step", "critic_step", "generator_only_step"):
+        state, metrics = getattr(steps, name)(state, opt, sub, msk)
+        assert all(np.isfinite(float(v)) for v in metrics.values()), name
+    state, m1, sub_s, msk_s = steps.critic_phase(state, opt, sub, msk)
+    state, m2 = steps.generator_phase(state, sub_s, msk_s)
+    assert all(np.isfinite(float(v)) for v in {**m1, **m2}.values())

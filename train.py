@@ -153,7 +153,12 @@ class TrainManager:
 
     def run_fold(self, fold_idx: int, train_fold: FoldType, val_fold: FoldType):
         cfg = self.config
+        # an explicit run id names one run; with several folds the fold index
+        # must still distinguish them, or every fold resumes/overwrites the
+        # same checkpoint dir and wandb run
         run_name = self.run_id or f"{cfg.name}-fold{fold_idx}"
+        if self.run_id and self.max_folds > 1:
+            run_name = f"{self.run_id}-fold{fold_idx}"
         ckpt_dir = Path(self.checkpoint_root) / run_name
         built = build(cfg, checkpoint_dir=str(ckpt_dir))
         host_rng, key = seed_everything(built.seed)
@@ -198,7 +203,10 @@ class TrainManager:
                 import wandb
 
                 wandb.init(
-                    id=self.run_id, resume="allow", name=run_name,
+                    # the per-fold run_name doubles as the id when several
+                    # folds run (one shared id would merge them into one run)
+                    id=(run_name if self.max_folds > 1 else self.run_id),
+                    resume="allow", name=run_name,
                     project=self.wandb_project, entity=self.wandb_entity,
                     group=self.group,
                     config=asdict_flat(cfg) | {"fold": fold_idx},
