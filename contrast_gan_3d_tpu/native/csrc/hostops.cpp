@@ -300,9 +300,14 @@ void warp_augment_int16(
                         _mm512_min_epi32(_mm512_max_epi32(fl_y, vzero), vH1);
                     const __m512i z0 =
                         _mm512_min_epi32(_mm512_max_epi32(fl_z, vzero), vD1);
-                    const __m512 fx = _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0));
-                    const __m512 fy = _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0));
-                    const __m512 fz = _mm512_sub_ps(zs, _mm512_cvtepi32_ps(z0));
+                    // fraction clamped to [0,1]: true clamp-to-edge for deep
+                    // out-of-bounds coords (batchgenerators border "nearest")
+                    const __m512 fx = _mm512_min_ps(fone, _mm512_max_ps(
+                        _mm512_setzero_ps(), _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0))));
+                    const __m512 fy = _mm512_min_ps(fone, _mm512_max_ps(
+                        _mm512_setzero_ps(), _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0))));
+                    const __m512 fz = _mm512_min_ps(fone, _mm512_max_ps(
+                        _mm512_setzero_ps(), _mm512_sub_ps(zs, _mm512_cvtepi32_ps(z0))));
                     const __m512i x1 = _mm512_min_epi32(_mm512_add_epi32(x0, vone), vW1);
                     const __m512i y1 = _mm512_min_epi32(_mm512_add_epi32(y0, vone), vH1);
                     const __m512i z1 = _mm512_min_epi32(_mm512_add_epi32(z0, vone), vD1);
@@ -412,7 +417,9 @@ void warp_augment_int16(
                 x0 = std::min(std::max(x0, 0L), W - 1);
                 y0 = std::min(std::max(y0, 0L), H - 1);
                 z0 = std::min(std::max(z0, 0L), D - 1);
-                const float fxw = xs - x0, fyw = ys - y0, fzw = zs - z0;
+                const float fxw = std::min(1.0f, std::max(0.0f, xs - (float)x0));
+                const float fyw = std::min(1.0f, std::max(0.0f, ys - (float)y0));
+                const float fzw = std::min(1.0f, std::max(0.0f, zs - (float)z0));
                 const long x1 = std::min(x0 + 1L, W - 1);
                 const long y1 = std::min(y0 + 1L, H - 1);
                 const long z1 = std::min(z0 + 1L, D - 1);
@@ -511,8 +518,10 @@ void warp_augment2d_int16(
                     vH1);
                 const __m512i x1 = _mm512_min_epi32(_mm512_add_epi32(x0, vone), vW1);
                 const __m512i y1 = _mm512_min_epi32(_mm512_add_epi32(y0, vone), vH1);
-                const __m512 fx = _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0));
-                const __m512 fy = _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0));
+                const __m512 fx = _mm512_min_ps(fone, _mm512_max_ps(
+                    _mm512_setzero_ps(), _mm512_sub_ps(xs, _mm512_cvtepi32_ps(x0))));
+                const __m512 fy = _mm512_min_ps(fone, _mm512_max_ps(
+                    _mm512_setzero_ps(), _mm512_sub_ps(ys, _mm512_cvtepi32_ps(y0))));
                 const __m512 gx = _mm512_sub_ps(fone, fx);
                 const __m512 gy = _mm512_sub_ps(fone, fy);
 
@@ -582,7 +591,8 @@ void warp_augment2d_int16(
             long y0 = std::min(std::max((long)std::floor(ys), 0L), H - 1);
             const long x1 = std::min(x0 + 1, W - 1);
             const long y1 = std::min(y0 + 1, H - 1);
-            const float fx = xs - x0, fy = ys - y0;
+            const float fx = std::min(1.0f, std::max(0.0f, xs - (float)x0));
+            const float fy = std::min(1.0f, std::max(0.0f, ys - (float)y0));
             const float gx = 1.f - fx, gy = 1.f - fy;
             const float v =
                   scan[x0 * H + y0] * gx * gy

@@ -34,9 +34,13 @@ def trilinear_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
     y1 = jnp.minimum(y0 + 1, Y - 1)
     z1 = jnp.minimum(z0 + 1, Z - 1)
 
-    fx = (xs - x0)[..., None]
-    fy = (ys - y0)[..., None]
-    fz = (zs - z0)[..., None]
+    # fraction clamped to [0, 1]: TRUE clamp-to-edge even for coords beyond
+    # the first/last voxel (an unclamped fraction against the clamped base
+    # extrapolates with negative lerp weights — batchgenerators' border mode
+    # "nearest", which the reference augmenter uses, clamps instead)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
+    fz = jnp.clip(zs - z0, 0.0, 1.0)[..., None]
 
     flat = volume.reshape(-1, C)
 
@@ -91,8 +95,8 @@ def bilinear_sample(image: jax.Array, coords: jax.Array) -> jax.Array:
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, Y - 1)
     x1 = jnp.minimum(x0 + 1, X - 1)
     y1 = jnp.minimum(y0 + 1, Y - 1)
-    fx = (xs - x0)[..., None]
-    fy = (ys - y0)[..., None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
     flat = image.reshape(-1, C)
     gather = lambda ix, iy: jnp.take(flat, ix * Y + iy, axis=0)
     out = (
