@@ -366,26 +366,24 @@ void warp_augment_int16(
                         _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
                     _mm512_mask_cvtepi32_storeu_epi16(os + z, m, vi);
 
-                    // nearest-neighbour mask sample
+                    // nearest-neighbour mask sample: round-half-even (the
+                    // device jnp.round), matching the 2D warp's convention
                     const __m512i xn = _mm512_min_epi32(
                         _mm512_max_epi32(
                             _mm512_cvt_roundps_epi32(
-                                _mm512_add_ps(xs, fhalf),
-                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                                xs, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC),
                             vzero),
                         vW1);
                     const __m512i yn = _mm512_min_epi32(
                         _mm512_max_epi32(
                             _mm512_cvt_roundps_epi32(
-                                _mm512_add_ps(ys, fhalf),
-                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                                ys, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC),
                             vzero),
                         vH1);
                     const __m512i zn = _mm512_min_epi32(
                         _mm512_max_epi32(
                             _mm512_cvt_roundps_epi32(
-                                _mm512_add_ps(zs, fhalf),
-                                _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC),
+                                zs, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC),
                             vzero),
                         vD1);
                     const __m512i sidx = _mm512_add_epi32(
@@ -440,10 +438,11 @@ void warp_augment_int16(
                     + p11[z1] * fxw * fyw * fzw;
                 os[z] = (int16_t)std::floor(v + 0.5f);
 
-                // nearest-neighbour mask sample
-                long xn = (long)std::floor(xs + 0.5f);
-                long yn = (long)std::floor(ys + 0.5f);
-                long zn = (long)std::floor(zs + 0.5f);
+                // nearest-neighbour mask sample: round-half-even (the
+                // device jnp.round), matching the 2D warp's convention
+                long xn = (long)std::nearbyintf(xs);
+                long yn = (long)std::nearbyintf(ys);
+                long zn = (long)std::nearbyintf(zs);
                 xn = std::min(std::max(xn, 0L), W - 1);
                 yn = std::min(std::max(yn, 0L), H - 1);
                 zn = std::min(std::max(zn, 0L), D - 1);

@@ -1,10 +1,17 @@
 """Jittable trilinear resampling (device-side geometry engine).
 
-TPU-native counterpart of the reference's host-side numpy trilinear sampler
-(``contrast_gan_3D/utils/geometry.py:30-96``) and of batchgenerators' CPU
-spatial transforms: everything here is pure jnp, jit/vmap-friendly, with
-clamp-to-edge boundary handling, and is reused by both the on-device
-augmentation pipeline and world-space patch extraction.
+TPU-native counterpart of two distinct reference resampler semantics, kept
+distinct here too — everything is pure jnp and jit/vmap-friendly:
+
+- the augmentation samplers (``trilinear_sample`` / ``bilinear_sample`` /
+  ``nearest_sample*``) are TRUE clamp-to-edge, matching batchgenerators'
+  ``scipy.ndimage.map_coordinates(order=1, mode='nearest')`` under the
+  reference's spatial transforms;
+- ``trilinear_sample_extrapolate`` (used by :func:`sample_world_patch`)
+  mirrors the reference's ``fast_trilinear`` (``contrast_gan_3D/utils/
+  geometry.py:30-58``) exactly — including its border extrapolation — so the
+  device world-patch extraction equals the host geometry engine
+  (``utils/geometry.py``) bit-for-bit in semantics.
 """
 
 from typing import Tuple
@@ -65,6 +72,50 @@ def trilinear_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
         + c101 * fx * (1 - fy) * fz
         + c011 * (1 - fx) * fy * fz
         + c111 * fx * fy * fz
+    )
+    return out if has_channels else out[..., 0]
+
+
+def trilinear_sample_extrapolate(volume: jax.Array, coords: jax.Array) -> jax.Array:
+    """Device mirror of the host geometry engine's trilinear interpolation
+    (``utils/geometry.trilinear_interpolate`` == reference ``fast_trilinear``,
+    geometry.py:30-58): the base index truncates TOWARD ZERO, the +1 neighbor
+    clips independently of the clipped base, and the fraction (relative to
+    the clipped base) is left unclamped — coordinates within one voxel of the
+    border therefore *extrapolate* exactly like the reference, rather than
+    clamping. Use for world-space patch extraction parity; use
+    :func:`trilinear_sample` for augmentation."""
+    has_channels = volume.ndim == 4
+    if not has_channels:
+        volume = volume[..., None]
+    X, Y, Z, C = volume.shape
+    xs, ys, zs = coords[..., 0], coords[..., 1], coords[..., 2]
+    x0p = xs.astype(jnp.int32)  # float->int cast truncates toward zero
+    y0p = ys.astype(jnp.int32)
+    z0p = zs.astype(jnp.int32)
+    x0 = jnp.clip(x0p, 0, X - 1)
+    y0 = jnp.clip(y0p, 0, Y - 1)
+    z0 = jnp.clip(z0p, 0, Z - 1)
+    x1 = jnp.clip(x0p + 1, 0, X - 1)
+    y1 = jnp.clip(y0p + 1, 0, Y - 1)
+    z1 = jnp.clip(z0p + 1, 0, Z - 1)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    fz = (zs - z0)[..., None]
+    flat = volume.reshape(-1, C)
+
+    def gather(ix, iy, iz):
+        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
+
+    out = (
+        gather(x0, y0, z0) * (1 - fx) * (1 - fy) * (1 - fz)
+        + gather(x1, y0, z0) * fx * (1 - fy) * (1 - fz)
+        + gather(x0, y1, z0) * (1 - fx) * fy * (1 - fz)
+        + gather(x0, y0, z1) * (1 - fx) * (1 - fy) * fz
+        + gather(x1, y1, z0) * fx * fy * (1 - fz)
+        + gather(x1, y0, z1) * fx * (1 - fy) * fz
+        + gather(x0, y1, z1) * (1 - fx) * fy * fz
+        + gather(x1, y1, z1) * fx * fy * fz
     )
     return out if has_channels else out[..., 0]
 
@@ -152,8 +203,10 @@ def sample_world_patch(
 ) -> jax.Array:
     """Device counterpart of geometry.sample_world_patch: resample an
     axis-aligned ``patch_size`` patch centered at ``center_world`` mm
-    (relative to the image origin) at ``patch_spacing`` mm/voxel."""
+    (relative to the image origin) at ``patch_spacing`` mm/voxel. Uses the
+    extrapolating reference-``fast_trilinear`` semantics so device and host
+    world patches agree even when the patch overhangs the volume border."""
     grid = identity_grid(patch_size)  # (px, py, pz, 3)
     margin = (jnp.asarray(patch_size, jnp.float32) - 1.0) / 2.0
     coords = (center_world + (grid - margin) * patch_spacing) / image_spacing
-    return trilinear_sample(volume, coords)
+    return trilinear_sample_extrapolate(volume, coords)

@@ -63,3 +63,17 @@ def make_dataset(
             path = write_patient(vol, mask, meta, name, tmp_path)
             fold.append((str(path), label))
     return fold
+
+
+def centered_affine_coords(shape: Sequence[int], affine: np.ndarray):
+    """Device-path sampling coordinates of the host augmentation warp:
+    ``src = affine @ (dst - center) + center`` with ``center = (shape-1)/2``
+    — the ONE definition every host-vs-device warp parity test shares (3D
+     3x3 and 2D 2x2 affines)."""
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.ops.resample import identity_grid, identity_grid_2d
+
+    grid = identity_grid(tuple(shape)) if len(shape) == 3 else identity_grid_2d(tuple(shape))
+    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
+    return (grid - center) @ jnp.asarray(affine, jnp.float32).T + center

@@ -11,15 +11,15 @@ from contrast_gan_3d_tpu.data.augment import AugmentConfig
 from contrast_gan_3d_tpu.data.host_augment import HostAugmenter, rotation_matrix_np
 from contrast_gan_3d_tpu.ops.resample import identity_grid, nearest_sample, trilinear_sample
 
+from tests.synth import centered_affine_coords
+
 pytestmark = pytest.mark.skipif(not native.has_native(), reason="no native lib")
 
 SHAPE = (12, 12, 12)
 
 
-def _device_warp(scan, seg, affine):
-    grid = identity_grid(SHAPE)
-    center = (jnp.asarray(SHAPE, jnp.float32) - 1.0) / 2.0
-    coords = (grid - center) @ jnp.asarray(affine, jnp.float32).T + center
+def _device_warp(scan, seg, affine, shape=SHAPE):
+    coords = centered_affine_coords(shape, affine)
     out = trilinear_sample(jnp.asarray(scan, jnp.float32), coords)
     out_seg = nearest_sample(jnp.asarray(seg, jnp.float32), coords)
     return np.asarray(out), np.asarray(out_seg)
@@ -111,24 +111,31 @@ def test_tiny_odd_shapes_match_device(rng, shape):
     seg = (rng.random(shape) < 0.2).astype(np.int16)
     affine = (rotation_matrix_np(np.array([0.4, -0.5, 0.2])) * 1.1).astype(np.float32)
     got_scan, got_seg = native.warp_augment_int16(scan, seg, affine)
-    grid = identity_grid(shape)
-    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
-    coords = (grid - center) @ jnp.asarray(affine).T + center
-    ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))
-    ref_seg = np.asarray(nearest_sample(jnp.asarray(seg, jnp.float32), coords))
+    ref_scan, ref_seg = _device_warp(scan, seg, affine, shape)
+    assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
+    np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
+def test_half_integer_coords_seg_matches_device(rng):
+    """An exact 2x downscale on even dims lands every sampling coordinate on
+    a half-integer: the nearest mask sample must round half-EVEN on host
+    exactly like the device jnp.round (half-up rounding shifts labels by a
+    voxel on the host path only)."""
+    shape = (8, 8, 8)
+    scan = rng.integers(-500, 500, shape).astype(np.int16)
+    seg = rng.integers(0, 5, shape).astype(np.int16)
+    affine = (np.eye(3) * 2.0).astype(np.float32)
+    got_scan, got_seg = native.warp_augment_int16(scan, seg, affine)
+    ref_scan, ref_seg = _device_warp(scan, seg, affine, shape)
     assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
     np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
 
 
 # ------------------------------------------------------------------- 2D
 def _device_warp2d(scan, seg, affine, shape):
-    from contrast_gan_3d_tpu.ops.resample import (
-        bilinear_sample, identity_grid_2d, nearest_sample_2d,
-    )
+    from contrast_gan_3d_tpu.ops.resample import bilinear_sample, nearest_sample_2d
 
-    grid = identity_grid_2d(shape)
-    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
-    coords = (grid - center) @ jnp.asarray(affine, jnp.float32).T + center
+    coords = centered_affine_coords(shape, affine)
     out = bilinear_sample(jnp.asarray(scan, jnp.float32), coords)
     out_seg = nearest_sample_2d(jnp.asarray(seg, jnp.float32), coords)
     return np.asarray(out), np.asarray(out_seg)
@@ -213,9 +220,7 @@ def test_combined_transforms_match_device(rng, shape):
     amp = np.array([2.0, 1.0, 3.0], np.float32)
     got_scan, got_seg = native.warp_augment_int16(scan, seg, affine, coarse, amp)
 
-    grid = identity_grid(shape)
-    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
-    rel = (grid - center) @ jnp.asarray(affine).T + center
+    rel = centered_affine_coords(shape, affine)
     field = jax.image.resize(jnp.asarray(coarse), (*shape, 3), method="linear")
     coords = rel + field * jnp.asarray(amp)
     ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))

@@ -19,12 +19,12 @@ from contrast_gan_3d_tpu import native
 from contrast_gan_3d_tpu.data.host_augment import rotation_matrix_np
 from contrast_gan_3d_tpu.ops.resample import (
     bilinear_sample,
-    identity_grid,
-    identity_grid_2d,
     nearest_sample,
     nearest_sample_2d,
     trilinear_sample,
 )
+
+from tests.synth import centered_affine_coords
 
 SHAPE = (9, 8, 7)
 
@@ -78,9 +78,7 @@ def test_host_warp_deep_oob_matches_device(rng):
     seg = (rng.random(shape) < 0.1).astype(np.int16)
     affine = (rotation_matrix_np(np.array([0.3, -0.6, 0.2])) * 3.0).astype(np.float32)
     got_scan, got_seg = native.warp_augment_int16(scan, seg, affine)
-    grid = identity_grid(shape)
-    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
-    coords = (grid - center) @ jnp.asarray(affine).T + center
+    coords = centered_affine_coords(shape, affine)
     ref_scan = np.asarray(trilinear_sample(jnp.asarray(scan, jnp.float32), coords))
     ref_seg = np.asarray(nearest_sample(jnp.asarray(seg, jnp.float32), coords))
     assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
@@ -96,10 +94,33 @@ def test_host_warp2d_deep_oob_matches_device(rng):
     rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], np.float32)
     affine = (rot * 3.0).astype(np.float32)
     got_scan, got_seg = native.warp_augment2d_int16(scan, seg, affine)
-    grid = identity_grid_2d(shape)
-    center = (jnp.asarray(shape, jnp.float32) - 1.0) / 2.0
-    coords = (grid - center) @ jnp.asarray(affine).T + center
+    coords = centered_affine_coords(shape, affine)
     ref_scan = np.asarray(bilinear_sample(jnp.asarray(scan, jnp.float32), coords))
     ref_seg = np.asarray(nearest_sample_2d(jnp.asarray(seg, jnp.float32), coords))
     assert np.abs(got_scan - np.round(ref_scan)).max() <= 1
     np.testing.assert_array_equal(got_seg, ref_seg.astype(np.int16))
+
+
+def test_device_world_patch_matches_host_geometry(rng):
+    """The device sample_world_patch must equal the host geometry engine
+    (reference fast_trilinear semantics) INCLUDING a patch that overhangs the
+    volume border by a fractional voxel — the regime where clamp-to-edge and
+    the reference's extrapolation differ."""
+    from contrast_gan_3d_tpu.ops import resample as dev
+    from contrast_gan_3d_tpu.utils import geometry as host
+
+    vol = rng.normal(size=(12, 11, 10)).astype(np.float32)
+    spacing = np.array([0.7, 0.8, 0.9], np.float32)
+    patch_size = (6, 6, 6)
+    patch_spacing = np.array([1.1, 1.0, 0.9], np.float32)
+    # centers: interior AND overhanging the low/high borders sub-voxel
+    for center in ([3.0, 3.1, 2.9], [0.2, 0.3, 0.1], [7.9, 8.2, 8.6]):
+        c = np.asarray(center, np.float32)
+        want = host.sample_world_patch(vol, c, spacing, patch_size, patch_spacing)
+        got = np.asarray(
+            dev.sample_world_patch(
+                jnp.asarray(vol), jnp.asarray(c), jnp.asarray(spacing),
+                patch_size, jnp.asarray(patch_spacing),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
