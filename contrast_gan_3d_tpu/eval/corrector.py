@@ -155,11 +155,24 @@ class CCTAContrastCorrector:
         **kwargs,
     ) -> "CCTAContrastCorrector":
         """Build from a saved training checkpoint (reference :55-56 loads only
-        ``ckpt["generator"]`` — here the generator params + BatchNorm stats)."""
+        ``ckpt["generator"]`` — here the generator params + BatchNorm stats).
+
+        With no explicit ``generator`` module the architecture is derived
+        from the checkpoint's parameter tree (block counts, stem width, ndim)
+        and non-derivable semantics (``tconv_placement``, ``norm``) come from
+        the checkpoint's ``<step>.meta.json`` sidecar — so non-default
+        architectures and torch-imported checkpoints load correctly without
+        the caller reciting construction flags."""
         from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
 
-        generator = generator or ResnetGenerator()
         payload = ckpt_lib.load_generator(checkpoint_dir, iteration=iteration)
+        if generator is None:
+            from contrast_gan_3d_tpu.models.utils import derive_generator_arch
+
+            gen_kwargs = derive_generator_arch(payload["params"])
+            gen_kwargs.update(payload.get("meta", {}).get("generator", {}))
+            generator = ResnetGenerator(**gen_kwargs)
+            logger.info("Auto-derived generator architecture: %s", gen_kwargs)
         logger.info(
             "Loaded generator from '%s' @ iteration %s", checkpoint_dir, payload["step"]
         )

@@ -62,9 +62,20 @@ def collect_voxels_intensity(
         "Scans by label: %s",
         {ScanType(k).name: labels.count(k) for k in set(labels)},
     )
+    def _one(a):
+        # one unreadable patient must not abort the whole cohort sweep
+        try:
+            return a[1], collect_patient_voxels(*a[0])
+        except Exception as e:
+            logger.error("FAILED %r: %s", str(a[0][0]), e)
+            return None
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(
-            pool.map(lambda a: (a[1], collect_patient_voxels(*a[0])), evaluation_paths)
+        results = [r for r in pool.map(_one, evaluation_paths) if r is not None]
+    if len(results) < len(evaluation_paths):
+        logger.warning(
+            "%d/%d patients failed and were skipped",
+            len(evaluation_paths) - len(results), len(evaluation_paths),
         )
 
     grouped: Dict[ScanType, Dict[str, List[np.ndarray]]] = defaultdict(
@@ -92,10 +103,12 @@ def summarize_hu_shift(
     for st, by_region in voxels.items():
         for region, vals in by_region.items():
             vals = np.asarray(vals, np.float64)
+            # None (JSON null) for empty regions: float('nan') serializes as
+            # bare NaN, which is not valid JSON to strict parsers
             out[f"{st.name}/{region}"] = {
-                "mean": float(vals.mean()) if vals.size else float("nan"),
-                "std": float(vals.std()) if vals.size else float("nan"),
-                "median": float(np.median(vals)) if vals.size else float("nan"),
+                "mean": float(vals.mean()) if vals.size else None,
+                "std": float(vals.std()) if vals.size else None,
+                "median": float(np.median(vals)) if vals.size else None,
                 "n": int(vals.size),
             }
     return out

@@ -86,6 +86,14 @@ def eval_model_marker_recall_rate(
         # when IDs are substrings of each other
         hits = sorted(Path(root).glob(f"*{name}*"))
         exact = [h for h in hits if h.name == str(name) or h.stem == str(name)]
+        if not exact and hits:
+            # substring fallback (reference behavior) can still mispair —
+            # e.g. patient '1' scored against patient '10' when '1' itself is
+            # absent. Keep the pairing for parity but make it auditable.
+            logger.warning(
+                "No exact match for patient %r under %r; falling back to "
+                "substring hit %r", str(name), str(root), hits[0].name,
+            )
         return (exact or hits or [None])[0]
 
     jobs = []

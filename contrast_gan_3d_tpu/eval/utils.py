@@ -44,7 +44,7 @@ def correct_patient(
     corrected = np.asarray(corrector(scan))
     savepath = Path(savedir) / io_utils.stem(patient_path)
     corrector.save(corrected, savepath, meta)
-    return savepath.with_suffix(".mhd")
+    return io_utils.with_image_suffix(savepath)
 
 
 def correct_patients(
@@ -132,7 +132,7 @@ def correct_patients(
             savepath = Path(savedir) / io_utils.stem(p)
             if not _put(write_q, (corrected, savepath, meta)):
                 break
-            out.append(savepath.with_suffix(".mhd"))
+            out.append(io_utils.with_image_suffix(savepath))
     finally:
         # orderly shutdown: let the writer drain its queue, then stop both
         _put(write_q, None)

@@ -35,6 +35,26 @@ def generator_output_shape(input_spatial: Sequence[int], n_updownsample_blocks: 
     return [int(np.ceil(d / factor)) * factor for d in input_spatial]
 
 
+def derive_generator_arch(params) -> dict:
+    """Infer a ResnetGenerator's architecture hyper-parameters from its
+    parameter tree (the flax analogue of the state_dict-derivation used for
+    reference ``.pt`` checkpoints, utils/torch_port): block counts from the
+    ``down_i``/``resnet_i`` keys, stem width + ndim from the first conv
+    kernel. Semantics the tree cannot encode (``tconv_placement``, ``norm``)
+    are NOT returned — they come from the checkpoint meta sidecar."""
+    if "first" not in params or "Conv_0" not in params["first"]:
+        raise ValueError(
+            "parameter tree is not a ResnetGenerator (no first/Conv_0)"
+        )
+    kernel = params["first"]["Conv_0"]["kernel"]
+    return {
+        "n_updownsample_blocks": sum(k.startswith("down_") for k in params),
+        "n_resnet_blocks": sum(k.startswith("resnet_") for k in params),
+        "init_channels_out": int(kernel.shape[-1]),
+        "ndim": kernel.ndim - 2,
+    }
+
+
 def count_parameters(params) -> int:
     """Total trainable parameter count of a pytree."""
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -11,6 +11,7 @@ construction. Writes are atomic (tmp + rename) and optionally asynchronous
 (host thread — the device never blocks on disk).
 """
 
+import json
 import pickle
 import re
 import threading
@@ -60,17 +61,25 @@ def find_latest_checkpoint(ckpt_dir) -> Optional[Path]:
     return best
 
 
+def meta_path(ckpt_dir, step: int) -> Path:
+    return Path(ckpt_dir) / f"{int(step)}.meta.json"
+
+
 def save_checkpoint(
     state,
     ckpt_dir,
     step: Optional[int] = None,
     keep: Optional[int] = None,
     async_: bool = False,
+    meta: Optional[Dict] = None,
 ) -> Path:
     """Serialize ``state`` to ``<ckpt_dir>/<step>.msgpack`` atomically.
 
     ``keep``: retain only the newest N checkpoints. ``async_``: fetch to host
-    synchronously (cheap) but write on a daemon thread.
+    synchronously (cheap) but write on a daemon thread. ``meta``: a small
+    JSON-able dict written to ``<step>.meta.json`` — records model semantics
+    the param tree cannot encode (e.g. the generator's ``tconv_placement``)
+    so inference entry points rebuild the right module.
     """
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -84,6 +93,8 @@ def save_checkpoint(
         tmp = path.with_suffix(".msgpack.tmp")
         tmp.write_bytes(blob)
         tmp.rename(path)
+        if meta is not None:
+            meta_path(ckpt_dir, step).write_text(json.dumps(meta, indent=1))
         logger.info("Saved checkpoint '%s' (%.1f MB)", path, len(blob) / 2**20)
         if keep is not None:
             ckpts = sorted(
@@ -92,8 +103,9 @@ def save_checkpoint(
             )
             for old in ckpts[:-keep]:
                 old.unlink(missing_ok=True)
-                # the data-stream sidecar of a pruned step is useless
+                # the sidecars of a pruned step are useless
                 (old.parent / f"{old.stem}.data.pkl").unlink(missing_ok=True)
+                (old.parent / f"{old.stem}.meta.json").unlink(missing_ok=True)
 
     if async_:
         threading.Thread(target=_write, name=f"ckpt-{step}", daemon=True).start()
@@ -213,7 +225,8 @@ def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
 def load_generator(ckpt_dir_or_file, iteration: Optional[int] = None) -> Dict:
     """Extract only what inference needs (reference eval loads
     ``ckpt["generator"]`` — CCTAContrastCorrector.py:55-56): generator params,
-    BatchNorm stats and the step."""
+    BatchNorm stats, the step, and the meta sidecar (model semantics such as
+    ``tconv_placement``) when one was written."""
     path = Path(ckpt_dir_or_file)
     if path.is_dir():
         path = (
@@ -224,8 +237,10 @@ def load_generator(ckpt_dir_or_file, iteration: Optional[int] = None) -> Dict:
         if path is None or not path.exists():
             raise FileNotFoundError(f"No checkpoint in {ckpt_dir_or_file}")
     raw = serialization.msgpack_restore(path.read_bytes())
+    meta_file = path.parent / f"{path.stem}.meta.json"
     return {
         "params": raw["gen_params"],
         "stats": raw.get("gen_stats") or None,
         "step": int(np.asarray(raw["step"])),
+        "meta": json.loads(meta_file.read_text()) if meta_file.is_file() else {},
     }

@@ -90,6 +90,17 @@ class Trainer:
         self.mesh = mesh
         self.split_combined = split_combined
 
+        # checkpoint meta sidecar: module semantics the param tree cannot
+        # encode — lets inference rebuild the exact generator (a checkpoint
+        # from tconv_placement='torch' training corrected under the default
+        # 'same' placement would be silently one voxel off)
+        self._ckpt_meta = {
+            "generator": {
+                k: getattr(generator, k)
+                for k in ("tconv_placement", "norm")
+                if hasattr(generator, k)
+            }
+        }
         self.state = state if state is not None else init_state(
             generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
         )
@@ -226,6 +237,7 @@ class Trainer:
                 ckpt_lib.save_checkpoint(
                     self.state, self.cfg.checkpoint_dir,
                     keep=self.cfg.checkpoint_keep, async_=True,
+                    meta=self._ckpt_meta,
                 )
                 self._data_state(train_loaders, "save", self.iteration)
             if profiler is not None:
@@ -235,7 +247,8 @@ class Trainer:
             profiler.stop()
         if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
             ckpt_lib.save_checkpoint(
-                self.state, self.cfg.checkpoint_dir, keep=self.cfg.checkpoint_keep
+                self.state, self.cfg.checkpoint_dir,
+                keep=self.cfg.checkpoint_keep, meta=self._ckpt_meta,
             )
             self._data_state(train_loaders, "save", self.iteration)
         self._manage_loaders(train_loaders, "end")

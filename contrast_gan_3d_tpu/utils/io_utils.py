@@ -48,6 +48,17 @@ def stem(path: PathLike) -> str:
     return name
 
 
+def with_image_suffix(path: PathLike, suffix: str = ".mhd") -> Path:
+    """Append ``suffix`` unless the name already ends with it. NEVER uses
+    Path.with_suffix: on DICOM-UID-style names ('1.2.840.113') that replaces
+    the last dotted component ('1.2.840.mhd'), silently colliding distinct
+    patients onto one output file."""
+    path = Path(path)
+    if path.name.lower().endswith(suffix.lower()):
+        return path
+    return path.with_name(path.name + suffix)
+
+
 # ---------------------------------------------------------------------------
 # orientation: direction matrices live in ITK's LPS world frame.
 # world = direction @ diag(spacing) @ index + origin
@@ -202,8 +213,8 @@ def write_mhd(
 ):
     """Write a volume (index order x, y, z) as a compressed .mhd/.mha pair."""
     path = Path(path)
-    if path.suffix not in (".mhd", ".mha"):
-        path = path.with_suffix(".mhd")
+    if not path.name.lower().endswith((".mhd", ".mha")):
+        path = with_image_suffix(path, ".mhd")
     ndims = array_xyz.ndim
     spacing = np.ones(ndims) if spacing is None else np.asarray(spacing)
     origin = np.zeros(ndims) if origin is None else np.asarray(origin)

@@ -10,9 +10,16 @@ so callers (threaded loggers, notebooks) control rendering/closing.
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import os
+import sys
+
 import matplotlib
 
-matplotlib.use("Agg")
+# default to headless Agg, but NEVER override a backend the session already
+# selected (a live pyplot import — e.g. notebook inline — or an explicit
+# MPLBACKEND): the module docstring promises callers control rendering
+if "matplotlib.pyplot" not in sys.modules and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
@@ -51,11 +58,17 @@ def plot_axial_slices(
     n = len(ids)
     cols = int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
-    if vmin is None and cmap == "gray":
-        vmin, vmax = VMIN, VMAX
-    elif vmin is None:
-        amax = float(np.abs(volume).max() or 1.0)
-        vmin, vmax = -amax, amax
+    # default each limit independently: a caller-passed vmax must survive a
+    # defaulted vmin (and vice versa), and a half-specified range must not
+    # leave the other limit per-slice autoscaled under the shared colorbar
+    if vmin is None or vmax is None:
+        if cmap == "gray":
+            d_vmin, d_vmax = VMIN, VMAX
+        else:
+            amax = float(np.abs(volume).max() or 1.0)
+            d_vmin, d_vmax = -amax, amax
+        vmin = d_vmin if vmin is None else vmin
+        vmax = d_vmax if vmax is None else vmax
 
     fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows), squeeze=False)
     im = None

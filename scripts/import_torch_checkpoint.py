@@ -10,8 +10,10 @@ BatchNorm stats into a full :class:`GANTrainState` msgpack checkpoint that
 Optimizer states restart fresh (torch Adam moments don't transfer across the
 layout mapping meaningfully).
 
-NOTE: models consuming the converted checkpoint must be constructed with
-``tconv_placement="torch"`` (see utils/torch_port.py).
+The written ``<step>.meta.json`` sidecar records ``tconv_placement="torch"``
+(see utils/torch_port.py); ``CCTAContrastCorrector.from_checkpoint`` and
+``Trainer`` consumers that build their own module must construct it with
+that placement — the corrector does so automatically from the sidecar.
 """
 
 import sys
@@ -77,7 +79,14 @@ def main():
     else:
         print("NOTE: no critic in the reference checkpoint (its known "
               "save bug) — critic stays freshly initialized")
-    path = ckpt_lib.save_checkpoint(state, args.out_dir, step=payload["iteration"])
+    path = ckpt_lib.save_checkpoint(
+        state, args.out_dir, step=payload["iteration"],
+        # recorded so inference (CCTAContrastCorrector.from_checkpoint,
+        # serve.py) rebuilds the generator with the torch conv placement —
+        # without it the default 'same' placement loads the same param tree
+        # but shifts transpose-conv outputs by one voxel
+        meta={"generator": {"tconv_placement": "torch", "norm": gen.norm}},
+    )
     print(f"wrote {path} (iteration {payload['iteration']})")
 
 

@@ -19,6 +19,7 @@ import argparse
 from pathlib import Path
 
 from contrast_gan_3d_tpu.data.preprocess import create_patient
+from contrast_gan_3d_tpu.utils.io_utils import stem
 from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 
 logger = create_logger(name="preprocess")
@@ -35,7 +36,9 @@ def main():
     logger.info("Found %d scans under %s", len(scans), args.root)
     failures = []
     for scan in scans:
-        pdir = scan.parent / scan.stem
+        # io_utils.stem, NOT Path.stem: '.nii.gz' scans keep '.nii' under
+        # Path.stem, so the '<name>/' centerline dir would never be found
+        pdir = scan.parent / stem(scan)
         ostia = pdir / "ostia.xml"
         if not pdir.is_dir() or not ostia.is_file():
             logger.warning("Skipping %s: missing centerlines dir or ostia.xml", scan)

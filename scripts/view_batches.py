@@ -42,7 +42,10 @@ def main():
         fold, tuple(args.patch_size), {st.value: args.batch_size for st in ScanType},
         rng, num_threads=1, prefetch=1, to_device=False,
     )
-    for st in ScanType:
+    # iterate the loaders that exist: a small fold may miss a ScanType
+    # entirely (create_loaders only builds loaders for labels present)
+    for label in sorted(loaders):
+        st = ScanType(label)
         batch = loaders[st.value].sampler.next_batch()
         data = batch["data"].astype(np.float32)
         seg = batch["seg"].astype(np.float32)

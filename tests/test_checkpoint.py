@@ -163,3 +163,44 @@ def test_sampler_state_with_augmenter_roundtrip(tmp_path, rng):
     got = s.next_batch()
     np.testing.assert_array_equal(want["data"], got["data"])
     np.testing.assert_array_equal(want["seg"], got["seg"])
+
+
+def test_meta_sidecar_and_auto_derived_corrector(tmp_path):
+    """from_checkpoint with no explicit module rebuilds a NON-default
+    generator: architecture from the param tree, tconv_placement/norm from
+    the <step>.meta.json sidecar — a torch-imported or custom-arch checkpoint
+    corrects without the caller reciting construction flags."""
+    gen = ResnetGenerator(
+        n_resnet_blocks=2, n_updownsample_blocks=1, init_channels_out=4,
+        tconv_placement="torch",
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer()
+    state = init_state(gen, critic, tx, tx, jax.random.key(1), PATCH)
+    ckpt_lib.save_checkpoint(
+        state, tmp_path, step=5,
+        meta={"generator": {"tconv_placement": "torch", "norm": "batch"}},
+    )
+    payload = ckpt_lib.load_generator(tmp_path)
+    assert payload["meta"]["generator"]["tconv_placement"] == "torch"
+
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+
+    corr = CCTAContrastCorrector.from_checkpoint(
+        tmp_path, inference_patch_size=PATCH, batch_size=2
+    )
+    g = corr.generator
+    assert (g.n_resnet_blocks, g.n_updownsample_blocks, g.init_channels_out,
+            g.ndim, g.tconv_placement) == (2, 1, 4, 3, "torch")
+    # the derived module accepts the checkpoint's params end-to-end
+    out = np.asarray(corr(np.zeros((8, 8, 10), np.int16)))
+    assert out.shape == (8, 8, 10) and np.isfinite(out).all()
+
+
+def test_keep_limit_prunes_meta_sidecars(tiny_state, tmp_path):
+    for step in [1, 2, 3]:
+        ckpt_lib.save_checkpoint(
+            tiny_state.replace(step=jnp.int32(step)), tmp_path, keep=1,
+            meta={"generator": {"tconv_placement": "same"}},
+        )
+    assert sorted(p.name for p in tmp_path.glob("*.meta.json")) == ["3.meta.json"]

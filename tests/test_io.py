@@ -167,3 +167,26 @@ def test_stem_and_basename():
     # DICOM-UID-style names keep their dots (only the imaging suffix strips)
     assert io_utils.stem("1.2.840.113.mhd") == "1.2.840.113"
     assert io_utils.stem("weird.name.npy") == "weird.name"
+
+
+def test_write_mhd_preserves_dotted_uid_names(tmp_path, rng):
+    """DICOM-UID-style names must not be mangled by suffix handling: writing
+    '1.2.840.113' and '1.2.840.114' must produce two distinct .mhd files
+    (Path.with_suffix would collapse both onto '1.2.840.mhd')."""
+    vol = rng.integers(-100, 100, (4, 4, 4)).astype(np.int16)
+    for name in ("1.2.840.113", "1.2.840.114"):
+        io_utils.write_mhd(vol, tmp_path / name)
+    written = sorted(p.name for p in tmp_path.glob("*.mhd"))
+    assert written == ["1.2.840.113.mhd", "1.2.840.114.mhd"]
+    back, _ = io_utils.read_image(tmp_path / "1.2.840.113.mhd")
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_with_image_suffix():
+    from pathlib import Path
+
+    f = io_utils.with_image_suffix
+    assert f("a/b/p1") == Path("a/b/p1.mhd")
+    assert f("a/b/p1.mhd") == Path("a/b/p1.mhd")  # already suffixed
+    assert f("1.2.840.113") == Path("1.2.840.113.mhd")
+    assert f("x", ".nii.gz") == Path("x.nii.gz")
