@@ -241,7 +241,14 @@ def s2d_conv3d_pallas(
     pads = [(k - 1) // 2 for k in (kx, ky, kz)]
     mode = "reflect" if padding_mode == "reflect" else "constant"
     xp = jnp.pad(x, ((0, 0), *[(p, p) for p in pads], (0, 0)), mode=mode)
-    extra = [(-(d + 2 * p)) % f for d, p in zip((X, Y, Z), pads)]
+    # right-pad bound exactly as s2d_conv3d (s2d_conv.py req): the padded
+    # length must both divide f AND give >= d/f + K - 1 blocks so the VALID
+    # block conv yields the full output — even kernels (k=6: p=2, so
+    # d+2p < d+2f) fall short of the second bound without it
+    extra = [
+        max((-(d + 2 * p)) % f, d + f * (K - 1) - (d + 2 * p))
+        for d, p, K in zip((X, Y, Z), pads, Ks)
+    ]
     if any(extra):
         xp = jnp.pad(xp, ((0, 0), *[(0, e) for e in extra], (0, 0)))
     xs = space_to_depth(xp, f)  # (B, Xb+2, Yb+2, Zb+2, f^3 ci)

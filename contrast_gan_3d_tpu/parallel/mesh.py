@@ -66,8 +66,11 @@ def put_batch(tree, mesh: Mesh):
 def pad_batch_to_multiple(batch: np.ndarray, n: int) -> np.ndarray:
     """Pad a host batch's leading dim up to a multiple of ``n`` by repeating
     the first element (GSPMD requires evenly divisible shards for the simple
-    layout; WGAN losses are means, so a repeated sample only reweights
-    negligibly when padding is small)."""
+    layout). EVALUATION-path helper: the val steps carry (B,) 0/1 validity
+    weights and run in eval mode, so the padding is exactly masked out.
+    TRAIN batches must instead divide the mesh (Trainer._assemble raises) —
+    repeated samples would bias the unmasked loss means and the BatchNorm
+    batch statistics."""
     b = batch.shape[0]
     pad = (-b) % n
     if pad == 0:

@@ -93,8 +93,11 @@ def save_checkpoint(
         tmp = path.with_suffix(".msgpack.tmp")
         tmp.write_bytes(blob)
         tmp.rename(path)
-        if meta is not None:
-            meta_path(ckpt_dir, step).write_text(json.dumps(meta, indent=1))
+        if meta is not None:  # atomic like the msgpack: never a torn sidecar
+            mp = meta_path(ckpt_dir, step)
+            mp_tmp = mp.with_suffix(".json.tmp")
+            mp_tmp.write_text(json.dumps(meta, indent=1))
+            mp_tmp.rename(mp)
         logger.info("Saved checkpoint '%s' (%.1f MB)", path, len(blob) / 2**20)
         if keep is not None:
             ckpts = sorted(

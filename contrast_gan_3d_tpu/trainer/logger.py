@@ -100,7 +100,8 @@ class WandbLogger(LoggerInterface):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
         idx = int(self.rng.integers(0, len(sample)))
-        name = names[idx] if names else str(idx)
+        # names can be shorter than the batch (a loader without "name"s)
+        name = names[idx] if names and idx < len(names) else str(idx)
         payload = {"iteration": step}
         trios = [("sample", sample), ("reconstruction", reconstruction), ("attenuation", attenuation)]
         for tag, batch in trios:

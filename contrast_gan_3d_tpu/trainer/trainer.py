@@ -145,15 +145,26 @@ class Trainer:
         mask = np.concatenate([np.asarray(low["seg"]), np.asarray(high["seg"])])
         names = list(low.get("name", [])) + list(high.get("name", []))
         if self.mesh is not None:
-            from contrast_gan_3d_tpu.parallel.mesh import (
-                pad_batch_to_multiple,
-                put_batch,
-            )
+            from contrast_gan_3d_tpu.parallel.mesh import put_batch
 
             n = self.mesh.devices.size
-            opt = put_batch(pad_batch_to_multiple(np.asarray(opt), n), self.mesh)
-            subopt = put_batch(pad_batch_to_multiple(subopt, n), self.mesh)
-            mask = put_batch(pad_batch_to_multiple(mask, n), self.mesh)
+            if opt.shape[0] % n or subopt.shape[0] % n:
+                # padding a TRAIN batch with repeated samples would bias
+                # every unmasked loss mean AND the BatchNorm batch statistics
+                # toward the duplicated patient — refuse instead of training
+                # silently wrong (validation pads exactly: eval mode +
+                # masked reductions). train.py auto-rounds configured batch
+                # sizes to device multiples before building loaders.
+                raise ValueError(
+                    f"train batch sizes (opt {opt.shape[0]}, subopt "
+                    f"{subopt.shape[0]}) must divide the mesh's "
+                    f"{n} devices; round them up to multiples of {n} "
+                    "(train.py does this automatically) or pick dp_devices "
+                    "that divides them"
+                )
+            opt = put_batch(np.asarray(opt), self.mesh)
+            subopt = put_batch(subopt, self.mesh)
+            mask = put_batch(mask, self.mesh)
         else:
             opt = jnp.asarray(opt)
             subopt = jnp.asarray(subopt)
@@ -182,6 +193,11 @@ class Trainer:
         elif gen_due:
             self.state, metrics = self.steps.generator_only_step(self.state, opt, subopt, mask)
         else:
+            # schedules like (critic every 2, generator every 4) have
+            # iterations that train NEITHER net; still advance the step
+            # counter so checkpoints/resume stay aligned with the python
+            # iteration count (and the data stream position)
+            self.state = self.state.replace(step=self.state.step + 1)
             metrics = {}
         return metrics, (subopt, mask, names)
 
@@ -228,7 +244,11 @@ class Trainer:
                     )
                 t_last, it_last = now, iteration
                 self.logger_interface.log_scalars(host, iteration, "train")
-            if images_due:
+            if images_due and metrics:
+                # metrics empty = no program ran this iteration; there is no
+                # "batch the step trained on" to render (and rng_before was
+                # never consumed, so a preview would show the NEXT step's
+                # augmentation)
                 self._log_train_images(subopt, mask, names, iteration, rng_before)
 
             if val_loaders and _due(iteration, self.cfg.val_every):
@@ -301,7 +321,7 @@ class Trainer:
                 loss_G -= loss_fake
                 loss_sim += float(jax.device_get(l_sim))
                 if i == 0:
-                    n = np.asarray(batch["data"]).shape[0]  # drop padding
+                    n = batch["data"].shape[0]  # unpadded size, no host copy
                     loggable.append((batch, sample_hat[:n], atten[:n]))
 
         if loggable and self.cfg.log_images_every is not None:

@@ -79,3 +79,16 @@ def test_block_conv_v2_k_split(rng):
         whole = block_conv3x3x3_v2(x, w, k_splits=1)
         split = block_conv3x3x3_v2(x, w, k_splits=2)
     np.testing.assert_allclose(np.asarray(whole), np.asarray(split), atol=1e-4)
+
+
+def test_s2d_pallas_even_kernel_full_output(rng):
+    """k=6 at f=4 (K=3, p=2): the padded length must satisfy the d + f*(K-1)
+    bound or the VALID block conv silently truncates the output; must match
+    the s2d_conv3d fallback exactly in shape and values."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 2)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(6, 6, 6, 2, 3)), jnp.float32)
+    ref = s2d_conv3d(x, w, f=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = s2d_conv3d_pallas(x, w, f=4)
+    assert got.shape == ref.shape == (1, 8, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)

@@ -139,3 +139,34 @@ def test_sharded_packed_corrector_matches_direct(rng):
     vol2 = jnp.asarray(rng.integers(-1024, 1500, (24, 20, 18), dtype=np.int16))
     out2 = np.asarray(packed(vol2))
     assert out2.shape == (24, 20, 18) and np.isfinite(out2).all()
+
+
+def test_trainer_rejects_nondivisible_train_batch(rng):
+    """Train batches that do not divide the mesh must raise (padding them
+    with repeated samples would bias loss means and BatchNorm statistics;
+    validation pads exactly instead via masked reductions)."""
+    import pytest
+
+    from contrast_gan_3d_tpu.alias import ScanType
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import StepConfig
+    from contrast_gan_3d_tpu.trainer.trainer import Trainer, TrainerConfig
+
+    mesh = data_mesh()  # 8 virtual devices
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None), TrainerConfig(),
+        jax.random.key(0), (8, 8, 8), mesh=mesh,
+    )
+    batch = lambda b: {
+        "data": np.zeros((b, 8, 8, 8), np.int16),
+        "seg": np.zeros((b, 8, 8, 8), np.int16),
+    }
+    patches = {ScanType.OPT.value: batch(6), ScanType.LOW.value: batch(3),
+               ScanType.HIGH.value: batch(3)}
+    with pytest.raises(ValueError, match="divide the mesh"):
+        trainer.train_step(patches, 0)

@@ -212,3 +212,36 @@ def test_preview_logs_the_augmented_batch(tmp_path, rng):
     assert not np.allclose(
         logged_sample, np.asarray(trainer.step_cfg.scaler(subopt.astype(np.float32)))
     )
+
+
+@pytest.mark.slow
+def test_noop_iterations_advance_step(tmp_path, rng):
+    """Schedules with iterations that train NEITHER net (critic every 2,
+    generator every 4 -> odd iterations are no-ops) must still advance
+    state.step, or checkpoints/resume drift from the python iteration count
+    and the data stream position."""
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+    from contrast_gan_3d_tpu.trainer.steps import StepConfig
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 1, -1: 1, 1: 1}, rng, num_threads=1, prefetch=1,
+        to_device=False,
+    )
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    log = RecordingLogger()
+    cfg = TrainerConfig(
+        train_iterations=4, train_critic_every=2, train_generator_every=4,
+        val_every=None, log_every=1, log_images_every=None, checkpoint_every=None,
+    )
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=AugmentConfig(elastic_grid=4)),
+        cfg, jax.random.key(0), PATCH, logger_interface=log,
+    )
+    state = trainer.fit(loaders)
+    assert int(state.step) == 4  # 2 trained + 2 no-op iterations all counted
+    # only the even iterations produced metrics
+    train_steps_logged = sorted(s for st, s, _ in log.scalars if st == "train")
+    assert train_steps_logged == [0, 2]

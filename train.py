@@ -160,15 +160,30 @@ class TrainManager:
         if self.run_id and self.max_folds > 1:
             run_name = f"{self.run_id}-fold{fold_idx}"
         ckpt_dir = Path(self.checkpoint_root) / run_name
-        built = build(cfg, checkpoint_dir=str(ckpt_dir))
-        host_rng, key = seed_everything(built.seed)
 
         mesh = None
         if cfg.dp_devices is not None:
+            from contrast_gan_3d_tpu.alias import ScanType
             from contrast_gan_3d_tpu.parallel import data_mesh
 
             mesh = data_mesh(cfg.dp_devices or None)
             logger.info("Data-parallel mesh: %s", mesh)
+            # train batches must divide the mesh (the Trainer refuses to pad
+            # them — repeated samples would bias losses and BatchNorm stats);
+            # round each stream up to a device multiple when needed
+            n = mesh.devices.size
+            bs = dict(cfg.train_batch_size)
+            subopt = bs.get(ScanType.LOW.value, 0) + bs.get(ScanType.HIGH.value, 0)
+            if bs.get(ScanType.OPT.value, 0) % n or subopt % n:
+                new_bs = {k: -(-v // n) * n for k, v in bs.items()}
+                logger.warning(
+                    "Rounding train batch sizes %s -> %s to divide the "
+                    "%d-device mesh", bs, new_bs, n,
+                )
+                cfg = replace(cfg, train_batch_size=new_bs)
+
+        built = build(cfg, checkpoint_dir=str(ckpt_dir))
+        host_rng, key = seed_everything(built.seed)
 
         # under a mesh the trainer pads + shards batches itself; eager
         # single-device put would only force a host round-trip
