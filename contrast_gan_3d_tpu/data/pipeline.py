@@ -46,7 +46,9 @@ class PrefetchLoader:
         # terminate instead of spinning on an empty queue forever
         self._sentinel = object()
         self._done_box = {"n": 0}
+        self._err_box = {"e": None}
         self._done_lock = threading.Lock()
+        self._zombies = []
         # exact-replay resume (num_threads == 1): every queue item carries
         # the sampler state captured right AFTER its draw; get_state returns
         # the state of the last batch actually SERVED, so queued-but-unseen
@@ -65,11 +67,12 @@ class PrefetchLoader:
         # produce into (or count toward) the new generation
         self._stop = threading.Event()
         self._done_box = {"n": 0}
+        self._err_box = {"e": None}
         self._queue = queue.Queue(maxsize=self.prefetch + self.num_threads)
         for i in range(self.num_threads):
             t = threading.Thread(
                 target=self._worker,
-                args=(self._stop, self._queue, self._done_box),
+                args=(self._stop, self._queue, self._done_box, self._err_box),
                 name=f"prefetch-{i}", daemon=True,
             )
             t.start()
@@ -87,12 +90,17 @@ class PrefetchLoader:
         for t in self._threads:
             t.join(timeout=5)
             if t.is_alive():
-                # harmless zombie: its generation's stop event is set, so it
-                # exits at its next check and cannot touch the next start()
+                # its generation's stop event is set, so it exits at its next
+                # check and cannot produce into the next start() — but its
+                # in-flight next_batch() still holds the SHARED sampler, so
+                # set_state() must wait for it (tracked in _zombies)
                 logger.warning("prefetch worker %s did not stop in 5 s", t.name)
+                self._zombies.append(t)
         self._threads = []
 
-    def _worker(self, stop: threading.Event, q: queue.Queue, done_box: Dict):
+    def _worker(
+        self, stop: threading.Event, q: queue.Queue, done_box: Dict, err_box: Dict
+    ):
         track = self.num_threads == 1  # draw order is only defined then
         while not stop.is_set():
             try:
@@ -102,6 +110,13 @@ class PrefetchLoader:
                 with self._done_lock:
                     done_box["n"] += 1
                 q.put(self._sentinel)  # space reserved in maxsize
+                return
+            except Exception as e:  # surface in the consumer, don't hang it
+                with self._done_lock:
+                    done_box["n"] += 1
+                    if err_box["e"] is None:
+                        err_box["e"] = e
+                q.put(self._sentinel)
                 return
             if self.to_device:
                 batch = dict(batch)
@@ -133,14 +148,34 @@ class PrefetchLoader:
 
     def set_state(self, state: Dict):
         assert not self._threads, "stop() the loader before set_state()"
+        # a zombie from a previous generation still holds the SHARED sampler:
+        # if its in-flight next_batch() finished after set_state it would
+        # advance the restored rng/order and silently diverge the replayed
+        # stream — wait it out, and refuse rather than corrupt
+        for t in self._zombies:
+            t.join(timeout=10)
+        if any(t.is_alive() for t in self._zombies):
+            raise RuntimeError(
+                "a prefetch worker from a previous generation is still "
+                "running and shares this loader's sampler; restoring its "
+                "state now would be silently corrupted"
+            )
+        self._zombies = []
         self.sampler.set_state(state)
         self._last_state = state
+
+    def _maybe_raise_worker_error(self):
+        with self._done_lock:
+            e = self._err_box["e"]
+        if e is not None:
+            raise RuntimeError("prefetch worker failed") from e
 
     # -- iteration ---------------------------------------------------------
     def __next__(self) -> Dict:
         if not self._threads:
             self.start()
         while True:
+            self._maybe_raise_worker_error()
             try:
                 item = self._queue.get(timeout=1.0)
             except queue.Empty:
@@ -151,6 +186,7 @@ class PrefetchLoader:
                         raise StopIteration  # all finite workers exhausted
                 continue
             if item is self._sentinel:
+                self._maybe_raise_worker_error()
                 with self._done_lock:
                     all_done = self._done_box["n"] >= len(self._threads)
                 if all_done and self._queue.empty():

@@ -62,6 +62,12 @@ class CCTAPatchSampler:
         # thread-safe, so all draws go through this lock (the heavy crop /
         # warp work happens outside it)
         self._rng_lock = threading.Lock()
+        # {path: (memmap, meta)}: load_patient per SAMPLE re-opened the .npy
+        # and re-unpickled the meta sidecar (which embeds the full centerline
+        # array) on every patch; paths is a small fixed list, so keep the
+        # mmaps open for the sampler's lifetime
+        self._patients: Dict[str, tuple] = {}
+        self._patients_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -165,8 +171,17 @@ class CCTAPatchSampler:
         return sl[sx : sx + pw, sy : sy + ph]
 
     # ------------------------------------------------------------------
+    def _load_patient_cached(self, path: str):
+        with self._patients_lock:
+            hit = self._patients.get(path)
+        if hit is not None:
+            return hit
+        loaded = load_patient(path)
+        with self._patients_lock:
+            return self._patients.setdefault(path, loaded)
+
     def sample_one(self, path: str) -> Tuple[np.ndarray, str]:
-        data_and_seg, meta = load_patient(path)  # (W, H, D, 2) int16 memmap
+        data_and_seg, meta = self._load_patient_cached(path)  # (W,H,D,2) mmap
         patch = (self._sample_2d if self.is_2d else self._sample_3d)(data_and_seg, meta)
         if self.augmenter is not None:
             # HostAugmenter (3D) / HostAugmenter2D — builder wires the one

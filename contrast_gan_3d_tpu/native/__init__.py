@@ -47,7 +47,10 @@ def _build_and_load_locked() -> Optional[ctypes.CDLL]:
         return None
     try:
         src = _SRC.read_bytes()
-        tag = hashlib.sha1(src).hexdigest()[:12]
+        # the cache key must include the host ISA: the build uses
+        # -march=native, so a .so built on an AVX-512 node and loaded from a
+        # shared $HOME on a non-AVX-512 node would SIGILL the whole process
+        tag = hashlib.sha1(src + _cpu_isa_tag().encode()).hexdigest()[:12]
         # per-user cache (0700): a world-writable shared dir such as
         # /tmp/cgan3d_native would let another local user pre-plant a
         # hostops_<tag>.so that CDLL then executes in our process
@@ -117,6 +120,23 @@ def _build_and_load_locked() -> Optional[ctypes.CDLL]:
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         logger.warning("Native hostops unavailable (%s); using numpy fallback", e)
     return _LIB
+
+
+def _cpu_isa_tag() -> str:
+    """Host CPU feature fingerprint (the 'flags' line on linux; platform
+    string elsewhere) — part of the build-cache key because of -march=native."""
+    try:
+        with open("/proc/cpuinfo") as fd:
+            for line in fd:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(
+                        " ".join(sorted(line.split(":", 1)[1].split())).encode()
+                    ).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return f"{platform.machine()}-{platform.processor()}"
 
 
 def has_native() -> bool:

@@ -236,11 +236,15 @@ def write_mhd(
     ]
     if compress:
         lines.append(f"CompressedDataSize = {len(raw)}")
+    # shortest-round-trip float formatting (repr): '%g' keeps only 6
+    # significant digits, so sub-millimeter offsets truncate and regenerated
+    # voxel coordinates can flip across rounding boundaries on reload
+    num = lambda v: repr(float(v))
     lines += [
-        "TransformMatrix = " + " ".join(f"{v:g}" for v in direction.T.ravel()),
-        "Offset = " + " ".join(f"{v:g}" for v in origin),
+        "TransformMatrix = " + " ".join(num(v) for v in direction.T.ravel()),
+        "Offset = " + " ".join(num(v) for v in origin),
         "CenterOfRotation = " + " ".join("0" for _ in range(ndims)),
-        "ElementSpacing = " + " ".join(f"{v:g}" for v in spacing),
+        "ElementSpacing = " + " ".join(num(v) for v in spacing),
         f"DimSize = {' '.join(str(d) for d in array_xyz.shape)}",
         f"ElementType = {_DTYPE_MET[np.dtype(array_xyz.dtype)]}",
         f"ElementDataFile = {data_file}",
@@ -294,8 +298,13 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
     array = np.frombuffer(blob, dtype.newbyteorder(bo), n, offset=vox_offset)
     # NIfTI on-disk: x fastest
     array = np.transpose(array.reshape(shape[::-1]), (2, 1, 0))
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        array = array * (scl_slope or 1.0) + scl_inter
+    # NIfTI-1 spec: scl_slope == 0 (or non-finite) means NO scaling at all —
+    # the intercept must NOT be applied either (stale scl_inter values are a
+    # common exporter leftover)
+    if np.isfinite(scl_slope) and scl_slope != 0.0 and (
+        scl_slope != 1.0 or scl_inter != 0.0
+    ):
+        array = array * scl_slope + scl_inter
 
     if sform_code > 0:
         srow = np.frombuffer(hdr, bo + "f4", 12, offset=280).reshape(3, 4)

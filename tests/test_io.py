@@ -190,3 +190,15 @@ def test_with_image_suffix():
     assert f("a/b/p1.mhd") == Path("a/b/p1.mhd")  # already suffixed
     assert f("1.2.840.113") == Path("1.2.840.113.mhd")
     assert f("x", ".nii.gz") == Path("x.nii.gz")
+
+
+def test_write_mhd_geometry_full_precision(tmp_path, rng):
+    """Offsets/spacings round-trip at float64 repr precision — '%g' style
+    6-digit truncation shifted sub-millimeter world coordinates."""
+    vol = rng.integers(0, 50, size=(3, 3, 3)).astype(np.int16)
+    spacing = np.array([0.4296875, 0.4296875, 0.625])
+    origin = np.array([-1234.5625, 187.90625, -403.299987792969])
+    io_utils.write_mhd(vol, tmp_path / "p.mhd", spacing=spacing, origin=origin)
+    _, meta = io_utils.read_mhd(tmp_path / "p.mhd")
+    np.testing.assert_array_equal(meta["spacing"], spacing)
+    np.testing.assert_array_equal(meta["offset"], origin)

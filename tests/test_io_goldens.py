@@ -238,6 +238,24 @@ def test_nifti_scl_slope_inter(tmp_path):
     np.testing.assert_allclose(arr, vol.astype(np.float64) * 2.0 - 100.0)
 
 
+
+
+def test_nifti_scl_slope_zero_means_no_scaling(tmp_path):
+    """Spec: scl_slope == 0 disables scaling entirely — a stale nonzero
+    scl_inter (common exporter leftover) must NOT shift the intensities."""
+    vol = ramp_volume(SHAPE, np.int16)
+    p = write_nifti_spec(tmp_path / "z.nii", vol, scl=(0.0, 100.0))
+    arr, _ = io_utils.read_nifti(p)
+    np.testing.assert_array_equal(arr, vol)
+
+
+def test_nifti_scl_slope_nan_ignored(tmp_path):
+    vol = ramp_volume(SHAPE, np.int16)
+    p = write_nifti_spec(tmp_path / "n.nii", vol, scl=(float("nan"), 5.0))
+    arr, _ = io_utils.read_nifti(p)
+    np.testing.assert_array_equal(arr, vol)
+
+
 # ---------------------------------------------------------------------------
 # reorientation semantics
 # ---------------------------------------------------------------------------

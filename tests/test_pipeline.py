@@ -161,3 +161,36 @@ def test_prefetch_loader_exact_replay_across_queue(tmp_path, rng):
     resumed.stop()
     for e, g in zip(expected, got):
         np.testing.assert_array_equal(e, g)
+
+
+def test_worker_failure_surfaces_not_hangs(tmp_path, rng):
+    """A prefetch worker dying on a non-StopIteration exception (corrupt
+    patient, failed warp) must surface the error to the consumer instead of
+    leaving __next__ spinning on an empty queue forever."""
+    from tests.synth import make_dataset
+
+    from contrast_gan_3d_tpu.data.pipeline import PrefetchLoader
+    from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    sampler = CCTAPatchSampler(
+        [p for p, _ in fold], (8, 8, 8), 2, rng=np.random.default_rng(0)
+    )
+
+    calls = {"n": 0}
+    real = sampler.next_batch
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise ValueError("corrupt patient file")
+        return real()
+
+    sampler.next_batch = flaky
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=False)
+    loader.start()
+    next(loader)  # first batch fine
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        for _ in range(5):
+            next(loader)
+    loader.stop()
