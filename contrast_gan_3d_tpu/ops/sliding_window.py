@@ -88,6 +88,80 @@ def _plan_grid(
     return grid.astype(np.int32)
 
 
+def make_direct_patch_loop(vol, patch_size, gw, generator_apply, dtype):
+    """The ONE definition of the direct-layout gather/forward/scatter batch
+    body, shared by the single-chip corrector and the sharded corrector
+    (``parallel/inference``). Returns ``run_batch(acc, starts, valid=None)``
+    — ``valid`` is a per-patch 0/1 weight vector for grids padded to uniform
+    batches (the sharded path); ``None`` skips the multiply entirely."""
+
+    def gather_one(start):
+        return jax.lax.dynamic_slice(vol, start, patch_size)
+
+    def run_batch(atten_acc, starts, valid=None):
+        patches = jax.vmap(gather_one)(starts)  # (B, *patch)
+        atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
+        if atten.shape[1:] != patch_size:
+            # non-divisible patch sizes: the generator ceil-rounds its
+            # output; resize back (reference auto-inserts nn.Upsample,
+            # CCTAContrastCorrector.py:42-52)
+            atten = jax.image.resize(
+                atten, (atten.shape[0], *patch_size), method="trilinear"
+            )
+        atten = atten.astype(jnp.float32)
+
+        def scatter(i, a_acc):
+            s = starts[i]
+            w = gw if valid is None else gw * valid[i]
+            cur_a = jax.lax.dynamic_slice(a_acc, s, patch_size)
+            return jax.lax.dynamic_update_slice(a_acc, cur_a + atten[i] * w, s)
+
+        return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
+
+    return run_batch
+
+
+def make_packed_patch_loop(vp, patch_size, gw_p, generator_apply):
+    """Block-space counterpart of :func:`make_direct_patch_loop`: ``vp`` is
+    the f2-packed volume, ``generator_apply`` consumes f2-packed patches and
+    emits the f4-packed attenuation, and the accumulator/blending window
+    (``gw_p``) live f4-packed. Shared by both correctors."""
+    p2 = tuple(p // 2 for p in patch_size)
+    p4 = tuple(p // 4 for p in patch_size)
+
+    def gather_one(start):
+        s2 = start // 2
+        return jax.lax.dynamic_slice(vp, (s2[0], s2[1], s2[2], 0), (*p2, 8))
+
+    def run_batch(atten_acc, starts, valid=None):
+        patches = jax.vmap(gather_one)(starts)  # (B, *p2, 8)
+        atten = generator_apply(patches).astype(jnp.float32)  # (B, *p4, 64)
+
+        def scatter(i, a_acc):
+            s4 = starts[i] // 4
+            pos = (s4[0], s4[1], s4[2], 0)
+            w = gw_p if valid is None else gw_p * valid[i]
+            cur = jax.lax.dynamic_slice(a_acc, pos, (*p4, 64))
+            return jax.lax.dynamic_update_slice(a_acc, cur + atten[i] * w, pos)
+
+        return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
+
+    return run_batch
+
+
+def scan_patch_batches(run_batch, atten_acc, starts_b, rem_starts=None):
+    """Drive ``run_batch`` over the batched grid: a ``lax.scan`` over the
+    full batches, then the trailing remainder (if any) as ONE smaller
+    program instead of a zero-weighted padded batch."""
+    if starts_b.shape[0]:
+        atten_acc, _ = jax.lax.scan(
+            lambda a, s: (run_batch(a, s), None), atten_acc, starts_b
+        )
+    if rem_starts is not None and rem_starts.shape[0]:
+        atten_acc = run_batch(atten_acc, rem_starts)
+    return atten_acc
+
+
 def make_volume_corrector(
     generator_apply: Callable[[jax.Array], jax.Array],
     patch_size: Tuple[int, int, int] = (128, 128, 128),
@@ -153,39 +227,15 @@ def make_volume_corrector(
         rem = n - n_full * batch_size
         starts_b = jnp.asarray(grid[: n_full * batch_size].reshape(n_full, batch_size, 3))
 
-        gw = jnp.asarray(gw_np)
-        atten_acc = jnp.zeros(padded_shape, jnp.float32)
-
-        def gather_one(start):
-            return jax.lax.dynamic_slice(vol, start, patch_size)
-
-        def run_batch(atten_acc, starts):
-            patches = jax.vmap(gather_one)(starts)  # (B, *patch)
-            atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
-            if atten.shape[1:] != patch_size:
-                # non-divisible patch sizes: the generator ceil-rounds its
-                # output; resize back (reference auto-inserts nn.Upsample,
-                # CCTAContrastCorrector.py:42-52)
-                atten = jax.image.resize(
-                    atten, (atten.shape[0], *patch_size), method="trilinear"
-                )
-            atten = atten.astype(jnp.float32)
-
-            def scatter(i, a_acc):
-                s = starts[i]
-                cur_a = jax.lax.dynamic_slice(a_acc, s, patch_size)
-                return jax.lax.dynamic_update_slice(
-                    a_acc, cur_a + atten[i] * gw, s
-                )
-
-            return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
-
-        if n_full:
-            atten_acc, _ = jax.lax.scan(
-                lambda a, s: (run_batch(a, s), None), atten_acc, starts_b
-            )
-        if rem:
-            atten_acc = run_batch(atten_acc, jnp.asarray(grid[n_full * batch_size :]))
+        run_batch = make_direct_patch_loop(
+            vol, patch_size, jnp.asarray(gw_np), generator_apply, dtype
+        )
+        atten_acc = scan_patch_batches(
+            run_batch,
+            jnp.zeros(padded_shape, jnp.float32),
+            starts_b,
+            jnp.asarray(grid[n_full * batch_size :]) if rem else None,
+        )
         corrected = vol - atten_acc / weight_sum
         # crop padding back off
         corrected = jax.lax.dynamic_slice(
@@ -217,36 +267,15 @@ def make_volume_corrector(
 
         # the volume, the blending window and the accumulator all live packed
         vp = space_to_depth(vol[None, ..., None].astype(dtype), 2)[0]
-        p2 = tuple(p // 2 for p in patch_size)
-        p4 = tuple(p // 4 for p in patch_size)
         gw_p = space_to_depth(jnp.asarray(gw_np)[None, ..., None], 4)[0]  # (*p4, 64)
         acc_shape = tuple(d // 4 for d in padded_shape)
-        atten_acc = jnp.zeros((*acc_shape, 64), jnp.float32)
-
-        def gather_one(start):
-            s2 = start // 2
-            return jax.lax.dynamic_slice(vp, (s2[0], s2[1], s2[2], 0), (*p2, 8))
-
-        def run_batch(atten_acc, starts):
-            patches = jax.vmap(gather_one)(starts)  # (B, *p2, 8)
-            atten = generator_apply(patches).astype(jnp.float32)  # (B, *p4, 64)
-
-            def scatter(i, a_acc):
-                s4 = starts[i] // 4
-                pos = (s4[0], s4[1], s4[2], 0)
-                cur = jax.lax.dynamic_slice(a_acc, pos, (*p4, 64))
-                return jax.lax.dynamic_update_slice(
-                    a_acc, cur + atten[i] * gw_p, pos
-                )
-
-            return jax.lax.fori_loop(0, starts.shape[0], scatter, atten_acc)
-
-        if n_full:
-            atten_acc, _ = jax.lax.scan(
-                lambda a, s: (run_batch(a, s), None), atten_acc, starts_b
-            )
-        if rem:
-            atten_acc = run_batch(atten_acc, jnp.asarray(grid[n_full * batch_size :]))
+        run_batch = make_packed_patch_loop(vp, patch_size, gw_p, generator_apply)
+        atten_acc = scan_patch_batches(
+            run_batch,
+            jnp.zeros((*acc_shape, 64), jnp.float32),
+            starts_b,
+            jnp.asarray(grid[n_full * batch_size :]) if rem else None,
+        )
         atten_full = depth_to_space(atten_acc[None], 4)[0, ..., 0]
         corrected = vol - atten_full / weight_sum
         corrected = jax.lax.dynamic_slice(

@@ -108,44 +108,35 @@ def make_sharded_volume_corrector(
         gw = jnp.asarray(gw_np)
 
         def local(vol, starts_b, valid_b):
-            """Per-chip scan over its share of patch batches; the partial
-            accumulators reduce-scatter into per-chip z-slabs (half the ICI
-            bytes of an all-reduce, and the downstream normalization /
-            subtraction run sharded)."""
+            """Per-chip scan over its share of patch batches — the batch body
+            is the SAME make_*_patch_loop the single-chip corrector runs
+            (with per-patch validity weights for the grid padding); the
+            partial accumulators reduce-scatter into per-chip z-slabs (half
+            the ICI bytes of an all-reduce, and the downstream
+            normalization / subtraction run sharded)."""
+            from contrast_gan_3d_tpu.ops.sliding_window import (
+                make_direct_patch_loop,
+                make_packed_patch_loop,
+            )
+
             if packed_io:
                 from contrast_gan_3d_tpu.ops.s2d_conv import (
                     depth_to_space, space_to_depth,
                 )
 
                 vp = space_to_depth(vol[None, ..., None].astype(dtype), 2)[0]
-                p2 = tuple(p // 2 for p in patch_size)
-                p4 = tuple(p // 4 for p in patch_size)
                 gw_p = space_to_depth(gw[None, ..., None], 4)[0]
                 acc_shape = tuple(d // 4 for d in padded_shape)
+                run_batch = make_packed_patch_loop(
+                    vp, patch_size, gw_p, generator_apply
+                )
                 atten_acc = jax.lax.pcast(
                     jnp.zeros((*acc_shape, 64), jnp.float32), (axis,), to="varying"
                 )
-
-                def body(a_acc, inp):
-                    starts, valid = inp
-                    patches = jax.vmap(
-                        lambda s: jax.lax.dynamic_slice(
-                            vp, (s[0] // 2, s[1] // 2, s[2] // 2, 0), (*p2, 8)
-                        )
-                    )(starts)
-                    atten = generator_apply(patches).astype(jnp.float32)
-
-                    def scatter(i, a):
-                        s4 = starts[i] // 4
-                        pos = (s4[0], s4[1], s4[2], 0)
-                        cur = jax.lax.dynamic_slice(a, pos, (*p4, 64))
-                        return jax.lax.dynamic_update_slice(
-                            a, cur + atten[i] * (gw_p * valid[i]), pos
-                        )
-
-                    return jax.lax.fori_loop(0, batch_size, scatter, a_acc), None
-
-                atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+                atten_acc, _ = jax.lax.scan(
+                    lambda a, inp: (run_batch(a, inp[0], inp[1]), None),
+                    atten_acc, (starts_b, valid_b),
+                )
                 slab = jax.lax.psum_scatter(
                     atten_acc, axis, scatter_dimension=2, tiled=True
                 )
@@ -153,33 +144,16 @@ def make_sharded_volume_corrector(
                 return depth_to_space(slab[None], 4)[0, ..., 0]
 
             # accumulator is device-varying (each chip sums its own share)
+            run_batch = make_direct_patch_loop(
+                vol, patch_size, gw, generator_apply, dtype
+            )
             atten_acc = jax.lax.pcast(
                 jnp.zeros(padded_shape, jnp.float32), (axis,), to="varying"
             )
-
-            def body(a_acc, inp):
-                starts, valid = inp
-                patches = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(vol, s, patch_size)
-                )(starts)
-                atten = generator_apply(patches.astype(dtype)[..., None])[..., 0]
-                if atten.shape[1:] != patch_size:
-                    # reference auto-upsample analogue (non-divisible patches)
-                    atten = jax.image.resize(
-                        atten, (atten.shape[0], *patch_size), method="trilinear"
-                    )
-                atten = atten.astype(jnp.float32)
-
-                def scatter(i, a):
-                    s = starts[i]
-                    cur_a = jax.lax.dynamic_slice(a, s, patch_size)
-                    return jax.lax.dynamic_update_slice(
-                        a, cur_a + atten[i] * (gw * valid[i]), s
-                    )
-
-                return jax.lax.fori_loop(0, batch_size, scatter, a_acc), None
-
-            atten_acc, _ = jax.lax.scan(body, atten_acc, (starts_b, valid_b))
+            atten_acc, _ = jax.lax.scan(
+                lambda a, inp: (run_batch(a, inp[0], inp[1]), None),
+                atten_acc, (starts_b, valid_b),
+            )
             return jax.lax.psum_scatter(
                 atten_acc, axis, scatter_dimension=2, tiled=True
             )
