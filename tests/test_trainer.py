@@ -245,3 +245,51 @@ def test_noop_iterations_advance_step(tmp_path, rng):
     # only the even iterations produced metrics
     train_steps_logged = sorted(s for st, s, _ in log.scalars if st == "train")
     assert train_steps_logged == [0, 2]
+
+
+@pytest.mark.slow
+def test_resume_is_exactly_equivalent_to_uninterrupted(tmp_path, rng):
+    """Train 4 iterations straight vs train 2 -> checkpoint -> fresh trainer
+    resumes -> 2 more: final params, opt state and the PRNG key must be
+    IDENTICAL (full-state checkpoint + checkpointed host data stream). The
+    reference cannot make this guarantee (critic and augmenter rngs are not
+    saved)."""
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+
+    def mk_loaders(seed):
+        return create_loaders(
+            fold, PATCH, {0: 1, -1: 1, 1: 1}, np.random.default_rng(seed),
+            num_threads=1, prefetch=1, to_device=False,
+        )
+
+    # uninterrupted: 4 iterations
+    t_a = _build_trainer(tmp_path, RecordingLogger(), ckpt_dir=tmp_path / "a",
+                         iterations=4)
+    state_a = t_a.fit(mk_loaders(7))
+
+    # interrupted: 2 iterations, then a FRESH trainer auto-resumes for 2 more
+    t_b1 = _build_trainer(tmp_path, RecordingLogger(), ckpt_dir=tmp_path / "b",
+                          iterations=2)
+    t_b1.fit(mk_loaders(7))
+    t_b2 = _build_trainer(tmp_path, RecordingLogger(), ckpt_dir=tmp_path / "b",
+                          iterations=4)
+    assert t_b2.iteration == 2  # picked up the checkpoint
+    state_b = t_b2.fit(mk_loaders(7))
+
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {"g": state_a.gen_params, "c": state_a.critic_params,
+         "go": state_a.gen_opt, "co": state_a.critic_opt}
+    )
+    flat_b = jax.tree_util.tree_leaves(
+        {"g": state_b.gen_params, "c": state_b.critic_params,
+         "go": state_b.gen_opt, "co": state_b.critic_opt}
+    )
+    for (path, a), b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(path),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state_a.rng)),
+        np.asarray(jax.random.key_data(state_b.rng)),
+    )
