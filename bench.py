@@ -182,7 +182,10 @@ def bench_inference(overlap: float, headline: bool):
     latency = min(times)
 
     target = 2.0
-    suffix = "" if headline else f"_{int(overlap * 100)}ov"
+    # the unsuffixed headline name means the default 25% overlap; a
+    # BENCH_OVERLAP override must keep its suffix or consumers comparing
+    # headline lines across runs silently mix configurations
+    suffix = "" if overlap == 0.25 else f"_{int(round(overlap * 100))}ov"
     print(json.dumps({
         "metric": f"full_volume_correction_latency_512x512x400{suffix}",
         "value": round(latency, 4),

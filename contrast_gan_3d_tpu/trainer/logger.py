@@ -87,11 +87,21 @@ class WandbLogger(LoggerInterface):
         self.run = run or wandb.run
         self.max_slices = max_slices
         self.rng = rng or np.random.default_rng()
-        # custom step metric so resumed runs keep a monotonic x-axis
+        self._metrics_defined = False
+        # custom step metric so resumed runs keep a monotonic x-axis; only
+        # definable against an ACTIVE run — when constructed pre-init (e.g.
+        # a builder used outside train.py) it defers to the first log call
+        if wandb.run is not None:
+            self._define_metrics()
+
+    def _define_metrics(self):
         wandb.define_metric("iteration")
         wandb.define_metric("*", step_metric="iteration")
+        self._metrics_defined = True
 
     def log_scalars(self, scalars, step, stage="train"):
+        if not self._metrics_defined and wandb.run is not None:
+            self._define_metrics()
         wandb.log({f"{stage}/{k}": float(v) for k, v in scalars.items()} | {"iteration": step})
 
     def log_images(

@@ -217,6 +217,8 @@ class Trainer:
         if val_loaders and self.cfg.val_every:
             self._manage_loaders(val_loaders, "start")
         logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
+        if profiler is not None and hasattr(profiler, "begin"):
+            profiler.begin()  # covers a schedule whose iteration 0 is active
         t_last, it_last = time.perf_counter(), start
         for iteration in range(start, self.cfg.train_iterations):
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}

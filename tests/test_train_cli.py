@@ -73,17 +73,40 @@ def test_profiler_schedule_windows(monkeypatch):
         "/tmp/x", skip_first=5, wait=1, warmup=2, active=3, repeat=2
     )
     starts, stops = [], []
+    prof.begin()
     for i in range(30):
         n_before = len(events)
         prof.step()
         for e in events[n_before:]:
             (starts if e == "start" else stops).append(i)
-    # cycle length 6 after 5 skipped: cycle 1 = steps 5-10 (trace 8-10),
-    # cycle 2 = steps 11-16 (trace 14-16), then repeat budget exhausted
-    assert starts == [8, 14]
+    # cycle length 6 after 5 skipped: cycle 1 = steps 5-10, active 8-10;
+    # cycle 2 = steps 11-16, active 14-16. step() is a POST-dispatch
+    # boundary, so the start fires at the end of the step BEFORE the first
+    # active one (7 and 13) and the trace covers exactly the active steps.
+    assert starts == [7, 13]
     assert stops == [10, 16]
     prof.stop()  # idempotent: nothing active
     assert len(events) == 4
+
+
+def test_profiler_active_one_traces_a_full_step(monkeypatch):
+    """active=1 must trace one whole step — the pre-fix behavior started and
+    stopped inside the same boundary call (an empty trace)."""
+    import jax
+
+    import train as train_cli
+
+    events = []
+    monkeypatch.setattr(jax.profiler, "start_trace", lambda d: events.append("start"))
+    monkeypatch.setattr(jax.profiler, "stop_trace", lambda: events.append("stop"))
+    prof = train_cli.JaxProfiler("/tmp/x", skip_first=0, active=1, repeat=1)
+    prof.begin()
+    assert events == ["start"]  # iteration 0 is the active step
+    prof.step()  # iteration 0 dispatched -> stop AFTER it
+    assert events == ["start", "stop"]
+    for _ in range(3):
+        prof.step()
+    assert events == ["start", "stop"]  # repeat budget respected
 
 
 def test_profiler_from_spec():
@@ -149,3 +172,25 @@ def test_wandb_resume_lookup_failure_is_soft(monkeypatch):
     mgr = train_cli.TrainManager(cfg, [], [], run_id="x")
     mgr.maybe_restore_wandb_run()
     assert mgr.starting_fold == 0 and mgr.group is None
+
+
+def test_round_train_batches_minimal():
+    """Mesh rounding satisfies opt % n and (LOW+HIGH) % n with the MINIMAL
+    inflation — per-stream rounding doubled the batch and skewed the
+    reference opt:subopt balance."""
+    import train as train_cli
+    from contrast_gan_3d_tpu.alias import ScanType
+
+    OPT, LOW, HIGH = ScanType.OPT.value, ScanType.LOW.value, ScanType.HIGH.value
+    # reference 6+3+3 on 8 devices: {8, 4, 4} (total 16), NOT {8, 8, 8}
+    out = train_cli.round_train_batches({OPT: 6, LOW: 3, HIGH: 3}, 8)
+    assert out == {OPT: 8, LOW: 4, HIGH: 4}
+    assert out[OPT] % 8 == 0 and (out[LOW] + out[HIGH]) % 8 == 0
+    # already divisible: untouched
+    assert train_cli.round_train_batches({OPT: 8, LOW: 4, HIGH: 4}, 4) == {
+        OPT: 8, LOW: 4, HIGH: 4,
+    }
+    # subopt already divides even though streams individually don't
+    assert train_cli.round_train_batches({OPT: 4, LOW: 3, HIGH: 1}, 4) == {
+        OPT: 4, LOW: 3, HIGH: 1,
+    }

@@ -38,10 +38,17 @@ class JaxProfiler:
     schedule(skip_first=11, wait=3, warmup=4, active=3)).
 
     After ``skip_first`` steps, cycles of ``wait + warmup + active`` steps
-    repeat ``repeat`` times (0 = forever); each cycle traces its last
+    repeat ``repeat`` times (0 = forever); each cycle traces exactly its last
     ``active`` steps. jax traces have no discard-phase, so ``warmup`` steps
     simply extend the untraced lead-in — steady-state sections (e.g. steps
-    500-510 of a long run) are traceable by setting ``skip_first``."""
+    500-510 of a long run) are traceable by setting ``skip_first``.
+
+    ``step()`` is a post-dispatch BOUNDARY callback: a trace starts when the
+    *next* iteration is a cycle's first active step and stops right after
+    its last active step was dispatched — so the trace covers exactly the
+    active iterations (``active=1`` traces one full step, not an empty
+    window). ``begin()`` (called by Trainer.fit before the loop) covers the
+    case where iteration 0 itself is active."""
 
     def __init__(
         self,
@@ -73,22 +80,37 @@ class JaxProfiler:
                 kwargs[k.strip()] = int(v)
         return cls(logdir, **kwargs)
 
+    def _is_first_active(self, i: int) -> bool:
+        """Is iteration ``i`` the first active step of a (budgeted) cycle?"""
+        if i < self.skip_first:
+            return False
+        if self.repeat and self._cycles_done >= self.repeat:
+            return False
+        cycle = self.wait + self.warmup + self.active
+        return (i - self.skip_first) % cycle == self.wait + self.warmup
+
+    def _start_trace(self, i: int):
+        jax.profiler.start_trace(self.logdir)
+        self._active = True
+        logger.info("Profiler tracing from step %d -> %s", i, self.logdir)
+
+    def begin(self):
+        """Call once before the first iteration (Trainer.fit does)."""
+        if not self._active and self._is_first_active(self._count):
+            self._start_trace(self._count)
+
     def step(self):
         """Call once per train iteration (after the step dispatch)."""
         i = self._count
         self._count += 1
-        if i < self.skip_first:
-            return
-        if self.repeat and self._cycles_done >= self.repeat:
-            return
-        pos = (i - self.skip_first) % (self.wait + self.warmup + self.active)
-        if pos == self.wait + self.warmup and not self._active:
-            jax.profiler.start_trace(self.logdir)
-            self._active = True
-            logger.info("Profiler trace started @ step %d -> %s", i, self.logdir)
-        if self._active and pos == self.wait + self.warmup + self.active - 1:
-            self._stop_trace()
-            self._cycles_done += 1
+        cycle = self.wait + self.warmup + self.active
+        if self._active:
+            pos = (i - self.skip_first) % cycle
+            if pos == self.wait + self.warmup + self.active - 1:
+                self._stop_trace()
+                self._cycles_done += 1
+        if not self._active and self._is_first_active(i + 1):
+            self._start_trace(i + 1)
 
     def _stop_trace(self):
         jax.profiler.stop_trace()
@@ -98,6 +120,27 @@ class JaxProfiler:
     def stop(self):
         if self._active:
             self._stop_trace()
+
+
+def round_train_batches(bs: dict, n: int) -> dict:
+    """MINIMAL batch-size rounding for an ``n``-device mesh: the Trainer
+    needs only ``opt % n == 0`` and ``(LOW + HIGH) % n == 0`` — per-stream
+    rounding would inflate the batch (and the reference's opt:subopt
+    balance) far beyond that. The sub-optimal pad splits as evenly as
+    possible over LOW and HIGH."""
+    from contrast_gan_3d_tpu.alias import ScanType
+
+    subopt = bs.get(ScanType.LOW.value, 0) + bs.get(ScanType.HIGH.value, 0)
+    opt_b = bs.get(ScanType.OPT.value, 0)
+    if not (opt_b % n or subopt % n):
+        return dict(bs)
+    new_bs = dict(bs)
+    if opt_b % n:
+        new_bs[ScanType.OPT.value] = -(-opt_b // n) * n
+    extra = (-subopt) % n
+    new_bs[ScanType.LOW.value] = bs.get(ScanType.LOW.value, 0) + (extra - extra // 2)
+    new_bs[ScanType.HIGH.value] = bs.get(ScanType.HIGH.value, 0) + extra // 2
+    return new_bs
 
 
 @dataclass
@@ -142,6 +185,14 @@ class TrainManager:
 
     def __call__(self):
         self.maybe_restore_wandb_run()
+        if len(self.train_folds) != len(self.val_folds):
+            # zip would silently truncate to the shorter list — a misaligned
+            # splits pickle must not turn training into a no-op
+            raise SystemExit(
+                f"cval splits misaligned: {len(self.train_folds)} train vs "
+                f"{len(self.val_folds)} val folds"
+            )
+        ran = 0
         for fold_idx, (train_fold, val_fold) in enumerate(
             zip(self.train_folds, self.val_folds)
         ):
@@ -150,6 +201,12 @@ class TrainManager:
             if fold_idx >= self.starting_fold + self.max_folds:
                 break
             self.run_fold(fold_idx, train_fold, val_fold)
+            ran += 1
+        if ran == 0:
+            raise SystemExit(
+                f"no fold ran: starting_fold={self.starting_fold} with "
+                f"{len(self.train_folds)} folds available"
+            )
 
     def run_fold(self, fold_idx: int, train_fold: FoldType, val_fold: FoldType):
         cfg = self.config
@@ -173,14 +230,39 @@ class TrainManager:
             # round each stream up to a device multiple when needed
             n = mesh.devices.size
             bs = dict(cfg.train_batch_size)
-            subopt = bs.get(ScanType.LOW.value, 0) + bs.get(ScanType.HIGH.value, 0)
-            if bs.get(ScanType.OPT.value, 0) % n or subopt % n:
-                new_bs = {k: -(-v // n) * n for k, v in bs.items()}
+            new_bs = round_train_batches(bs, n)
+            if new_bs != bs:
                 logger.warning(
                     "Rounding train batch sizes %s -> %s to divide the "
                     "%d-device mesh", bs, new_bs, n,
                 )
                 cfg = replace(cfg, train_batch_size=new_bs)
+
+        if cfg.logger == "wandb":
+            # init BEFORE build(): builder constructs WandbLogger, whose
+            # define_metric calls need the active run
+            try:
+                import wandb
+
+                wandb.init(
+                    # an explicit run id names the run (per-fold suffixed when
+                    # several folds run — one shared id would merge them);
+                    # without one, let wandb generate a unique id (a
+                    # deterministic name-derived id + resume='allow' would
+                    # silently append unrelated re-runs to each other)
+                    id=(
+                        (run_name if self.max_folds > 1 else self.run_id)
+                        if self.run_id
+                        else None
+                    ),
+                    resume="allow" if self.run_id else None,
+                    name=run_name,
+                    project=self.wandb_project, entity=self.wandb_entity,
+                    group=self.group,
+                    config=asdict_flat(cfg) | {"fold": fold_idx},
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb init failed (%s); continuing", e)
 
         built = build(cfg, checkpoint_dir=str(ckpt_dir))
         host_rng, key = seed_everything(built.seed)
@@ -213,23 +295,19 @@ class TrainManager:
             fold_idx, f"{n_gen:,}", f"{n_critic:,}", asdict_flat(cfg),
         )
 
-        if cfg.logger == "wandb":
-            try:
-                import wandb
+        try:
+            trainer.fit(train_loaders, val_loaders, profiler=self.profiler)
+        finally:
+            if cfg.logger == "wandb":
+                # close the fold's run: the next fold's wandb.init would
+                # otherwise attach to (and merge into) this one
+                try:
+                    import wandb
 
-                wandb.init(
-                    # the per-fold run_name doubles as the id when several
-                    # folds run (one shared id would merge them into one run)
-                    id=(run_name if self.max_folds > 1 else self.run_id),
-                    resume="allow", name=run_name,
-                    project=self.wandb_project, entity=self.wandb_entity,
-                    group=self.group,
-                    config=asdict_flat(cfg) | {"fold": fold_idx},
-                )
-            except Exception as e:  # pragma: no cover
-                logger.warning("wandb init failed (%s); continuing", e)
-
-        trainer.fit(train_loaders, val_loaders, profiler=self.profiler)
+                    if wandb.run is not None:
+                        wandb.finish()
+                except Exception:  # pragma: no cover
+                    pass
 
 
 def parse_args(argv=None):
