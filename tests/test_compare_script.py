@@ -17,6 +17,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_compare_reference_training_smoke(tmp_path):
     out = tmp_path / "cmp.json"
     proc = subprocess.run(

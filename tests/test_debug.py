@@ -13,8 +13,8 @@ def test_checkify_catches_nan():
 
     checked = checkify_step(bad)
     err, out = checked(jnp.asarray(-1.0))
-    with pytest.raises(Exception):
-        err.throw()
+    with pytest.raises(Exception, match="(?i)nan"):
+        err.throw()  # must be the NaN check, not an unrelated failure
 
 
 def test_checkify_passes_clean():

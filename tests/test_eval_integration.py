@@ -96,7 +96,9 @@ def test_correct_patients_overlap_io_loader_error(tmp_path, rng):
         gen, variables["params"], variables.get("batch_stats"),
         inference_patch_size=(16, 16, 16), batch_size=2,
     )
-    with pytest.raises(Exception):
+    # the specific loader error must surface (pytest.raises(Exception) would
+    # also pass on an unrelated TypeError before any thread starts)
+    with pytest.raises((FileNotFoundError, RuntimeError), match="missing"):
         correct_patients(
             corrector, tmp_path / "out",
             [pdir / "ok.mhd", tmp_path / "missing.mhd"], overlap_io=True,

@@ -6,7 +6,7 @@ import sys
 import jax
 import pytest
 
-sys.path.insert(0, ".")  # repo root
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))  # repo root
 
 
 @pytest.mark.slow

@@ -94,6 +94,7 @@ def test_host_augmenter_probabilities(rng):
     )
     s2, g2 = never(scan, seg)
     np.testing.assert_array_equal(s2, scan)
+    np.testing.assert_array_equal(g2, seg)  # the mask must be identity too
 
     always = HostAugmenter(
         AugmentConfig(p_elastic=1.0, p_scale=1.0, p_rotation=1.0, elastic_grid=4),
@@ -196,8 +197,9 @@ def test_host_augmenter2d_probabilities(rng):
     never = HostAugmenter2D(
         Augment2DConfig(p_rotation=0.0, p_mirror=0.0), np.random.default_rng(0)
     )
-    s, _ = never(scan, seg)
+    s, g = never(scan, seg)
     np.testing.assert_array_equal(s, scan)
+    np.testing.assert_array_equal(g, seg)
 
     always = HostAugmenter2D(
         Augment2DConfig(p_rotation=1.0, p_mirror=1.0), np.random.default_rng(3)

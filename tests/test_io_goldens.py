@@ -270,6 +270,23 @@ def world_map(vol, direction, spacing, origin):
     return out
 
 
+# direction matrices HAND-WRITTEN per anatomical code (columns = image axes
+# in the LPS world frame; L/P/S = +x/+y/+z, R/A/I = the negations). Written
+# out rather than derived via io_utils._code_to_axis_sign so a mapping bug
+# in the module under test cannot construct a wrong-but-self-consistent
+# golden.
+_CODE_DIRECTIONS = {
+    "LPS": np.eye(3),
+    "RAS": np.diag([-1.0, -1.0, 1.0]),
+    # PIR: col0 -> P(+y), col1 -> I(-z), col2 -> R(-x)
+    "PIR": np.array([[0, 0, -1], [1, 0, 0], [0, -1, 0]], float),
+    # SLA: col0 -> S(+z), col1 -> L(+x), col2 -> A(-y)
+    "SLA": np.array([[0, 1, 0], [0, 0, -1], [1, 0, 0]], float),
+    # ILP: col0 -> I(-z), col1 -> L(+x), col2 -> P(+y)
+    "ILP": np.array([[0, 1, 0], [0, 0, 1], [-1, 0, 0]], float),
+}
+
+
 @pytest.mark.parametrize(
     "code",
     ["LPS", "RAS", "PIR", "SLA", "ILP"],
@@ -277,10 +294,8 @@ def world_map(vol, direction, spacing, origin):
 def test_reorient_world_mapping_invariance(tmp_path, code):
     """Reorienting to LPS must not move any voxel in world space — the exact
     property DICOMOrient guarantees."""
-    axes, signs = io_utils._code_to_axis_sign(code)
-    direction = np.zeros((3, 3))
-    for col, (axis, sign) in enumerate(zip(axes, signs)):
-        direction[axis, col] = sign
+    direction = _CODE_DIRECTIONS[code]
+    assert io_utils.orientation_code(direction) == code  # golden agrees
     vol = ramp_volume(SHAPE, np.int16)
     spacing = np.array([0.5, 1.25, 2.0])
     origin = np.array([10.0, -20.0, 5.0])

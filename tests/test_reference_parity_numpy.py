@@ -317,13 +317,16 @@ def test_load_centerlines_parity(ref, rng, tmp_path):
     (d / "ostia.xml").write_text("<x/>")  # must be ignored by the glob
     want = io_ref.load_centerlines(d)
     got = our_io.load_centerlines(d)
-    # the reference concatenates in glob order (unordered); compare as sets
+    # the reference concatenates in glob order (unordered); compare as ROW
+    # sets via a lexicographic row sort — a per-column independent sort
+    # would pass even if coordinates recombined across points
     assert want.shape == got.shape
-    np.testing.assert_allclose(
-        np.sort(got.view("f4").reshape(-1, 4), axis=0),
-        np.sort(want.reshape(-1, 4), axis=0),
-        rtol=1e-6,
-    )
+
+    def row_sorted(a):
+        a = np.asarray(a, np.float64).reshape(-1, 4)
+        return a[np.lexsort(a.T[::-1])]
+
+    np.testing.assert_allclose(row_sorted(got), row_sorted(want), rtol=1e-6)
 
 
 def test_load_asoca_annotations_parity(ref, tmp_path):

@@ -424,7 +424,7 @@ def test_multi_iteration_trajectory_parity(ref_env):
     crit_t.train()
 
     rng = np.random.default_rng(52)
-    ref_losses, our_losses = [], []
+    our_losses = []
     for it in range(1, N + 1):
         opt, subopt, mask = _batches(rng)
         opt_t, subopt_t, mask_t = _torch_batches(scaler, opt, subopt, mask)
@@ -440,7 +440,6 @@ def test_multi_iteration_trajectory_parity(ref_env):
             state, jnp.asarray(opt), jnp.asarray(subopt), jnp.asarray(mask)
         )
         our_losses.append({k: float(v) for k, v in metrics.items()})
-        ref_losses.append(None)  # train_step returns nothing; checked via state
 
     # LR schedules actually decayed: torch's per-network schedulers report
     # gamma^2 (critic, 6 updates past both milestones) and gamma^1

@@ -6,7 +6,7 @@ import sys
 
 import pytest
 
-sys.path.insert(0, ".")  # repo root (train.py lives there)
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))  # repo root (train.py lives there)
 
 from tests.synth import make_dataset
 

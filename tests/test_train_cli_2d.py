@@ -6,7 +6,7 @@ import sys
 
 import pytest
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))  # repo root
 
 from tests.synth import make_dataset
 

@@ -86,9 +86,11 @@ def test_fit_end_to_end(tmp_path, rng):
     clip = trainer.step_cfg.weight_clip
     for leaf in jax.tree_util.tree_leaves(state.critic_params):
         assert np.abs(np.asarray(leaf)).max() <= clip + 1e-6
-    # checkpoints written: iteration 2 + final 4
+    # checkpoints written: the periodic checkpoint_every=2 save (named for
+    # the completed step count) AND the final save — asserting only the
+    # final one would let periodic checkpointing silently break
     names = sorted(p.name for p in ckpt_dir.glob("*.msgpack"))
-    assert "4.msgpack" in names
+    assert {"3.msgpack", "4.msgpack"} <= set(names), names
 
     # resume: a fresh trainer picks up from the final checkpoint
     trainer2 = _build_trainer(tmp_path, RecordingLogger(), ckpt_dir=ckpt_dir, iterations=4)
@@ -107,7 +109,7 @@ def test_schedule_branches(tmp_path, rng):
     log = RecordingLogger()
     trainer = _build_trainer(tmp_path, log, iterations=2)
     trainer.fit(loaders)
-    by_step = {s: sc for _, s, sc in log.scalars if _ == "train"}
+    by_step = {s: sc for stage, s, sc in log.scalars if stage == "train"}
     # device metrics per schedule branch (+ the host-side throughput scalar
     # from the second log point on)
     assert set(by_step[0]) == {"D", "G", "G-full", "sim", "HU"}  # combined
