@@ -10,6 +10,7 @@ keeps the script executable against the living APIs on both sides.
 """
 
 import json
+import pytest
 import subprocess
 import sys
 from pathlib import Path
