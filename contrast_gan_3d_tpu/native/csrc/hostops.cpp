@@ -65,8 +65,10 @@ long crop_pad_int16(
 }
 
 // Vectorized trilinear interpolation of a (W, H, D) float32 volume at n
-// fractional coordinates, clamp-to-edge (reference fast_trilinear,
-// geometry.py:30-58 semantics).
+// fractional coordinates with the reference fast_trilinear semantics
+// (geometry.py:30-58): truncated base, independently clipped +1 neighbor,
+// unclamped fraction — EXTRAPOLATES in the border band (the augmentation
+// warps below use clamp-to-edge instead, like batchgenerators).
 void trilinear_f32(
     const float* __restrict vol,
     long W, long H, long D,
