@@ -20,18 +20,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _lerp8(volume4d, x0, x1, y0, y1, z0, z1, fx, fy, fz):
+    """The shared 8-corner trilinear blend: one flattened gather per corner
+    (XLA lowers these to efficient dynamic-gathers; lerp weights run on the
+    VPU). Index/fraction derivation — the ONLY place the clamping vs
+    extrapolating samplers differ — happens in the callers."""
+    X, Y, Z, C = volume4d.shape
+    flat = volume4d.reshape(-1, C)
+    fx, fy, fz = fx[..., None], fy[..., None], fz[..., None]
+
+    def gather(ix, iy, iz):
+        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
+
+    return (
+        gather(x0, y0, z0) * (1 - fx) * (1 - fy) * (1 - fz)
+        + gather(x1, y0, z0) * fx * (1 - fy) * (1 - fz)
+        + gather(x0, y1, z0) * (1 - fx) * fy * (1 - fz)
+        + gather(x0, y0, z1) * (1 - fx) * (1 - fy) * fz
+        + gather(x1, y1, z0) * fx * fy * (1 - fz)
+        + gather(x1, y0, z1) * fx * (1 - fy) * fz
+        + gather(x0, y1, z1) * (1 - fx) * fy * fz
+        + gather(x1, y1, z1) * fx * fy * fz
+    )
+
+
 def trilinear_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
     """Sample ``volume`` ((X, Y, Z) or (X, Y, Z, C)) at fractional voxel
     ``coords`` (..., 3) with clamp-to-edge boundaries. Returns (...,) or
-    (..., C) samples.
-
-    Implemented as one flattened gather per corner (8 total) — XLA lowers
-    these to efficient dynamic-gathers; lerp weights run on the VPU.
-    """
+    (..., C) samples."""
     has_channels = volume.ndim == 4
     if not has_channels:
         volume = volume[..., None]
-    X, Y, Z, C = volume.shape
+    X, Y, Z, _ = volume.shape
 
     xs, ys, zs = coords[..., 0], coords[..., 1], coords[..., 2]
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, X - 1)
@@ -45,34 +65,11 @@ def trilinear_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
     # the first/last voxel (an unclamped fraction against the clamped base
     # extrapolates with negative lerp weights — batchgenerators' border mode
     # "nearest", which the reference augmenter uses, clamps instead)
-    fx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
-    fy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
-    fz = jnp.clip(zs - z0, 0.0, 1.0)[..., None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    fz = jnp.clip(zs - z0, 0.0, 1.0)
 
-    flat = volume.reshape(-1, C)
-
-    def gather(ix, iy, iz):
-        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
-
-    c000 = gather(x0, y0, z0)
-    c100 = gather(x1, y0, z0)
-    c010 = gather(x0, y1, z0)
-    c001 = gather(x0, y0, z1)
-    c110 = gather(x1, y1, z0)
-    c101 = gather(x1, y0, z1)
-    c011 = gather(x0, y1, z1)
-    c111 = gather(x1, y1, z1)
-
-    out = (
-        c000 * (1 - fx) * (1 - fy) * (1 - fz)
-        + c100 * fx * (1 - fy) * (1 - fz)
-        + c010 * (1 - fx) * fy * (1 - fz)
-        + c001 * (1 - fx) * (1 - fy) * fz
-        + c110 * fx * fy * (1 - fz)
-        + c101 * fx * (1 - fy) * fz
-        + c011 * (1 - fx) * fy * fz
-        + c111 * fx * fy * fz
-    )
+    out = _lerp8(volume, x0, x1, y0, y1, z0, z1, fx, fy, fz)
     return out if has_channels else out[..., 0]
 
 
@@ -88,7 +85,7 @@ def trilinear_sample_extrapolate(volume: jax.Array, coords: jax.Array) -> jax.Ar
     has_channels = volume.ndim == 4
     if not has_channels:
         volume = volume[..., None]
-    X, Y, Z, C = volume.shape
+    X, Y, Z, _ = volume.shape
     xs, ys, zs = coords[..., 0], coords[..., 1], coords[..., 2]
     x0p = xs.astype(jnp.int32)  # float->int cast truncates toward zero
     y0p = ys.astype(jnp.int32)
@@ -99,24 +96,7 @@ def trilinear_sample_extrapolate(volume: jax.Array, coords: jax.Array) -> jax.Ar
     x1 = jnp.clip(x0p + 1, 0, X - 1)
     y1 = jnp.clip(y0p + 1, 0, Y - 1)
     z1 = jnp.clip(z0p + 1, 0, Z - 1)
-    fx = (xs - x0)[..., None]
-    fy = (ys - y0)[..., None]
-    fz = (zs - z0)[..., None]
-    flat = volume.reshape(-1, C)
-
-    def gather(ix, iy, iz):
-        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
-
-    out = (
-        gather(x0, y0, z0) * (1 - fx) * (1 - fy) * (1 - fz)
-        + gather(x1, y0, z0) * fx * (1 - fy) * (1 - fz)
-        + gather(x0, y1, z0) * (1 - fx) * fy * (1 - fz)
-        + gather(x0, y0, z1) * (1 - fx) * (1 - fy) * fz
-        + gather(x1, y1, z0) * fx * fy * (1 - fz)
-        + gather(x1, y0, z1) * fx * (1 - fy) * fz
-        + gather(x0, y1, z1) * (1 - fx) * fy * fz
-        + gather(x1, y1, z1) * fx * fy * fz
-    )
+    out = _lerp8(volume, x0, x1, y0, y1, z0, z1, xs - x0, ys - y0, zs - z0)
     return out if has_channels else out[..., 0]
 
 

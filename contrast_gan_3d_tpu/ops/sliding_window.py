@@ -162,6 +162,16 @@ def scan_patch_batches(run_batch, atten_acc, starts_b, rem_starts=None):
     return atten_acc
 
 
+def scan_patch_batches_masked(run_batch, atten_acc, starts_b, valid_b):
+    """Masked-grid variant (the sharded corrector): uniform batches with a
+    per-patch 0/1 validity vector instead of a remainder batch."""
+    atten_acc, _ = jax.lax.scan(
+        lambda a, inp: (run_batch(a, inp[0], inp[1]), None),
+        atten_acc, (starts_b, valid_b),
+    )
+    return atten_acc
+
+
 def make_volume_corrector(
     generator_apply: Callable[[jax.Array], jax.Array],
     patch_size: Tuple[int, int, int] = (128, 128, 128),

@@ -117,6 +117,7 @@ def make_sharded_volume_corrector(
             from contrast_gan_3d_tpu.ops.sliding_window import (
                 make_direct_patch_loop,
                 make_packed_patch_loop,
+                scan_patch_batches_masked,
             )
 
             if packed_io:
@@ -133,9 +134,8 @@ def make_sharded_volume_corrector(
                 atten_acc = jax.lax.pcast(
                     jnp.zeros((*acc_shape, 64), jnp.float32), (axis,), to="varying"
                 )
-                atten_acc, _ = jax.lax.scan(
-                    lambda a, inp: (run_batch(a, inp[0], inp[1]), None),
-                    atten_acc, (starts_b, valid_b),
+                atten_acc = scan_patch_batches_masked(
+                    run_batch, atten_acc, starts_b, valid_b
                 )
                 slab = jax.lax.psum_scatter(
                     atten_acc, axis, scatter_dimension=2, tiled=True
@@ -150,9 +150,8 @@ def make_sharded_volume_corrector(
             atten_acc = jax.lax.pcast(
                 jnp.zeros(padded_shape, jnp.float32), (axis,), to="varying"
             )
-            atten_acc, _ = jax.lax.scan(
-                lambda a, inp: (run_batch(a, inp[0], inp[1]), None),
-                atten_acc, (starts_b, valid_b),
+            atten_acc = scan_patch_batches_masked(
+                run_batch, atten_acc, starts_b, valid_b
             )
             return jax.lax.psum_scatter(
                 atten_acc, axis, scatter_dimension=2, tiled=True

@@ -20,7 +20,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from contrast_gan_3d_tpu import config as paths
-from contrast_gan_3d_tpu.alias import FoldType
+from contrast_gan_3d_tpu.alias import FoldType, ScanType
 from contrast_gan_3d_tpu.data.pipeline import create_loaders
 from contrast_gan_3d_tpu.experiments import ExperimentConfig, asdict_flat, load_config
 from contrast_gan_3d_tpu.experiments.builder import build
@@ -128,8 +128,6 @@ def round_train_batches(bs: dict, n: int) -> dict:
     rounding would inflate the batch (and the reference's opt:subopt
     balance) far beyond that. The sub-optimal pad splits as evenly as
     possible over LOW and HIGH."""
-    from contrast_gan_3d_tpu.alias import ScanType
-
     subopt = bs.get(ScanType.LOW.value, 0) + bs.get(ScanType.HIGH.value, 0)
     opt_b = bs.get(ScanType.OPT.value, 0)
     if not (opt_b % n or subopt % n):
@@ -220,7 +218,6 @@ class TrainManager:
 
         mesh = None
         if cfg.dp_devices is not None:
-            from contrast_gan_3d_tpu.alias import ScanType
             from contrast_gan_3d_tpu.parallel import data_mesh
 
             mesh = data_mesh(cfg.dp_devices or None)
