@@ -3,6 +3,7 @@ optimizers, step/trainer configs, loaders, logger) — the analogue of the
 reference's ``TrainManager`` wiring (``train.py:124-209``)."""
 
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Optional
 
 import jax.numpy as jnp
@@ -18,6 +19,8 @@ from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
 from contrast_gan_3d_tpu.models.generator import ResnetGenerator
 from contrast_gan_3d_tpu.trainer.logger import (
     ConsoleLogger,
+    FileLogger,
+    FileLogger2D,
     HAS_WANDB,
     LoggerInterface,
     MultiThreadedLogger,
@@ -168,6 +171,18 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         # 2D runs render the batch as one slice grid (reference WandbLogger2D)
         wandb_cls = WandbLogger2D if cfg.is_2d else WandbLogger
         logger_interface: LoggerInterface = MultiThreadedLogger(wandb_cls(scaler, rng=rng))
+    elif cfg.logger == "file":
+        # offline sink: JSONL scalars + PNG grids next to the checkpoints
+        # (or under the project logs dir when no checkpoint dir is given)
+        from contrast_gan_3d_tpu import config as paths
+
+        out_dir = (
+            Path(checkpoint_dir) / "metrics"
+            if checkpoint_dir
+            else paths.LOGS_DIR / cfg.name / "metrics"
+        )
+        file_cls = FileLogger2D if cfg.is_2d else FileLogger
+        logger_interface = MultiThreadedLogger(file_cls(scaler, out_dir, rng=rng))
     elif cfg.logger == "console" or (cfg.logger == "wandb" and not HAS_WANDB):
         logger_interface = ConsoleLogger()
     else:

@@ -5,12 +5,16 @@ with scalar + image logging hooks; a threaded wrapper that moves rendering /
 uploading off the training path (reference ``MultiThreadedLogger``,
 LoggerInterface.py:64-107 — one named daemon thread per image-log event,
 joined at ``end_hook``); a wandb backend (``WandbLogger.py``) gated on the
-wandb package; and console / no-op fallbacks. Image logs render a random
-sample's axial slices with HU colorbars, centerline overlays and an RdBu
-attenuation grid via ``utils.visualization``.
+wandb package; a dependency-free ``FileLogger`` (JSONL scalars + PNG image
+grids — for TPU pods without external network access); and console / no-op
+fallbacks. Image logs render a random sample's axial slices with HU
+colorbars, centerline overlays and an RdBu attenuation grid via
+``utils.visualization``.
 """
 
+import json
 import threading
+from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -70,6 +74,60 @@ class ConsoleLogger(LoggerInterface):
         pass
 
 
+def _render_sample_figs(
+    scaler, sample, reconstruction, attenuation, masks, names, step, stage,
+    max_slices, rng,
+):
+    """Yield (tag, matplotlib figure) for ONE random sample's axial-slice
+    grids (reference WandbLogger.py:52-132 rendering). Caller closes figs."""
+    from contrast_gan_3d_tpu.utils import visualization as viz
+
+    idx = int(rng.integers(0, len(sample)))
+    # names can be shorter than the batch (a loader without "name"s)
+    name = names[idx] if names and idx < len(names) else str(idx)
+    trios = [("sample", sample), ("reconstruction", reconstruction), ("attenuation", attenuation)]
+    for tag, batch in trios:
+        if batch is None:
+            continue
+        vol = np.asarray(batch[idx]).squeeze()
+        is_atten = tag == "attenuation"
+        img = vol if is_atten else np.asarray(scaler.unscale(vol))
+        mask = np.asarray(masks[idx]).squeeze() if masks is not None else None
+        fig = viz.plot_axial_slices(
+            img,
+            mask=None if is_atten else mask,
+            cmap="RdBu" if is_atten else "gray",
+            max_slices=max_slices,
+            title=f"{stage}/{tag} {name} @ {step}",
+        )
+        yield tag, fig
+
+
+def _render_batch_figs(scaler, sample, reconstruction, attenuation, step, stage, max_slices, rng):
+    """2D variant (reference ``WandbLogger2D``, WandbLogger.py:150-156): the
+    batch axis IS the slice axis, so render the batch as one grid."""
+    from contrast_gan_3d_tpu.utils import visualization as viz
+
+    for tag, batch in [
+        ("sample", sample), ("reconstruction", reconstruction),
+        ("attenuation", attenuation),
+    ]:
+        if batch is None:
+            continue
+        imgs = np.asarray(batch).squeeze()  # (B, W, H) -> axial stack
+        is_atten = tag == "attenuation"
+        vol = np.moveaxis(imgs, 0, -1)
+        img = vol if is_atten else np.asarray(scaler.unscale(vol))
+        fig = viz.plot_axial_slices(
+            img,
+            cmap="RdBu" if is_atten else "gray",
+            max_slices=max_slices,
+            title=f"{stage}/{tag} @ {step}",
+            rng=rng,
+        )
+        yield tag, fig
+
+
 class WandbLogger(LoggerInterface):
     """wandb scalars with an explicit step metric + axial-slice image grids
     (reference ``WandbLogger.py:38-132``)."""
@@ -109,25 +167,11 @@ class WandbLogger(LoggerInterface):
     ):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
-        idx = int(self.rng.integers(0, len(sample)))
-        # names can be shorter than the batch (a loader without "name"s)
-        name = names[idx] if names and idx < len(names) else str(idx)
         payload = {"iteration": step}
-        trios = [("sample", sample), ("reconstruction", reconstruction), ("attenuation", attenuation)]
-        for tag, batch in trios:
-            if batch is None:
-                continue
-            vol = np.asarray(batch[idx]).squeeze()
-            is_atten = tag == "attenuation"
-            img = vol if is_atten else np.asarray(self.scaler.unscale(vol))
-            mask = np.asarray(masks[idx]).squeeze() if masks is not None else None
-            fig = viz.plot_axial_slices(
-                img,
-                mask=None if is_atten else mask,
-                cmap="RdBu" if is_atten else "gray",
-                max_slices=self.max_slices,
-                title=f"{stage}/{tag} {name} @ {step}",
-            )
+        for tag, fig in _render_sample_figs(
+            self.scaler, sample, reconstruction, attenuation, masks, names,
+            step, stage, self.max_slices, self.rng,
+        ):
             payload[f"{stage}/{tag}"] = wandb.Image(fig)
             viz.close(fig)
         wandb.log(payload)
@@ -143,26 +187,79 @@ class WandbLogger2D(WandbLogger):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
         payload = {"iteration": step}
-        for tag, batch in [
-            ("sample", sample), ("reconstruction", reconstruction),
-            ("attenuation", attenuation),
-        ]:
-            if batch is None:
-                continue
-            imgs = np.asarray(batch).squeeze()  # (B, W, H) -> axial stack
-            is_atten = tag == "attenuation"
-            vol = np.moveaxis(imgs, 0, -1)
-            img = vol if is_atten else np.asarray(self.scaler.unscale(vol))
-            fig = viz.plot_axial_slices(
-                img,
-                cmap="RdBu" if is_atten else "gray",
-                max_slices=self.max_slices,
-                title=f"{stage}/{tag} @ {step}",
-                rng=self.rng,
-            )
+        for tag, fig in _render_batch_figs(
+            self.scaler, sample, reconstruction, attenuation, step, stage,
+            self.max_slices, self.rng,
+        ):
             payload[f"{stage}/{tag}"] = wandb.Image(fig)
             viz.close(fig)
         wandb.log(payload)
+
+
+class FileLogger(LoggerInterface):
+    """Dependency-free on-disk experiment logging: scalars append to
+    ``<out_dir>/scalars.jsonl`` (one JSON object per log call — stage,
+    iteration, values) and image grids save as PNGs under
+    ``<out_dir>/images/``. The offline counterpart of :class:`WandbLogger`
+    for TPU-pod / air-gapped runs where the wandb service is unreachable
+    (reference capability: trainer/logger/WandbLogger.py; same rendered
+    figures, local sink)."""
+
+    def __init__(
+        self,
+        scaler: Scaler,
+        out_dir,
+        max_slices: int = 64,
+        rng: Optional[np.random.Generator] = None,
+        save_images: bool = True,
+    ):
+        self.scaler = scaler
+        self.out_dir = Path(out_dir)
+        self.max_slices = max_slices
+        self.rng = rng or np.random.default_rng()
+        self.save_images = save_images
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        # append mode: a resumed run continues the same scalar stream
+        self._scalar_path = self.out_dir / "scalars.jsonl"
+        self._lock = threading.Lock()  # image threads may interleave
+
+    def log_scalars(self, scalars, step, stage="train"):
+        rec = {"stage": stage, "iteration": int(step)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        line = json.dumps(rec) + "\n"
+        with self._lock, open(self._scalar_path, "a") as fh:
+            fh.write(line)
+
+    def _figs(self, sample, reconstruction, attenuation, masks, names, step, stage):
+        return _render_sample_figs(
+            self.scaler, sample, reconstruction, attenuation, masks, names,
+            step, stage, self.max_slices, self.rng,
+        )
+
+    def log_images(
+        self, sample, reconstruction, attenuation, masks, names, step, stage="train"
+    ):
+        if not self.save_images:
+            return
+        from contrast_gan_3d_tpu.utils import visualization as viz
+
+        img_dir = self.out_dir / "images"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        for tag, fig in self._figs(
+            sample, reconstruction, attenuation, masks, names, step, stage
+        ):
+            fig.savefig(img_dir / f"{stage}_{tag}_{int(step):08d}.png", dpi=100)
+            viz.close(fig)
+
+
+class FileLogger2D(FileLogger):
+    """2D variant: the batch renders as one slice grid (cf. WandbLogger2D)."""
+
+    def _figs(self, sample, reconstruction, attenuation, masks, names, step, stage):
+        return _render_batch_figs(
+            self.scaler, sample, reconstruction, attenuation, step, stage,
+            self.max_slices, self.rng,
+        )
 
 
 class MultiThreadedLogger(LoggerInterface):

@@ -1,0 +1,93 @@
+"""Experiment-logging strategies (reference capability: trainer/logger/).
+
+Covers the dependency-free :class:`FileLogger` (JSONL scalars + PNG image
+grids — the offline counterpart of the reference's WandbLogger), its 2D
+variant, the threaded wrapper, and the builder wiring for
+``logger="file"``.
+"""
+
+import json
+
+import numpy as np
+
+from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
+from contrast_gan_3d_tpu.trainer.logger import (
+    FileLogger,
+    FileLogger2D,
+    MultiThreadedLogger,
+)
+
+
+def test_file_logger_scalars_jsonl(tmp_path):
+    lg = FileLogger(FactorZeroCenterScaler(), tmp_path / "m")
+    lg.log_scalars({"D": -0.5, "G": np.float32(1.25)}, step=10)
+    lg.log_scalars({"sim": -0.9}, step=20, stage="validation")
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "m" / "scalars.jsonl").read_text().splitlines()
+    ]
+    assert lines == [
+        {"stage": "train", "iteration": 10, "D": -0.5, "G": 1.25},
+        {"stage": "validation", "iteration": 20, "sim": -0.9},
+    ]
+
+
+def test_file_logger_appends_across_instances(tmp_path):
+    """A resumed run (fresh logger, same dir) continues the scalar stream."""
+    out = tmp_path / "m"
+    FileLogger(FactorZeroCenterScaler(), out).log_scalars({"D": 1.0}, 1)
+    FileLogger(FactorZeroCenterScaler(), out).log_scalars({"D": 2.0}, 2)
+    lines = (out / "scalars.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+
+
+def test_file_logger_images(tmp_path, rng):
+    lg = FileLogger(FactorZeroCenterScaler(), tmp_path / "m", max_slices=4, rng=rng)
+    sample = rng.normal(0, 0.3, (2, 8, 8, 6)).astype(np.float32)
+    mask = (rng.random((2, 8, 8, 6)) < 0.05).astype(np.float32)
+    lg.log_images(sample, sample, sample, mask, ["a", "b"], step=42)
+    pngs = sorted(p.name for p in (tmp_path / "m" / "images").glob("*.png"))
+    assert pngs == [
+        "train_attenuation_00000042.png",
+        "train_reconstruction_00000042.png",
+        "train_sample_00000042.png",
+    ]
+
+
+def test_file_logger_2d_images(tmp_path, rng):
+    lg = FileLogger2D(FactorZeroCenterScaler(), tmp_path / "m", max_slices=4, rng=rng)
+    batch = rng.normal(0, 0.3, (5, 8, 8)).astype(np.float32)  # (B, W, H)
+    lg.log_images(batch, batch, None, None, None, step=7, stage="validation")
+    pngs = sorted(p.name for p in (tmp_path / "m" / "images").glob("*.png"))
+    assert pngs == [
+        "validation_reconstruction_00000007.png",
+        "validation_sample_00000007.png",
+    ]
+
+
+def test_multithreaded_file_logger_end_hook(tmp_path, rng):
+    lg = MultiThreadedLogger(
+        FileLogger(FactorZeroCenterScaler(), tmp_path / "m", max_slices=2, rng=rng)
+    )
+    sample = rng.normal(0, 0.3, (1, 8, 8, 4)).astype(np.float32)
+    lg.log_images(sample, None, None, None, None, step=1)
+    lg.log_scalars({"D": 0.0}, 1)
+    lg.end_hook()  # joins the render thread
+    assert (tmp_path / "m" / "images" / "train_sample_00000001.png").exists()
+    assert (tmp_path / "m" / "scalars.jsonl").exists()
+
+
+def test_builder_wires_file_logger(tmp_path):
+    from contrast_gan_3d_tpu.experiments import ExperimentConfig
+    from contrast_gan_3d_tpu.experiments.builder import build
+
+    cfg = ExperimentConfig(logger="file")
+    built = build(cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert isinstance(built.logger_interface, MultiThreadedLogger)
+    inner = built.logger_interface.inner
+    assert type(inner) is FileLogger
+    assert inner.out_dir == tmp_path / "ckpt" / "metrics"
+
+    cfg2d = ExperimentConfig(name="conf_2d", logger="file", is_2d=True)
+    built2d = build(cfg2d, checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert type(built2d.logger_interface.inner) is FileLogger2D

@@ -318,7 +318,7 @@ def parse_args(argv=None):
     p.add_argument("--starting-fold", type=int, default=0)
     p.add_argument("--max-folds", type=int, default=1)
     p.add_argument("--iterations", type=int, default=None)
-    p.add_argument("--logger", choices=["wandb", "console", "none"], default=None)
+    p.add_argument("--logger", choices=["wandb", "file", "console", "none"], default=None)
     p.add_argument("--dp-devices", type=int, default=None,
                    help="data-parallel over N devices (0 = all)")
     p.add_argument("--wandb-project", default=None)
