@@ -133,7 +133,7 @@ def bench_train():
     }), flush=True)
 
 
-def bench_inference(overlap: float, headline: bool):
+def bench_inference(overlap: float):
     """Full-volume sliding-window correction latency at ``overlap``."""
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
     from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
@@ -200,11 +200,11 @@ def main():
     if mode == "train":
         return bench_train()
     if mode == "infer":
-        return bench_inference(default_overlap, headline=True)
+        return bench_inference(default_overlap)
     bench_train()
     if default_overlap != 0.5:
-        bench_inference(0.5, headline=False)
-    bench_inference(default_overlap, headline=True)
+        bench_inference(0.5)
+    bench_inference(default_overlap)
 
 
 if __name__ == "__main__":

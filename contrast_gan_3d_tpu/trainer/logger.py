@@ -167,6 +167,8 @@ class WandbLogger(LoggerInterface):
     ):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
+        if not self._metrics_defined and wandb.run is not None:
+            self._define_metrics()
         payload = {"iteration": step}
         for tag, fig in _render_sample_figs(
             self.scaler, sample, reconstruction, attenuation, masks, names,
@@ -186,6 +188,8 @@ class WandbLogger2D(WandbLogger):
     ):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
+        if not self._metrics_defined and wandb.run is not None:
+            self._define_metrics()
         payload = {"iteration": step}
         for tag, fig in _render_batch_figs(
             self.scaler, sample, reconstruction, attenuation, step, stage,
@@ -225,8 +229,14 @@ class FileLogger(LoggerInterface):
 
     def log_scalars(self, scalars, step, stage="train"):
         rec = {"stage": stage, "iteration": int(step)}
-        rec.update({k: float(v) for k, v in scalars.items()})
-        line = json.dumps(rec) + "\n"
+        # NaN/Infinity are not valid JSON tokens — a diverged loss must not
+        # make the whole JSONL line unparseable for strict consumers (jq,
+        # pandas.read_json); encode non-finite values as null
+        rec.update({
+            k: (v if np.isfinite(v) else None)
+            for k, v in ((k, float(v)) for k, v in scalars.items())
+        })
+        line = json.dumps(rec, allow_nan=False) + "\n"
         with self._lock, open(self._scalar_path, "a") as fh:
             fh.write(line)
 

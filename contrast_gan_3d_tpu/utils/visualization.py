@@ -116,6 +116,28 @@ def plot_three_views(
     return fig
 
 
+def plot_centerlines_3d(
+    centerlines: np.ndarray,
+    downsample_factor: int = 1,
+    title: Optional[str] = None,
+    figsize: Tuple[int, int] = (10, 10),
+    **scatter_kwargs,
+):
+    """3D scatter of an (N, 3+) centerline point cloud (world or image
+    coordinates; a trailing radius column is ignored — reference
+    ``visualization.py:36-61``). Returns the figure."""
+    pts = np.asarray(centerlines)[::downsample_factor, :3]
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], **scatter_kwargs)
+    if title is not None:
+        ax.set_title(title)
+    ax.set_xlabel("X")
+    ax.set_ylabel("Y")
+    ax.set_zlabel("Z")
+    return fig
+
+
 def plot_histogram(
     values: np.ndarray, bins: int = 100, title: Optional[str] = None, ax=None
 ):

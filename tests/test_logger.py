@@ -32,6 +32,17 @@ def test_file_logger_scalars_jsonl(tmp_path):
     ]
 
 
+def test_file_logger_nonfinite_scalars_stay_parseable(tmp_path):
+    """A diverged loss (NaN/inf) must not poison the JSONL stream — NaN is
+    not a valid JSON token, so non-finite values encode as null."""
+    lg = FileLogger(FactorZeroCenterScaler(), tmp_path / "m")
+    lg.log_scalars({"D": float("nan"), "G": float("inf"), "sim": 0.5}, step=3)
+    [line] = (tmp_path / "m" / "scalars.jsonl").read_text().splitlines()
+    assert json.loads(line) == {
+        "stage": "train", "iteration": 3, "D": None, "G": None, "sim": 0.5,
+    }
+
+
 def test_file_logger_appends_across_instances(tmp_path):
     """A resumed run (fresh logger, same dir) continues the scalar stream."""
     out = tmp_path / "m"

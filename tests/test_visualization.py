@@ -42,3 +42,10 @@ def test_hu_shift_plot(rng):
     }
     fig = viz.hu_distribution_shift_plot(data, regions=("centerlines", "ostia"))
     viz.close(fig)
+
+
+def test_plot_centerlines_3d(rng):
+    pts = rng.normal(size=(500, 4))  # trailing radius column ignored
+    fig = viz.plot_centerlines_3d(pts, downsample_factor=5, title="ctl", s=2)
+    assert fig.axes[0].name == "3d"
+    viz.close(fig)
