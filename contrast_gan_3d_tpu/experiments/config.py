@@ -124,6 +124,13 @@ class ExperimentConfig:
     # (None -> single device; 0 -> all local devices)
     dp_devices: Optional[int] = None
 
+    # spatial partitioning: additionally split the first patch dimension
+    # over this many devices (dp_devices x sp_devices mesh — GSPMD
+    # halo-exchanges every conv over ICI, so patch sizes whose activations
+    # overflow one chip's HBM train on a slice). Requires dp_devices set
+    # (use dp_devices=1 for pure spatial partitioning).
+    sp_devices: Optional[int] = None
+
 
 # ---------------------------------------------------------------------------
 # presets mirroring the reference experiment files

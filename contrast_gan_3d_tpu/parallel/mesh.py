@@ -2,8 +2,12 @@
 
 Scaling recipe (jax-ml scaling-book style): pick a mesh, annotate shardings,
 let XLA insert the collectives. For this framework the natural axes are
-``data`` (batch / patch-grid parallelism — the only parallelism the model
-needs at ~1.2M total params, SURVEY.md §2.2) laid out over ICI.
+``data`` (batch / patch-grid parallelism — the dominant axis at ~1.2M total
+params, SURVEY.md §2.2) and optionally ``space`` (spatial partitioning of
+the patch volume itself: GSPMD splits every conv with halo exchanges over
+ICI, so patch sizes whose activations overflow one chip's HBM train on a
+mesh — the training-side analogue of the sharded sliding-window inference,
+SURVEY.md §2.3's "volume size is the long-context axis").
 """
 
 from typing import Optional, Sequence
@@ -13,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def data_mesh(
@@ -26,13 +31,49 @@ def data_mesh(
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def dp_sp_mesh(
+    n_data: int, n_space: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D mesh: ``data`` (batch) x ``space`` (first spatial dim of every
+    patch). ``n_data=1`` gives pure spatial partitioning — one giant patch
+    spread over all chips. Keep ``space`` the minor (fastest-varying) axis so
+    conv halo exchanges ride neighbor ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)[: n_data * n_space]
+    if devices.size != n_data * n_space:
+        raise ValueError(
+            f"need {n_data * n_space} devices for a ({n_data},{n_space}) "
+            f"dp x sp mesh, have {devices.size}"
+        )
+    return Mesh(devices.reshape(n_data, n_space), (DATA_AXIS, SPACE_AXIS))
+
+
+def mesh_axis_size(mesh: Mesh, axis: str) -> int:
+    """Size of a named mesh axis (1 if the mesh does not have it)."""
+    return mesh.shape.get(axis, 1)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_spec(mesh: Mesh, axis: str = DATA_AXIS, ndim: Optional[int] = None) -> P:
+    """PartitionSpec for a (B, W, ...) batch on ``mesh``: batch over ``axis``
+    plus — when the mesh has a ``space`` axis — the first spatial dim over
+    it. ``ndim`` truncates the spec for low-rank leaves (e.g. (B,) weights)."""
+    axes = [axis]
+    if SPACE_AXIS in mesh.axis_names and axis != SPACE_AXIS:
+        axes.append(SPACE_AXIS)
+    if ndim is not None:
+        axes = axes[:ndim]
+    return P(*axes)
+
+
 def shard_batch(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension over the data axis."""
-    return NamedSharding(mesh, P(axis))
+    """Shard the leading (batch) dimension over the data axis (and, on a
+    dp x sp mesh, the first spatial dimension over the space axis)."""
+    return NamedSharding(mesh, batch_spec(mesh, axis))
 
 
 def put_replicated(tree, mesh: Mesh):
@@ -59,8 +100,18 @@ def put_replicated(tree, mesh: Mesh):
 
 
 def put_batch(tree, mesh: Mesh):
-    """Place host batches sharded on their leading axis."""
-    return jax.device_put(tree, shard_batch(mesh))
+    """Place host batches sharded on their leading axis (and first spatial
+    dim on a dp x sp mesh). Rank-aware: (B,) leaves (validity weights) only
+    shard over ``data``."""
+    full = batch_spec(mesh)
+    if len(full) <= 1:
+        return jax.device_put(tree, NamedSharding(mesh, full))
+
+    def _leaf(x):
+        spec = batch_spec(mesh, ndim=np.ndim(x))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(_leaf, tree)
 
 
 def pad_batch_to_multiple(batch: np.ndarray, n: int) -> np.ndarray:

@@ -39,17 +39,40 @@ from contrast_gan_3d_tpu.models import losses
 from contrast_gan_3d_tpu.trainer.optim import clip_params
 
 
-def _sharded_jit(mesh, batch_axis: str, arg_kinds: str, donate: bool = True):
+def _sharded_jit(
+    mesh,
+    batch_axis: str,
+    arg_kinds: str,
+    out_kinds: Optional[str] = None,
+    donate: bool = True,
+):
     """jax.jit partial with per-argument replicated ('r') / batch-sharded
-    ('b') NamedShardings when a mesh is given (plain jit otherwise)."""
+    ('b') / batch-vector ('v', rank-1 (B,) leaves) NamedShardings when a
+    mesh is given (plain jit otherwise). On a dp x sp mesh 'b' additionally
+    shards the first spatial dim over the ``space`` axis — GSPMD inserts the
+    conv halo exchanges. ``out_kinds`` pins one kind per output (pytree
+    prefix): without it GSPMD may return state leaves with a propagated
+    (e.g. space-sharded) layout that then mismatches the next call's
+    replicated in_shardings."""
     donate_kw = {"donate_argnums": 0} if donate else {}
     if mesh is None:
         return partial(jax.jit, **donate_kw)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from contrast_gan_3d_tpu.parallel.mesh import replicate, shard_batch
 
-    kinds = {"r": replicate(mesh), "b": shard_batch(mesh, batch_axis)}
+    kinds = {
+        "r": replicate(mesh),
+        "b": shard_batch(mesh, batch_axis),
+        "v": NamedSharding(mesh, P(batch_axis)),
+    }
+    out_kw = {}
+    if out_kinds is not None:
+        outs = tuple(kinds[k] for k in out_kinds)
+        out_kw["out_shardings"] = outs if len(outs) > 1 else outs[0]
     return partial(
-        jax.jit, in_shardings=tuple(kinds[k] for k in arg_kinds), **donate_kw
+        jax.jit, in_shardings=tuple(kinds[k] for k in arg_kinds), **out_kw,
+        **donate_kw,
     )
 
 
@@ -283,7 +306,7 @@ def build_train_steps(
         opt_hat = subopt_b - atten
         return state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp
 
-    _jit = _sharded_jit(mesh, batch_axis, "rbbb")
+    _jit = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rr")
 
     @_jit
     def critic_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
@@ -378,7 +401,9 @@ def build_train_steps(
     # scaled) sub-optimal batch to the generator phase — identical semantics
     # to combined_step / the reference's single-batch iteration.
 
-    @_jit
+    _jit_phase = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rrbb")
+
+    @_jit_phase
     def critic_phase(state: GANTrainState, opt_b, subopt_b, subopt_mask):
         state, opt_b, subopt_s, mask_s, opt_hat, new_gen_stats, k_gp = _common(
             state, opt_b, subopt_b, subopt_mask
@@ -387,7 +412,7 @@ def build_train_steps(
         state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
         return state, {"D": loss_d}, subopt_s, mask_s
 
-    _jit_gen = _sharded_jit(mesh, batch_axis, "rbb")
+    _jit_gen = _sharded_jit(mesh, batch_axis, "rbb", out_kinds="rr")
 
     @_jit_gen
     def generator_phase(state: GANTrainState, subopt_s, mask_s):
@@ -448,7 +473,8 @@ def build_val_steps(
     """
 
     val_cfg_scaler = cfg.scaler
-    _jit = _sharded_jit(mesh, batch_axis, "rbb", donate=False)
+    _jit = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="r", donate=False)
+    _jit_sub = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="rrbb", donate=False)
 
     @_jit
     def val_opt_step(state: GANTrainState, batch, w):
@@ -456,7 +482,7 @@ def build_val_steps(
         real_logits = _apply(critic, state.critic_params, state.critic_stats, x, train=False)
         return _masked_mean(real_logits, w)
 
-    @_jit
+    @_jit_sub
     def val_subopt_step(state: GANTrainState, batch, w):
         x = val_cfg_scaler(batch.astype(jnp.float32))[..., None]
         atten = _apply(generator, state.gen_params, state.gen_stats, x, train=False)
@@ -485,7 +511,7 @@ def build_preview_step(
     and attenuation match what the step saw. Only needed when
     ``cfg.augment`` is set (host-augmented batches arrive pre-augmented)."""
     assert cfg.augment is not None
-    _jit = _sharded_jit(mesh, batch_axis, "rrbb", donate=False)
+    _jit = _sharded_jit(mesh, batch_axis, "rrbb", out_kinds="bbbb", donate=False)
 
     @_jit
     def preview(state: GANTrainState, rng_key, subopt, mask):

@@ -145,9 +145,11 @@ class Trainer:
         mask = np.concatenate([np.asarray(low["seg"]), np.asarray(high["seg"])])
         names = list(low.get("name", [])) + list(high.get("name", []))
         if self.mesh is not None:
-            from contrast_gan_3d_tpu.parallel.mesh import put_batch
+            from contrast_gan_3d_tpu.parallel.mesh import (
+                DATA_AXIS, SPACE_AXIS, mesh_axis_size, put_batch,
+            )
 
-            n = self.mesh.devices.size
+            n = mesh_axis_size(self.mesh, DATA_AXIS)
             if opt.shape[0] % n or subopt.shape[0] % n:
                 # padding a TRAIN batch with repeated samples would bias
                 # every unmasked loss mean AND the BatchNorm batch statistics
@@ -158,9 +160,15 @@ class Trainer:
                 raise ValueError(
                     f"train batch sizes (opt {opt.shape[0]}, subopt "
                     f"{subopt.shape[0]}) must divide the mesh's "
-                    f"{n} devices; round them up to multiples of {n} "
-                    "(train.py does this automatically) or pick dp_devices "
-                    "that divides them"
+                    f"{n} data-parallel devices; round them up to multiples "
+                    f"of {n} (train.py does this automatically) or pick "
+                    "dp_devices that divides them"
+                )
+            sp = mesh_axis_size(self.mesh, SPACE_AXIS)
+            if subopt.shape[1] % sp:
+                raise ValueError(
+                    f"first patch dim ({subopt.shape[1]}) must divide the "
+                    f"mesh's {sp} spatial-partitioning devices"
                 )
             opt = put_batch(np.asarray(opt), self.mesh)
             subopt = put_batch(subopt, self.mesh)
@@ -291,11 +299,13 @@ class Trainer:
         data = np.asarray(data)
         n = data.shape[0]
         from contrast_gan_3d_tpu.parallel.mesh import (
+            DATA_AXIS,
+            mesh_axis_size,
             pad_batch_to_multiple,
             put_batch,
         )
 
-        padded = pad_batch_to_multiple(data, self.mesh.devices.size)
+        padded = pad_batch_to_multiple(data, mesh_axis_size(self.mesh, DATA_AXIS))
         w = np.zeros((padded.shape[0],), np.float32)
         w[:n] = 1.0
         return put_batch(padded, self.mesh), put_batch(w, self.mesh)

@@ -11,6 +11,7 @@ from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
 from contrast_gan_3d_tpu.models.generator import ResnetGenerator
 from contrast_gan_3d_tpu.parallel import (
     data_mesh,
+    dp_sp_mesh,
     make_sharded_volume_corrector,
 )
 from contrast_gan_3d_tpu.parallel.mesh import pad_batch_to_multiple, put_batch, put_replicated
@@ -63,6 +64,96 @@ def test_data_parallel_step_matches_single_device(rng, layout):
         jax.tree_util.tree_leaves(state2.gen_params),
     ):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("layout", ["direct", "packed"])
+def test_dp_sp_step_matches_single_device(rng, layout):
+    """Spatial partitioning (dp x sp mesh): the same combined step compiled
+    with the first patch dim sharded over the ``space`` axis — GSPMD inserts
+    conv halo exchanges — must reproduce the single-device result. This is
+    the training-side scaling axis for patches that overflow one chip's HBM
+    (SURVEY.md §2.3: volume size is this model family's long-context axis)."""
+    patch = (32, 16, 16)  # 32 / sp=4 -> 8-wide shards (>= the 7^3 stem halo)
+    gen, critic = _tiny_models()
+    gen = gen.clone(layout=layout)
+    tx = make_optimizer(lr=1e-3)
+    cfg = StepConfig(augment=None)
+
+    opt_b = jnp.asarray(rng.integers(-500, 500, (4, *patch), dtype=np.int16))
+    subopt_b = jnp.asarray(rng.integers(-500, 500, (4, *patch), dtype=np.int16))
+    mask = jnp.asarray((rng.random((4, *patch)) < 0.01).astype(np.int16))
+
+    state1 = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
+    combined1 = build_train_steps(gen, critic, tx, tx, cfg).combined_step
+    state1, m1 = combined1(state1, opt_b, subopt_b, mask)
+
+    mesh = dp_sp_mesh(2, 4)
+    state2 = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
+    state2 = put_replicated(state2, mesh)
+    combined2 = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh).combined_step
+    state2, m2 = combined2(
+        state2, put_batch(opt_b, mesh), put_batch(subopt_b, mesh), put_batch(mask, mesh)
+    )
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4, atol=1e-5)
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(state1.gen_params),
+        jax.tree_util.tree_leaves(state2.gen_params),
+    ):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_dp_sp_val_step_matches_single_device(rng):
+    """Val steps under a dp x sp mesh: batch pads over ``data`` only, (B,)
+    weights shard rank-aware, losses equal the single-device values."""
+    from contrast_gan_3d_tpu.trainer.steps import build_val_steps
+
+    patch = (32, 16, 16)
+    gen, critic = _tiny_models()
+    tx = make_optimizer(lr=1e-3)
+    cfg = StepConfig(augment=None)
+    batch = jnp.asarray(rng.integers(-500, 500, (4, *patch), dtype=np.int16))
+
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
+    vo1, vs1 = build_val_steps(gen, critic, cfg)
+    want_opt = float(vo1(state, batch, jnp.ones((4,), jnp.float32)))
+    want_sub = vs1(state, batch, jnp.ones((4,), jnp.float32))
+
+    mesh = dp_sp_mesh(2, 4)
+    state_m = put_replicated(state, mesh)
+    vo2, vs2 = build_val_steps(gen, critic, cfg, mesh=mesh)
+    w = put_batch(np.ones((4,), np.float32), mesh)
+    got_opt = float(vo2(state_m, put_batch(batch, mesh), w))
+    got_sub = vs2(state_m, put_batch(batch, mesh), w)
+
+    np.testing.assert_allclose(want_opt, got_opt, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(want_sub[0]), float(got_sub[0]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(want_sub[1]), float(got_sub[1]), rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_rejects_nondivisible_spatial_dim():
+    """Under a dp x sp mesh the first patch dim must divide the space axis."""
+    from contrast_gan_3d_tpu.alias import ScanType
+    from contrast_gan_3d_tpu.trainer.trainer import Trainer, TrainerConfig
+
+    mesh = dp_sp_mesh(2, 4)
+    gen, critic = _tiny_models()
+    tx = make_optimizer(lr=1e-3)
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None), TrainerConfig(),
+        jax.random.key(0), (10, 8, 8), mesh=mesh,
+    )
+    batch = lambda b: {
+        "data": np.zeros((b, 10, 8, 8), np.int16),
+        "seg": np.zeros((b, 10, 8, 8), np.int16),
+    }
+    patches = {ScanType.OPT.value: batch(2), ScanType.LOW.value: batch(1),
+               ScanType.HIGH.value: batch(1)}
+    with pytest.raises(ValueError, match="spatial-partitioning"):
+        trainer.train_step(patches, 0)
 
 
 @pytest.mark.slow

@@ -57,6 +57,37 @@ def test_train_cli_end_to_end(tmp_path, rng):
     assert any(p.name == "2.msgpack" for p in ckpts), ckpts
 
 
+@pytest.mark.slow
+def test_train_cli_spatial_partitioning(tmp_path, rng):
+    """--sp-devices: the CLI builds a dp x sp mesh and the whole train loop
+    (loaders -> sharded steps -> checkpoint) runs with each patch's first dim
+    halo-exchanged across the ``space`` axis."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    import train as train_cli
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    splits = {"train": [fold], "test": [fold]}
+    splits_path = tmp_path / "splits.pkl"
+    with open(splits_path, "wb") as fd:
+        pickle.dump(splits, fd)
+    conf_path = tmp_path / "conf.py"
+    conf_path.write_text(OVERRIDE)
+
+    train_cli.main([
+        "--conf", str(conf_path),
+        "--cval-splits", str(splits_path),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+        "--dp-devices", "2",
+        "--sp-devices", "2",
+    ])
+
+    ckpts = list((tmp_path / "ckpts" / "cli_smoke-fold0").glob("*.msgpack"))
+    assert any(p.name == "2.msgpack" for p in ckpts), ckpts
+
+
 def test_profiler_schedule_windows(monkeypatch):
     """skip/wait/warmup/active/repeat cycling: traces exactly the last
     `active` steps of each cycle after `skip_first` (reference

@@ -218,14 +218,27 @@ class TrainManager:
 
         mesh = None
         if cfg.dp_devices is not None:
-            from contrast_gan_3d_tpu.parallel import data_mesh
+            from contrast_gan_3d_tpu.parallel import data_mesh, dp_sp_mesh
 
-            mesh = data_mesh(cfg.dp_devices or None)
-            logger.info("Data-parallel mesh: %s", mesh)
-            # train batches must divide the mesh (the Trainer refuses to pad
-            # them — repeated samples would bias losses and BatchNorm stats);
-            # round each stream up to a device multiple when needed
-            n = mesh.devices.size
+            if cfg.sp_devices:
+                import jax as _jax
+
+                dp = cfg.dp_devices or len(_jax.devices()) // cfg.sp_devices
+                mesh = dp_sp_mesh(dp, cfg.sp_devices)
+                if cfg.train_patch_size[0] % cfg.sp_devices:
+                    raise SystemExit(
+                        f"train_patch_size[0]={cfg.train_patch_size[0]} must "
+                        f"divide sp_devices={cfg.sp_devices}"
+                    )
+            else:
+                mesh = data_mesh(cfg.dp_devices or None)
+            logger.info("Mesh: %s", mesh)
+            # train batches must divide the mesh's data axis (the Trainer
+            # refuses to pad them — repeated samples would bias losses and
+            # BatchNorm stats); round each stream up to a multiple when needed
+            from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS, mesh_axis_size
+
+            n = mesh_axis_size(mesh, DATA_AXIS)
             bs = dict(cfg.train_batch_size)
             new_bs = round_train_batches(bs, n)
             if new_bs != bs:
@@ -321,6 +334,10 @@ def parse_args(argv=None):
     p.add_argument("--logger", choices=["wandb", "file", "console", "none"], default=None)
     p.add_argument("--dp-devices", type=int, default=None,
                    help="data-parallel over N devices (0 = all)")
+    p.add_argument("--sp-devices", type=int, default=None,
+                   help="additionally spatially partition each patch's first "
+                        "dim over N devices (dp x sp mesh; oversized patches "
+                        "train across chips via GSPMD conv halo exchange)")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--wandb-entity", default=None)
     p.add_argument("--profiler-dir", default=None)
@@ -349,6 +366,10 @@ def main(argv=None):
         overrides["logger"] = args.logger
     if args.dp_devices is not None:
         overrides["dp_devices"] = args.dp_devices
+    if args.sp_devices is not None:
+        overrides["sp_devices"] = args.sp_devices
+        if args.dp_devices is None and cfg.dp_devices is None:
+            overrides["dp_devices"] = 1  # pure spatial partitioning
     if overrides:
         cfg = replace(cfg, **overrides)
 
