@@ -88,6 +88,54 @@ def plot_axial_slices(
     return fig
 
 
+def get_medical_views(scan: np.ndarray, xyz: np.ndarray):
+    """Axial / sagittal / coronal 2-D views of an LPS (W, H, D) volume through
+    voxel ``xyz``, in the reference's display convention (sagittal/coronal
+    flipped vertically; reference ``visualization.py:159-163``)."""
+    scan = np.asarray(scan)
+    x, y, z = np.asarray(xyz).astype(int)
+    return [
+        scan[..., z].T,
+        np.flip(scan[x, ...].T, 0),
+        np.flip(scan[:, y, :].T, 0),
+    ]
+
+
+def plot_ostium_patch(
+    ostium_patch: np.ndarray,
+    coords="middle",
+    vmin: float = VMIN,
+    vmax: float = VMAX,
+    title: Optional[str] = None,
+):
+    """Three medical views through an extracted ostium patch (reference
+    ``plot_ostium_patch``, ``visualization.py:166-192``); ``coords`` is a
+    voxel triple or ``"middle"``. Returns the figure."""
+    ostium_patch = np.asarray(ostium_patch)
+    if isinstance(coords, str):
+        if coords != "middle":
+            raise ValueError(f"coords must be a voxel triple or 'middle', got {coords!r}")
+        coords = np.asarray(ostium_patch.shape) // 2
+    fig, axes = plt.subplots(1, 3, figsize=(7, 5))
+    for ax, view in zip(axes, get_medical_views(ostium_patch, coords)):
+        ax.imshow(view, cmap="gray", vmin=vmin, vmax=vmax)
+        ax.axis("off")
+    if title is not None:
+        fig.suptitle(title)
+    return fig
+
+
+def subsample_voxels(values: np.ndarray, max_size: int = 100_000, rng=None) -> np.ndarray:
+    """Cap a 1-D voxel-intensity sample for histogram/KDE rendering
+    (reference ``downsampled_hist`` + ``utils.downsample``,
+    ``visualization.py:255-265`` — random subsample without replacement)."""
+    values = np.asarray(values).ravel()
+    if values.size <= max_size:
+        return values
+    rng = np.random.default_rng() if rng is None else rng
+    return rng.choice(values, size=max_size, replace=False)
+
+
 def plot_three_views(
     volume: np.ndarray,
     coords: Optional[np.ndarray] = None,
@@ -177,16 +225,21 @@ def hu_distribution_shift_plot(
     vs optimal (reference ``HU_distribution_shift_plot``, :293-347).
 
     ``voxels_by_scan_type``: {series_name: {region: 1-D HU values}} — e.g.
-    series "low", "low-corrected", "opt".
+    series "low", "low-corrected", "opt". Series larger than ``max_voxels``
+    are randomly subsampled before the KDE (reference ``downsampled_hist``):
+    myocardium masks reach 10^7 voxels and KDE cost is quadratic-ish in n.
     """
     import seaborn as sns
 
+    rng = np.random.default_rng(0)
+    max_voxels = 100_000
     fig, axes = plt.subplots(1, len(regions), figsize=(5 * len(regions), 4), squeeze=False)
     for ax, region in zip(axes.ravel(), regions):
         for series, by_region in voxels_by_scan_type.items():
             vals = np.asarray(by_region.get(region, []))
             if vals.size:
-                sns.kdeplot(vals[np.isfinite(vals)], ax=ax, label=series, fill=False)
+                vals = subsample_voxels(vals[np.isfinite(vals)], max_voxels, rng)
+                sns.kdeplot(vals, ax=ax, label=series, fill=False)
         ax.set_title(region)
         ax.set_xlim(*hu_range)
         ax.set_xlabel("HU")

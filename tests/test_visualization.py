@@ -44,6 +44,36 @@ def test_hu_shift_plot(rng):
     viz.close(fig)
 
 
+def test_get_medical_views_convention(rng):
+    vol = rng.normal(0, 300, (6, 5, 4)).astype(np.float32)
+    ax, sag, cor = viz.get_medical_views(vol, (2, 3, 1))
+    # axial: transposed z-slice; sagittal/coronal transposed + flipped (LPS display)
+    assert np.array_equal(ax, vol[..., 1].T)
+    assert np.array_equal(sag, np.flip(vol[2, ...].T, 0))
+    assert np.array_equal(cor, np.flip(vol[:, 3, :].T, 0))
+
+
+def test_plot_ostium_patch(rng):
+    patch = rng.normal(300, 100, (19, 19, 19)).astype(np.float32)
+    fig = viz.plot_ostium_patch(patch, title="ostium")
+    assert len(fig.axes) == 3
+    viz.close(fig)
+    import pytest
+
+    with pytest.raises(ValueError):
+        viz.plot_ostium_patch(patch, coords="center")
+
+
+def test_subsample_voxels(rng):
+    small = rng.normal(size=100)
+    assert viz.subsample_voxels(small, max_size=200) is not None
+    assert len(viz.subsample_voxels(small, max_size=200)) == 100  # untouched
+    big = rng.normal(size=5000)
+    sub = viz.subsample_voxels(big, max_size=500, rng=np.random.default_rng(0))
+    assert len(sub) == 500
+    assert np.isin(sub, big).all()
+
+
 def test_plot_centerlines_3d(rng):
     pts = rng.normal(size=(500, 4))  # trailing radius column ignored
     fig = viz.plot_centerlines_3d(pts, downsample_factor=5, title="ctl", s=2)
