@@ -8,6 +8,7 @@ whose fitted std >= 500 are dropped. Splits are stratified k-fold over
 (path, label) pairs.
 """
 
+from pathlib import Path
 from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -16,9 +17,40 @@ from sklearn.mixture import GaussianMixture
 from sklearn.model_selection import StratifiedKFold, train_test_split
 
 from contrast_gan_3d_tpu.alias import FoldType
+from contrast_gan_3d_tpu.utils import io_utils
 from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 
 logger = create_logger(name=__name__)
+
+
+def ostia_dataframe(ostia_files: Iterable, save_path=None) -> pd.DataFrame:
+    """World L/R ostia coordinates of each patient as a dataframe with columns
+    ``ID, x, y, z`` — two rows per MeVisLab marker file, the patient ID taken
+    from the file's parent directory (reference ``create_ostia_dataframe``,
+    ``data/utils.py:57-84``). ``save_path`` optionally writes the sheet:
+    ``.xlsx`` via pandas/openpyxl when available, else ``.csv``."""
+    rows = []
+    for ostia_file in ostia_files:
+        ostia_file = Path(ostia_file)
+        points, _ = io_utils.load_mevis_coords(ostia_file)
+        name = io_utils.stem(ostia_file.parent)
+        for point in np.asarray(points, dtype=np.float32)[:2]:
+            rows.append({"ID": name} | dict(zip("xyz", point)))
+    df = pd.DataFrame(rows)
+    logger.info("Total L/R ostia coordinates: %s", (len(df), 3))
+    if save_path is not None:
+        save_path = Path(save_path)
+        if save_path.suffix == ".xlsx":
+            try:
+                df.to_excel(save_path, index=False)
+            except ImportError:
+                save_path = save_path.with_suffix(".csv")
+                logger.warning("openpyxl unavailable, writing '%s'", save_path)
+                df.to_csv(save_path, index=False)
+        else:
+            df.to_csv(save_path, index=False)
+        logger.info("Saved ostia world coordinates to '%s'", save_path)
+    return df
 
 
 def gmm_grid_search(

@@ -200,6 +200,109 @@ def plot_histogram(
     return fig
 
 
+def plot_image_histogram(
+    *images,
+    bins: int = 80,
+    figsize: Tuple[int, int] = (10, 5),
+    **hist_kwargs,
+):
+    """Grid of per-image intensity histograms; each positional argument is an
+    array or an ``(array, title)`` pair (reference ``plot_image_histogram``,
+    ``visualization.py:133-158``). Returns the figure."""
+    n = len(images)
+    rows = int(round(np.sqrt(n))) or 1
+    cols = int(np.ceil(n / rows))
+    fig, axes = plt.subplots(rows, cols, figsize=figsize, squeeze=False)
+    for i, ax in enumerate(axes.ravel()):
+        if i >= n:
+            ax.set_visible(False)
+            continue
+        img = images[i]
+        if isinstance(img, tuple) and len(img) == 2:
+            img, title = img
+            ax.set_title(title)
+        ax.hist(np.asarray(img).ravel(), color="black", bins=bins, **hist_kwargs)
+    return fig
+
+
+def plot_gmm_fitted_ostium_patch(
+    ostium_patch: np.ndarray,
+    gmm,
+    coords="middle",
+    title: Optional[str] = None,
+    hu_range: Tuple[float, float] = (-300, 900),
+):
+    """Three medical views of an ostium patch plus its HU histogram overlaid
+    with the fitted GMM: one curve per component and the dashed cumulative
+    density (reference ``plot_GMM_fitted_ostium_patch``,
+    ``visualization.py:222-252``). ``gmm`` is a fitted
+    ``sklearn.mixture.GaussianMixture`` (what ``data.labeling.gmm_grid_search``
+    returns). Returns the figure."""
+    from scipy.stats import norm as _norm
+
+    ostium_patch = np.asarray(ostium_patch)
+    if isinstance(coords, str):
+        if coords != "middle":
+            raise ValueError(f"coords must be a voxel triple or 'middle', got {coords!r}")
+        coords = np.asarray(ostium_patch.shape) // 2
+    means = np.asarray(gmm.means_).ravel()
+    stds = np.sqrt(np.asarray(gmm.covariances_).reshape(len(means), -1)[:, 0])
+    weights = np.asarray(gmm.weights_).ravel()
+
+    fig, axes = plt.subplots(1, 4, figsize=(10, 5))
+    for ax, view in zip(axes[:3], get_medical_views(ostium_patch, coords)):
+        ax.imshow(view, cmap="gray", vmin=VMIN, vmax=VMAX)
+        ax.axis("off")
+    ax = axes[3]
+    ax.hist(ostium_patch.ravel(), density=True, color="black", bins=80)
+    x = np.arange(hu_range[0], hu_range[1], 10)
+    y = _norm.pdf(x[None], means[:, None], stds[:, None]) * weights[:, None]
+    ax.plot(x, y.sum(0), lw=3, c=f"C{len(means)}", ls="dashed")
+    for i, yy in enumerate(y):
+        ax.plot(x, yy, lw=3, c=f"C{i}")
+    if title is not None:
+        fig.suptitle(title)
+    return fig
+
+
+def plot_hu_distributions(
+    subopt: np.ndarray,
+    corrected_subopt: np.ndarray,
+    opt: np.ndarray,
+    ax=None,
+    title: Optional[str] = None,
+    alpha: float = 0.6,
+    max_voxels: int = 100_000,
+    rng=None,
+):
+    """Single-axis density histogram + KDE of suboptimal vs corrected vs
+    optimal HU samples (reference ``plot_HU_distributions``,
+    ``visualization.py:268-290``); each series is subsampled to
+    ``max_voxels`` first. Returns the figure."""
+    import seaborn as sns
+
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    rng = np.random.default_rng(0) if rng is None else rng
+    series = [
+        (subopt, "Suboptimal"),
+        (corrected_subopt, "Corrected suboptimal"),
+        (opt, "Optimal"),
+    ]
+    for vals, label in series:
+        vals = subsample_voxels(np.asarray(vals), max_voxels, rng)
+        sns.histplot(
+            vals, label=label, ax=ax, stat="density", kde=True,
+            edgecolor="none", alpha=alpha,
+        )
+    ax.legend()
+    if title is not None:
+        ax.set_title(title)
+    return fig
+
+
 def plot_GMM_fit(values: np.ndarray, gmm, bins: int = 80):
     """Histogram of ostium-patch HU values with the fitted GMM density
     overlaid (reference :166-252 diagnostics)."""

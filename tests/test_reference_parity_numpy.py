@@ -407,6 +407,46 @@ def test_marker_recall_pipeline_parity(ref, rng, tmp_path):
             assert got_sum[bucket][art] == pytest.approx(recall, abs=1e-12)
 
 
+def test_ostia_dataframe_parity(ref, tmp_path, rng):
+    """Two-row-per-patient L/R ostia sheet built from MeVis marker files,
+    patient IDs from the parent directory (reference data/utils.py:57-84).
+
+    Documented divergence we FIX: the reference's ``stem`` truncates at the
+    first dot, so DICOM-UID-style directory names ("1.2.840...") collapse to
+    "1" and collide; ours keeps the full directory name."""
+    dutils = ref["data.utils"]
+
+    def _make(names):
+        files = []
+        for name in names:
+            d = tmp_path / name
+            d.mkdir()
+            pts = rng.uniform(-50, 50, (2, 3))
+            f = d / "ostia.xml"
+            f.write_text(
+                "<ListSize>2</ListSize>\n"
+                + "".join(f"<pos>{x} {y} {z}</pos>\n<vec>0 0 1</vec>\n" for x, y, z in pts)
+            )
+            files.append(f)
+        return files
+
+    files = _make(["patA", "patB", "patC"])
+    want = dutils.create_ostia_dataframe(files)
+    got = our_labeling.ostia_dataframe(files)
+    pd.testing.assert_frame_equal(got, want)
+
+    csv = tmp_path / "sheet.csv"
+    our_labeling.ostia_dataframe(files, save_path=csv)
+    re_read = pd.read_csv(csv)
+    pd.testing.assert_frame_equal(re_read, want, check_dtype=False)
+
+    uid_files = _make(["1.2.840.99", "1.3.840.99"])
+    assert list(dutils.create_ostia_dataframe(uid_files)["ID"]) == ["1"] * 4  # collides
+    assert list(our_labeling.ostia_dataframe(uid_files)["ID"]) == (
+        ["1.2.840.99"] * 2 + ["1.3.840.99"] * 2
+    )
+
+
 def test_load_mevis_coords_parity(ref, tmp_path):
     io_ref = ref["utils.io_utils"]
     xml = tmp_path / "ostia.xml"

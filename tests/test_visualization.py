@@ -74,6 +74,40 @@ def test_subsample_voxels(rng):
     assert np.isin(sub, big).all()
 
 
+def test_plot_image_histogram(rng):
+    imgs = [rng.normal(size=(8, 8)) for _ in range(3)]
+    fig = viz.plot_image_histogram(imgs[0], (imgs[1], "titled"), imgs[2])
+    # 2x2 grid for 3 images: one axis hidden
+    assert sum(ax.get_visible() for ax in fig.axes) == 3
+    viz.close(fig)
+
+
+def test_plot_gmm_fitted_ostium_patch(rng):
+    from sklearn.mixture import GaussianMixture
+
+    vals = np.concatenate(
+        [rng.normal(100, 30, 2000), rng.normal(420, 40, 2000)]
+    ).reshape(-1, 1)
+    gmm = GaussianMixture(2, random_state=0).fit(vals)
+    patch = rng.normal(300, 150, (19, 19, 19)).astype(np.float32)
+    fig = viz.plot_gmm_fitted_ostium_patch(patch, gmm, title="fit")
+    assert len(fig.axes) == 4
+    assert len(fig.axes[3].lines) == 3  # 2 components + cumulative
+    viz.close(fig)
+
+
+def test_plot_hu_distributions(rng):
+    fig = viz.plot_hu_distributions(
+        rng.normal(250, 40, 3000),
+        rng.normal(400, 40, 3000),
+        rng.normal(410, 30, 3000),
+        title="shift",
+        max_voxels=1000,
+    )
+    assert fig.axes[0].get_legend() is not None
+    viz.close(fig)
+
+
 def test_plot_centerlines_3d(rng):
     pts = rng.normal(size=(500, 4))  # trailing radius column ignored
     fig = viz.plot_centerlines_3d(pts, downsample_factor=5, title="ctl", s=2)
