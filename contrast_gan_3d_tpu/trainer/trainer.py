@@ -159,7 +159,7 @@ class Trainer:
                 # sizes to device multiples before building loaders.
                 raise ValueError(
                     f"train batch sizes (opt {opt.shape[0]}, subopt "
-                    f"{subopt.shape[0]}) must divide the mesh's "
+                    f"{subopt.shape[0]}) must be divisible by the mesh's "
                     f"{n} data-parallel devices; round them up to multiples "
                     f"of {n} (train.py does this automatically) or pick "
                     "dp_devices that divides them"
@@ -167,8 +167,8 @@ class Trainer:
             sp = mesh_axis_size(self.mesh, SPACE_AXIS)
             if subopt.shape[1] % sp:
                 raise ValueError(
-                    f"first patch dim ({subopt.shape[1]}) must divide the "
-                    f"mesh's {sp} spatial-partitioning devices"
+                    f"first patch dim ({subopt.shape[1]}) must be divisible "
+                    f"by the mesh's {sp} spatial-partitioning devices"
                 )
             opt = put_batch(np.asarray(opt), self.mesh)
             subopt = put_batch(subopt, self.mesh)

@@ -101,6 +101,21 @@ def get_medical_views(scan: np.ndarray, xyz: np.ndarray):
     ]
 
 
+def _render_ostium_views(axes, ostium_patch: np.ndarray, coords, vmin, vmax):
+    """Shared 3-view renderer for the ostium-patch figures: normalizes
+    ``coords`` ("middle" or a voxel triple) and imshows the medical views
+    onto the first three ``axes``. Returns the normalized coords."""
+    ostium_patch = np.asarray(ostium_patch)
+    if isinstance(coords, str):
+        if coords != "middle":
+            raise ValueError(f"coords must be a voxel triple or 'middle', got {coords!r}")
+        coords = np.asarray(ostium_patch.shape) // 2
+    for ax, view in zip(axes, get_medical_views(ostium_patch, coords)):
+        ax.imshow(view, cmap="gray", vmin=vmin, vmax=vmax)
+        ax.axis("off")
+    return coords
+
+
 def plot_ostium_patch(
     ostium_patch: np.ndarray,
     coords="middle",
@@ -111,15 +126,8 @@ def plot_ostium_patch(
     """Three medical views through an extracted ostium patch (reference
     ``plot_ostium_patch``, ``visualization.py:166-192``); ``coords`` is a
     voxel triple or ``"middle"``. Returns the figure."""
-    ostium_patch = np.asarray(ostium_patch)
-    if isinstance(coords, str):
-        if coords != "middle":
-            raise ValueError(f"coords must be a voxel triple or 'middle', got {coords!r}")
-        coords = np.asarray(ostium_patch.shape) // 2
     fig, axes = plt.subplots(1, 3, figsize=(7, 5))
-    for ax, view in zip(axes, get_medical_views(ostium_patch, coords)):
-        ax.imshow(view, cmap="gray", vmin=vmin, vmax=vmax)
-        ax.axis("off")
+    _render_ostium_views(axes, ostium_patch, coords, vmin, vmax)
     if title is not None:
         fig.suptitle(title)
     return fig
@@ -210,6 +218,8 @@ def plot_image_histogram(
     array or an ``(array, title)`` pair (reference ``plot_image_histogram``,
     ``visualization.py:133-158``). Returns the figure."""
     n = len(images)
+    if n == 0:
+        raise ValueError("plot_image_histogram needs at least one image")
     rows = int(round(np.sqrt(n))) or 1
     cols = int(np.ceil(n / rows))
     fig, axes = plt.subplots(rows, cols, figsize=figsize, squeeze=False)
@@ -236,30 +246,35 @@ def plot_gmm_fitted_ostium_patch(
     with the fitted GMM: one curve per component and the dashed cumulative
     density (reference ``plot_GMM_fitted_ostium_patch``,
     ``visualization.py:222-252``). ``gmm`` is a fitted
-    ``sklearn.mixture.GaussianMixture`` (what ``data.labeling.gmm_grid_search``
-    returns). Returns the figure."""
+    ``sklearn.mixture.GaussianMixture`` over 1-D HU values (what
+    ``data.labeling.gmm_grid_search`` returns). Returns the figure."""
     from scipy.stats import norm as _norm
 
     ostium_patch = np.asarray(ostium_patch)
-    if isinstance(coords, str):
-        if coords != "middle":
-            raise ValueError(f"coords must be a voxel triple or 'middle', got {coords!r}")
-        coords = np.asarray(ostium_patch.shape) // 2
     means = np.asarray(gmm.means_).ravel()
-    stds = np.sqrt(np.asarray(gmm.covariances_).reshape(len(means), -1)[:, 0])
+    # per-component variance for 1-D fits across covariance types:
+    # full (n,1,1) / diag (n,1) / spherical (n,) / tied (1,1)
+    cov = np.asarray(gmm.covariances_)
+    if cov.size == 1:
+        var = np.full(len(means), cov.ravel()[0])
+    elif cov.size == len(means):
+        var = cov.ravel()
+    else:
+        raise ValueError("expected a GMM fitted on 1-D (HU) values")
+    stds = np.sqrt(var)
     weights = np.asarray(gmm.weights_).ravel()
 
     fig, axes = plt.subplots(1, 4, figsize=(10, 5))
-    for ax, view in zip(axes[:3], get_medical_views(ostium_patch, coords)):
-        ax.imshow(view, cmap="gray", vmin=VMIN, vmax=VMAX)
-        ax.axis("off")
+    _render_ostium_views(axes[:3], ostium_patch, coords, VMIN, VMAX)
     ax = axes[3]
     ax.hist(ostium_patch.ravel(), density=True, color="black", bins=80)
     x = np.arange(hu_range[0], hu_range[1], 10)
     y = _norm.pdf(x[None], means[:, None], stds[:, None]) * weights[:, None]
-    ax.plot(x, y.sum(0), lw=3, c=f"C{len(means)}", ls="dashed")
+    # the matplotlib property cycle only defines C0..C9: cycle component
+    # colors and keep the cumulative curve a fixed distinct style
+    ax.plot(x, y.sum(0), lw=3, c="black", ls="dashed")
     for i, yy in enumerate(y):
-        ax.plot(x, yy, lw=3, c=f"C{i}")
+        ax.plot(x, yy, lw=3, c=f"C{i % 10}")
     if title is not None:
         fig.suptitle(title)
     return fig

@@ -259,5 +259,5 @@ def test_trainer_rejects_nondivisible_train_batch(rng):
     }
     patches = {ScanType.OPT.value: batch(6), ScanType.LOW.value: batch(3),
                ScanType.HIGH.value: batch(3)}
-    with pytest.raises(ValueError, match="divide the mesh"):
+    with pytest.raises(ValueError, match="divisible by the mesh"):
         trainer.train_step(patches, 0)

@@ -1,6 +1,8 @@
 """Prefetch pipeline tests (reference capability: batchgenerators
 NonDetMultiThreadedAugmenter lifecycle, trainer/utils.py:44-107)."""
 
+import threading
+
 import numpy as np
 import pytest
 
@@ -179,10 +181,15 @@ def test_worker_failure_surfaces_not_hangs(tmp_path, rng):
 
     calls = {"n": 0}
     real = sampler.next_batch
+    # __next__ surfaces worker errors EAGERLY (before draining queued
+    # batches), so hold the failure back until batch 1 was consumed — else
+    # a slow consumer sees the RuntimeError on its first next() already
+    served_first = threading.Event()
 
     def flaky():
         calls["n"] += 1
         if calls["n"] >= 2:
+            assert served_first.wait(timeout=30)
             raise ValueError("corrupt patient file")
         return real()
 
@@ -190,6 +197,7 @@ def test_worker_failure_surfaces_not_hangs(tmp_path, rng):
     loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=False)
     loader.start()
     next(loader)  # first batch fine
+    served_first.set()
     with pytest.raises(RuntimeError, match="prefetch worker failed"):
         for _ in range(5):
             next(loader)

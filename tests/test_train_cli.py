@@ -88,6 +88,48 @@ def test_train_cli_spatial_partitioning(tmp_path, rng):
     assert any(p.name == "2.msgpack" for p in ckpts), ckpts
 
 
+@pytest.mark.slow
+def test_train_cli_sp_devices_from_config_file(tmp_path, rng):
+    """sp_devices set in the config FILE (no --sp-devices / --dp-devices CLI
+    flags) must still build the dp x sp mesh instead of being silently
+    ignored; a val_patch_size not divisible by sp_devices must be refused at
+    startup, not at the first mid-run validation."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    import train as train_cli
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    splits = {"train": [fold], "test": [fold]}
+    splits_path = tmp_path / "splits.pkl"
+    with open(splits_path, "wb") as fd:
+        pickle.dump(splits, fd)
+
+    conf_path = tmp_path / "conf.py"
+    conf_path.write_text(
+        OVERRIDE.replace('logger="none",', 'logger="none", sp_devices=2,')
+    )
+    train_cli.main([
+        "--conf", str(conf_path),
+        "--cval-splits", str(splits_path),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+    ])
+    ckpts = list((tmp_path / "ckpts" / "cli_smoke-fold0").glob("*.msgpack"))
+    assert any(p.name == "2.msgpack" for p in ckpts), ckpts
+
+    bad_conf = tmp_path / "bad_conf.py"
+    bad_conf.write_text(OVERRIDE.replace(
+        'logger="none",', 'logger="none", sp_devices=2, val_patch_size=(15, 16, 16),'
+    ))
+    with pytest.raises(SystemExit, match="val_patch_size.*divisible"):
+        train_cli.main([
+            "--conf", str(bad_conf),
+            "--cval-splits", str(splits_path),
+            "--checkpoint-root", str(tmp_path / "ckpts2"),
+        ])
+
+
 def test_profiler_schedule_windows(monkeypatch):
     """skip/wait/warmup/active/repeat cycling: traces exactly the last
     `active` steps of each cycle after `skip_first` (reference

@@ -96,6 +96,25 @@ def test_plot_gmm_fitted_ostium_patch(rng):
     viz.close(fig)
 
 
+def test_plot_gmm_fitted_ostium_patch_many_components(rng):
+    # 11 components exceeds matplotlib's C0..C9 cycle; must not crash
+    from sklearn.mixture import GaussianMixture
+
+    vals = rng.normal(300, 200, (600, 1))
+    gmm = GaussianMixture(11, random_state=0, reg_covar=1.0).fit(vals)
+    patch = rng.normal(300, 150, (9, 9, 9)).astype(np.float32)
+    fig = viz.plot_gmm_fitted_ostium_patch(patch, gmm)
+    assert len(fig.axes[3].lines) == 12
+    viz.close(fig)
+
+
+def test_plot_image_histogram_empty():
+    import pytest
+
+    with pytest.raises(ValueError):
+        viz.plot_image_histogram()
+
+
 def test_plot_hu_distributions(rng):
     fig = viz.plot_hu_distributions(
         rng.normal(250, 40, 3000),

@@ -217,23 +217,38 @@ class TrainManager:
         ckpt_dir = Path(self.checkpoint_root) / run_name
 
         mesh = None
-        if cfg.dp_devices is not None:
+        if cfg.dp_devices is not None or cfg.sp_devices:
             from contrast_gan_3d_tpu.parallel import data_mesh, dp_sp_mesh
 
             if cfg.sp_devices:
                 import jax as _jax
 
+                # dp_devices None (sp set via config file) or 0 both mean
+                # "derive from the device count"
                 dp = cfg.dp_devices or len(_jax.devices()) // cfg.sp_devices
-                mesh = dp_sp_mesh(dp, cfg.sp_devices)
-                if cfg.train_patch_size[0] % cfg.sp_devices:
+                if dp < 1:
                     raise SystemExit(
-                        f"train_patch_size[0]={cfg.train_patch_size[0]} must "
-                        f"divide sp_devices={cfg.sp_devices}"
+                        f"sp_devices={cfg.sp_devices} needs at least that many "
+                        f"devices; have {len(_jax.devices())}"
                     )
+                if not cfg.dp_devices and dp * cfg.sp_devices < len(_jax.devices()):
+                    logger.warning(
+                        "dp x sp mesh uses %d of %d devices (device count is "
+                        "not a multiple of sp_devices=%d)",
+                        dp * cfg.sp_devices, len(_jax.devices()), cfg.sp_devices,
+                    )
+                mesh = dp_sp_mesh(dp, cfg.sp_devices)
+                for field in ("train_patch_size", "val_patch_size"):
+                    first_dim = getattr(cfg, field)[0]
+                    if first_dim % cfg.sp_devices:
+                        raise SystemExit(
+                            f"{field}[0]={first_dim} must be divisible by "
+                            f"sp_devices={cfg.sp_devices}"
+                        )
             else:
                 mesh = data_mesh(cfg.dp_devices or None)
             logger.info("Mesh: %s", mesh)
-            # train batches must divide the mesh's data axis (the Trainer
+            # train batches must be divisible by the mesh's data axis (the Trainer
             # refuses to pad them — repeated samples would bias losses and
             # BatchNorm stats); round each stream up to a multiple when needed
             from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS, mesh_axis_size
