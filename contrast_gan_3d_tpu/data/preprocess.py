@@ -31,12 +31,29 @@ def create_patient(
     centerlines_dir,
     ostia_path,
     out_dir,
+    out_spacing=None,
 ) -> Path:
-    """Preprocess one patient into ``<out_dir>/<name>.npy`` + ``<name>_meta.pkl``."""
+    """Preprocess one patient into ``<out_dir>/<name>.npy`` + ``<name>_meta.pkl``.
+
+    ``out_spacing`` (scalar or per-axis mm, optional) resamples the scan onto
+    an isotropic/uniform grid first (separable matmul resampler,
+    ``ops/resample.py`` — BASELINE.json's "isotropic resampling" stage; the
+    reference trains at native spacing, so the default keeps that). The
+    centerline mask is rasterized on the FINAL grid from world coordinates —
+    no mask interpolation artifacts."""
     logger.info("Preprocessing '%s'...", str(ccta_path))
     volume, meta = io_utils.load_scan(ccta_path)  # (W, H, D) int16
     ostia_world, _ = io_utils.load_mevis_coords(ostia_path)  # (2, 3)
     centerlines_world = io_utils.load_centerlines(centerlines_dir)  # (N, 4)
+
+    if out_spacing is not None:
+        from contrast_gan_3d_tpu.ops.resample import resample_volume
+
+        out_spacing = np.broadcast_to(
+            np.asarray(out_spacing, np.float64), (3,)
+        ).copy()
+        volume = resample_volume(volume, meta["spacing"], out_spacing)
+        meta = dict(meta) | {"spacing": out_spacing}
 
     centerlines_mask = geom.world_to_grid_coords(
         centerlines_world[..., :3], meta["offset"], meta["spacing"], volume.shape

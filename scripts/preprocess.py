@@ -30,7 +30,20 @@ def main():
     p.add_argument("root", type=Path, help="dataset root")
     p.add_argument("out_dir", type=Path, help="output directory for .npy patients")
     p.add_argument("--glob", default="*.mhd", help="scan file glob")
+    p.add_argument(
+        "--out-spacing",
+        type=float,
+        nargs="+",
+        default=None,
+        metavar="MM",
+        help="resample scans to this spacing (1 value = isotropic, or 3 "
+        "per-axis mm) before packing; default keeps native spacing like "
+        "the reference",
+    )
     args = p.parse_args()
+    out_spacing = args.out_spacing
+    if out_spacing is not None and len(out_spacing) == 1:
+        out_spacing = out_spacing[0]
 
     scans = sorted(args.root.glob(args.glob))
     logger.info("Found %d scans under %s", len(scans), args.root)
@@ -44,7 +57,7 @@ def main():
             logger.warning("Skipping %s: missing centerlines dir or ostia.xml", scan)
             continue
         try:
-            create_patient(scan, pdir, ostia, args.out_dir)
+            create_patient(scan, pdir, ostia, args.out_dir, out_spacing=out_spacing)
         except Exception as e:  # keep batch preprocessing going
             logger.error("FAILED %s: %s", scan, e)
             failures.append(scan)
