@@ -184,17 +184,21 @@ def main():
         }
         print(f"overlap {overlap}: {results['overlaps'][str(overlap)]}", flush=True)
 
-    d = np.abs(corrected_by_overlap[0.25] - corrected_by_overlap[0.5])
-    results["abs_delta_25_vs_50_hu"] = {
-        "mean": round(float(d.mean()), 3),
-        "p99": round(float(np.percentile(d, 99)), 3),
-        "max": round(float(d.max()), 3),
-        "centerline_mean": round(float(d[m].mean()), 3),
-        "centerline_max": round(float(d[m].max()), 3),
-    }
-    ctl25 = float(corrected_by_overlap[0.25][m].mean())
-    ctl50 = float(corrected_by_overlap[0.5][m].mean())
-    results["centerline_delta_25_vs_50_hu"] = round(abs(ctl25 - ctl50), 3)
+    # pairwise deltas: 25-vs-50 (our headline vs the nnU-Net gold standard)
+    # AND 0-vs-25 (the reference's uniform-tile floor vs our headline)
+    for (a, b) in ((0.25, 0.5), (0.0, 0.25)):
+        tag = f"{int(a * 100)}_vs_{int(b * 100)}"
+        d = np.abs(corrected_by_overlap[a] - corrected_by_overlap[b])
+        results[f"abs_delta_{tag}_hu"] = {
+            "mean": round(float(d.mean()), 3),
+            "p99": round(float(np.percentile(d, 99)), 3),
+            "max": round(float(d.max()), 3),
+            "centerline_mean": round(float(d[m].mean()), 3),
+            "centerline_max": round(float(d[m].max()), 3),
+        }
+        ctl_a = float(corrected_by_overlap[a][m].mean())
+        ctl_b = float(corrected_by_overlap[b][m].mean())
+        results[f"centerline_delta_{tag}_hu"] = round(abs(ctl_a - ctl_b), 3)
 
     print(json.dumps(results))
     args.out.write_text(json.dumps(results, indent=2) + "\n")
