@@ -40,20 +40,26 @@ def _weight_field(
     """Sum of Gaussian windows over the (static) patch grid — independent of
     the volume, so computed once per shape on device and cached. Removes the
     weight accumulator from the per-volume hot loop (half the scatter
-    traffic; HBM bandwidth is the binding constraint on the bench chip)."""
+    traffic; HBM bandwidth is the binding constraint on the bench chip).
+
+    ``ensure_compile_time_eval`` keeps this concrete even when ``correct``
+    is itself being traced (``eval/export.py`` lowers the whole corrector
+    through ``jax.export``) — without it the cached field would be a leaked
+    tracer."""
     grid = _plan_grid(padded_shape, patch_size, stride)
-    gw = jnp.asarray(gaussian_weights(patch_size, sigma_scale))
 
-    @jax.jit
-    def compute():
-        def body(acc, start):
-            cur = jax.lax.dynamic_slice(acc, start, patch_size)
-            return jax.lax.dynamic_update_slice(acc, cur + gw, start), None
+    def body(acc, start):
+        cur = jax.lax.dynamic_slice(acc, start, patch_size)
+        return jax.lax.dynamic_update_slice(acc, cur + gw, start), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(padded_shape, jnp.float32), jnp.asarray(grid))
+    # NO inner jit: a pjit call under an outer trace gets inlined into that
+    # trace, which would defeat the compile-time eval below
+    with jax.ensure_compile_time_eval():
+        gw = jnp.asarray(gaussian_weights(patch_size, sigma_scale))
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(padded_shape, jnp.float32), jnp.asarray(grid)
+        )
         return jnp.maximum(acc, 1e-8)
-
-    return compute()
 
 
 def grid_starts(dim: int, patch: int, stride: int) -> List[int]:

@@ -22,9 +22,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("checkpoint", help="checkpoint dir/.msgpack, or .pt with --reference-pt")
+    p.add_argument("checkpoint", help="checkpoint dir/.msgpack, a .pt with "
+                   "--reference-pt, or a .jaxcorr artifact with --artifact")
     p.add_argument("--reference-pt", action="store_true",
                    help="checkpoint is a reference torch .pt file")
+    p.add_argument("--artifact", action="store_true",
+                   help="checkpoint is an AOT .jaxcorr serving artifact "
+                        "(scripts/export_corrector.py) — no model code or "
+                        "tracing; serves exactly the exported volume shape")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8390)
     p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
@@ -51,16 +56,22 @@ def main():
         batch_size=args.batch, z_bucket=args.z_bucket,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
-    if args.reference_pt:
+    if args.artifact:
+        from contrast_gan_3d_tpu.eval.export import load_exported_corrector
+
+        corrector = load_exported_corrector(args.checkpoint)
+        warmup = corrector.volume_shape  # AOT: "warmup" just loads/executes once
+    elif args.reference_pt:
         corrector = CCTAContrastCorrector.from_reference_checkpoint(
             args.checkpoint, **kwargs
         )
+        warmup = tuple(args.warmup_shape) if args.warmup_shape else None
     else:
         corrector = CCTAContrastCorrector.from_checkpoint(args.checkpoint, **kwargs)
+        warmup = tuple(args.warmup_shape) if args.warmup_shape else None
 
     server = CorrectionServer(
-        corrector, host=args.host, port=args.port,
-        warmup_shape=tuple(args.warmup_shape) if args.warmup_shape else None,
+        corrector, host=args.host, port=args.port, warmup_shape=warmup,
     )
     server.start(background=False)
 
