@@ -97,6 +97,10 @@ class ExportedCorrector:
                 "(z-bucketed) shape"
             )
         if volume.dtype != self.in_dtype:
+            if jnp.issubdtype(self.in_dtype, jnp.integer) and jnp.issubdtype(
+                volume.dtype, jnp.floating
+            ):
+                volume = jnp.round(volume)  # astype would truncate toward 0
             volume = volume.astype(self.in_dtype)
         return self._exported.call(volume)
 

@@ -30,36 +30,48 @@ import numpy as np
 from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler, Scaler
 
 
-@lru_cache(maxsize=8)
-def _weight_field(
-    padded_shape: Tuple[int, int, int],
-    patch_size: Tuple[int, int, int],
-    stride: Tuple[int, int, int],
+@lru_cache(maxsize=32)
+def weight_vectors(
+    padded_shape: Tuple[int, ...],
+    patch_size: Tuple[int, ...],
+    stride: Tuple[int, ...],
     sigma_scale: float,
+) -> Tuple[np.ndarray, ...]:
+    """Per-axis window-sum vectors whose outer product IS the blending
+    normalization field sum_patches(window).
+
+    The patch grid is a Cartesian product of per-axis starts
+    (:func:`_plan_grid`) and the Gaussian window a product of per-axis
+    windows (:func:`gaussian_weights`), so the full normalization field is
+    exactly separable: field[x, y, z] = wx[x] * wy[y] * wz[z] with
+    w_i = sum over that axis' starts of the shifted 1-D window. The callers
+    therefore never materialize (or cache, or — in ``eval/export.py``
+    artifacts — embed as a 100s-of-MB constant) the dense (W, H, D) field:
+    the outer product fuses into the final normalize/subtract for free.
+    Host numpy: a few KB per shape, trace-safe constants under jit/export."""
+    vecs = []
+    for dim, p, s in zip(padded_shape, patch_size, stride):
+        g = gaussian_weights_1d(p, sigma_scale)
+        acc = np.zeros(dim, np.float64)
+        for start in grid_starts(dim, p, s):
+            acc[start : start + p] += g
+        vecs.append(acc.astype(np.float32))
+    return tuple(vecs)
+
+
+def weight_field(
+    weight_vecs: Sequence[jax.Array], extra_dims: int = 0
 ) -> jax.Array:
-    """Sum of Gaussian windows over the (static) patch grid — independent of
-    the volume, so computed once per shape on device and cached. Removes the
-    weight accumulator from the per-volume hot loop (half the scatter
-    traffic; HBM bandwidth is the binding constraint on the bench chip).
-
-    ``ensure_compile_time_eval`` keeps this concrete even when ``correct``
-    is itself being traced (``eval/export.py`` lowers the whole corrector
-    through ``jax.export``) — without it the cached field would be a leaked
-    tracer."""
-    grid = _plan_grid(padded_shape, patch_size, stride)
-
-    def body(acc, start):
-        cur = jax.lax.dynamic_slice(acc, start, patch_size)
-        return jax.lax.dynamic_update_slice(acc, cur + gw, start), None
-
-    # NO inner jit: a pjit call under an outer trace gets inlined into that
-    # trace, which would defeat the compile-time eval below
-    with jax.ensure_compile_time_eval():
-        gw = jnp.asarray(gaussian_weights(patch_size, sigma_scale))
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros(padded_shape, jnp.float32), jnp.asarray(grid)
-        )
-        return jnp.maximum(acc, 1e-8)
+    """Broadcasted outer product of the per-axis vectors (rank = len(vecs) +
+    ``extra_dims`` trailing axes, e.g. the packed (..., 64) block channel).
+    Returns a lazily-fused expression — never materialized on its own."""
+    n = len(weight_vecs) + extra_dims
+    out = 1.0
+    for i, v in enumerate(weight_vecs):
+        shape = [1] * n
+        shape[i] = -1
+        out = out * jnp.asarray(v).reshape(shape)
+    return out
 
 
 def grid_starts(dim: int, patch: int, stride: int) -> List[int]:
@@ -72,16 +84,27 @@ def grid_starts(dim: int, patch: int, stride: int) -> List[int]:
     return starts
 
 
+def gaussian_weights_1d(p: int, sigma_scale: float = 0.125) -> np.ndarray:
+    """One axis of the blending window: peak-normalized Gaussian, floored at
+    1e-2 per axis (so the 3-D product floors at 1e-6, like the historical
+    3-D clamp, WITHOUT breaking the separability :func:`weight_vectors`
+    relies on — a clamp applied to the 3-D product would not factor)."""
+    center = (p - 1) / 2.0
+    sigma = max(p * sigma_scale, 1e-8)
+    x = np.arange(p, dtype=np.float64)
+    g = np.exp(-0.5 * ((x - center) / sigma) ** 2)
+    return np.maximum(g / g.max(), 1e-2)
+
+
 def gaussian_weights(patch_size: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
-    """Separable Gaussian blending window, peak-normalized, strictly > 0."""
-    ws = []
-    for p in patch_size:
-        center = (p - 1) / 2.0
-        sigma = max(p * sigma_scale, 1e-8)
-        x = np.arange(p, dtype=np.float64)
-        ws.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
-    w = ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
-    w = np.maximum(w / w.max(), 1e-6)
+    """Separable Gaussian blending window (product of per-axis
+    :func:`gaussian_weights_1d`), peak-normalized, strictly > 0. The SAME
+    per-axis windows feed :func:`weight_vectors`, so scatter weights and the
+    normalization field cancel exactly on single-covered voxels."""
+    ws = [gaussian_weights_1d(p, sigma_scale) for p in patch_size]
+    w = ws[0]
+    for g in ws[1:]:
+        w = w[..., None] * g
     return w.astype(np.float32)
 
 
@@ -218,9 +241,7 @@ def make_volume_corrector(
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)
-    def _correct(
-        volume: jax.Array, shape: Tuple[int, int, int], weight_sum: jax.Array
-    ) -> jax.Array:
+    def _correct(volume: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
         # pad dims smaller than the patch (centered, edge values)
         pad_cfg = [
             (
@@ -252,7 +273,8 @@ def make_volume_corrector(
             starts_b,
             jnp.asarray(grid[n_full * batch_size :]) if rem else None,
         )
-        corrected = vol - atten_acc / weight_sum
+        wvecs = weight_vectors(padded_shape, patch_size, stride, sigma_scale)
+        corrected = vol - atten_acc / weight_field(wvecs)
         # crop padding back off
         corrected = jax.lax.dynamic_slice(
             corrected, tuple(p[0] for p in pad_cfg), shape
@@ -261,7 +283,7 @@ def make_volume_corrector(
 
     @partial(jax.jit, static_argnums=1)
     def _correct_packed(
-        volume: jax.Array, shape: Tuple[int, int, int], weight_sum: jax.Array
+        volume: jax.Array, shape: Tuple[int, int, int]
     ) -> jax.Array:
         from contrast_gan_3d_tpu.ops.s2d_conv import depth_to_space, space_to_depth
 
@@ -293,7 +315,8 @@ def make_volume_corrector(
             jnp.asarray(grid[n_full * batch_size :]) if rem else None,
         )
         atten_full = depth_to_space(atten_acc[None], 4)[0, ..., 0]
-        corrected = vol - atten_full / weight_sum
+        wvecs = weight_vectors(padded_shape, patch_size, stride, sigma_scale)
+        corrected = vol - atten_full / weight_field(wvecs)
         corrected = jax.lax.dynamic_slice(
             corrected, tuple(p[0] for p in pad_cfg), shape
         )
@@ -307,13 +330,8 @@ def make_volume_corrector(
         """Correct one (W, H, D) HU volume; returns float32 HU volume."""
         shape = tuple(volume.shape)
         if packed_io:
-            padded_shape = _packed_padded_shape(shape)
-            weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)
-            return _correct_packed(volume, shape, weight_sum)
-        padded_shape = tuple(max(s, p) for s, p in zip(shape, patch_size))
-        # computed eagerly (outside the trace), cached per shape
-        weight_sum = _weight_field(padded_shape, patch_size, stride, sigma_scale)
-        return _correct(volume, shape, weight_sum)
+            return _correct_packed(volume, shape)
+        return _correct(volume, shape)
 
     return correct
 

@@ -11,7 +11,6 @@ scaling in chips for the generator FLOPs; the collective moves ~1 volume of
 bytes (half an all-reduce).
 """
 
-import functools
 import math
 from functools import partial
 from typing import Callable, Tuple
@@ -24,8 +23,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler, Scaler
 from contrast_gan_3d_tpu.ops.sliding_window import (
     _plan_grid,
-    _weight_field,
     gaussian_weights,
+    weight_field,
+    weight_vectors,
 )
 from contrast_gan_3d_tpu.parallel.mesh import DATA_AXIS
 
@@ -63,9 +63,7 @@ def make_sharded_volume_corrector(
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)
-    def _correct(
-        volume: jax.Array, shape: Tuple[int, int, int], weight_sum: jax.Array
-    ) -> jax.Array:
+    def _correct(volume: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
         pad_cfg = [
             (
                 max(0, patch_size[i] - shape[i]) // 2,
@@ -164,32 +162,22 @@ def make_sharded_volume_corrector(
             out_specs=P(None, None, axis),
         )(vol, starts_b, valid_b)
 
+        # normalization field as a separable outer product (ops/
+        # sliding_window.weight_vectors): grid planned on grid_shape; the
+        # z slab-padding tail (touched by no patch, cropped below) extends
+        # with 1s — any positive value works there since atten_acc is 0
+        wx, wy, wz = weight_vectors(grid_shape, patch_size, stride, sigma_scale)
+        z_extra = padded_shape[2] - grid_shape[2]
+        if z_extra:
+            wz = np.concatenate([wz, np.ones(z_extra, np.float32)])
         # sharded elementwise tail: GSPMD keeps it z-slab-parallel
-        corrected = vol - atten_acc / weight_sum
+        corrected = vol - atten_acc / weight_field((wx, wy, wz))
         corrected = jax.lax.dynamic_slice(
             corrected, tuple(p[0] for p in pad_cfg), shape
         )
         return scaler.unscale(corrected)
 
-    @functools.lru_cache(maxsize=32)
-    def _padded_weight_field(padded: Tuple[int, int, int]) -> jax.Array:
-        # weights over the patch grid; constant 1s in the z slab-padding
-        # tail (untouched rows - avoids 0/0 in the normalization). Cached
-        # per shape INCLUDING the pad: the un-cached version re-fetched the
-        # full device field (D2H) and re-uploaded it on every call.
-        weight_sum = _weight_field(padded, patch_size, stride, sigma_scale)
-        z_extra = (-padded[2]) % ((4 * n_dev) if packed_io else n_dev)
-        if z_extra:
-            weight_sum = jnp.pad(
-                weight_sum, ((0, 0), (0, 0), (0, z_extra)), constant_values=1.0
-            )
-        return weight_sum
-
     def correct(volume: jax.Array) -> jax.Array:
-        shape = tuple(volume.shape)
-        padded = [max(s_, p) for s_, p in zip(shape, patch_size)]
-        if packed_io:
-            padded = [d + ((-d) % 4) for d in padded]
-        return _correct(volume, shape, _padded_weight_field(tuple(padded)))
+        return _correct(volume, tuple(volume.shape))
 
     return correct

@@ -103,6 +103,13 @@ def test_export_packed_corrector(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(loaded(vol)), want, atol=2e-4)
 
 
+def test_cross_platform_lowering(corrector):
+    # a CPU build host can emit a TPU artifact (deployable, not callable here)
+    exp = export_corrector(corrector, SHAPE, platforms=("tpu",))
+    assert tuple(exp.platforms) == ("tpu",)
+    assert len(exp.serialize()) > 0
+
+
 def test_serve_artifact_roundtrip(tmp_path, corrector, rng):
     # the HTTP daemon serves a deserialized artifact directly (serve.py
     # --artifact): callable contract is all CorrectionServer needs

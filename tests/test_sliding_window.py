@@ -7,10 +7,13 @@ import pytest
 
 from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler
 from contrast_gan_3d_tpu.ops.sliding_window import (
+    _plan_grid,
     gaussian_weights,
     grid_starts,
     make_volume_corrector,
     num_patches,
+    weight_field,
+    weight_vectors,
 )
 
 
@@ -24,6 +27,21 @@ def test_grid_starts_cover_every_voxel():
         assert covered[:dim].all()
         # last window is clamped to the edge
         assert starts[-1] == max(dim, patch) - patch
+
+
+def test_weight_vectors_separable_equals_dense_window_sum():
+    """The outer product of the per-axis vectors must equal the brute-force
+    sum of the 3-D window over the actual patch grid — the separability the
+    normalization (and the small jax.export artifacts) relies on."""
+    padded, patch, stride, sigma = (24, 20, 18), (16, 12, 8), (8, 6, 4), 0.125
+    dense = np.zeros(padded, np.float64)
+    gw = gaussian_weights(patch, sigma).astype(np.float64)
+    for s in _plan_grid(padded, patch, stride):
+        dense[s[0]:s[0]+patch[0], s[1]:s[1]+patch[1], s[2]:s[2]+patch[2]] += gw
+    vecs = weight_vectors(padded, patch, stride, sigma)
+    sep = np.asarray(weight_field(vecs))
+    np.testing.assert_allclose(sep, dense, rtol=1e-5)
+    assert (sep > 0).all()
 
 
 def test_gaussian_weights_properties():
