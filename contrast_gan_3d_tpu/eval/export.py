@@ -105,6 +105,59 @@ class ExportedCorrector:
         return self._exported.call(volume)
 
 
+class ArtifactBundle:
+    """A directory of shape-specialized artifacts served as ONE corrector —
+    the AOT counterpart of the live corrector's ``z_bucket`` recompile
+    bounding: real CCTA cohorts share in-plane 512×512 but vary in z, so a
+    bundle carries one artifact per z bucket. ``__call__`` picks the
+    artifact matching (W, H) with the smallest exported depth >= the
+    volume's, edge-pads z up to it (exactly like
+    ``CCTAContrastCorrector.__call__``), corrects, and crops back."""
+
+    def __init__(self, artifacts: Sequence[ExportedCorrector]):
+        if not artifacts:
+            raise ValueError("empty artifact bundle")
+        self.artifacts = sorted(artifacts, key=lambda a: a.volume_shape)
+
+    @classmethod
+    def from_dir(cls, path) -> "ArtifactBundle":
+        files = sorted(Path(path).glob(f"*{ARTIFACT_SUFFIX}"))
+        return cls([load_exported_corrector(f) for f in files])
+
+    def pick(self, shape: Sequence[int]) -> ExportedCorrector:
+        w, h, d = shape
+        fits = [
+            a
+            for a in self.artifacts
+            if a.volume_shape[:2] == (w, h) and a.volume_shape[2] >= d
+        ]
+        if not fits:
+            raise ValueError(
+                f"no artifact serves shape {tuple(shape)}; bundle has "
+                f"{[a.volume_shape for a in self.artifacts]} — export one "
+                "with scripts/export_corrector.py"
+            )
+        return min(fits, key=lambda a: a.volume_shape[2])
+
+    def __call__(self, volume) -> jax.Array:
+        volume = jnp.asarray(volume)
+        if volume.ndim != 3:
+            raise ValueError(f"bundle serves (W, H, D) volumes, got {volume.shape}")
+        art = self.pick(volume.shape)
+        d = volume.shape[2]
+        pad = art.volume_shape[2] - d
+        if pad:
+            volume = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
+        out = art(volume)
+        return out[:, :, :d] if pad else out
+
+    def warmup(self):
+        """Run every artifact once (deserialized StableHLO still pays one
+        backend compile on first call)."""
+        for art in self.artifacts:
+            np.asarray(art(np.zeros(art.volume_shape, art.in_dtype)))
+
+
 def load_exported_corrector(path) -> ExportedCorrector:
     """Load ``save_exported_corrector`` output. Needs only jax — no model
     code, params, or framework config."""

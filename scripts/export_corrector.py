@@ -24,11 +24,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", help="checkpoint dir/.msgpack, or .pt with --reference-pt")
-    p.add_argument("out", type=Path, help="artifact path (suffix .jaxcorr appended)")
+    p.add_argument("out", type=Path,
+                   help="artifact path (suffix .jaxcorr appended); with "
+                        "multiple --shape, a bundle DIRECTORY of per-shape "
+                        "artifacts (eval.export.ArtifactBundle)")
     p.add_argument("--shape", type=int, nargs=3, required=True,
-                   metavar=("W", "H", "D"),
-                   help="volume shape the artifact serves (one artifact per "
-                        "canonical/z-bucketed shape)")
+                   action="append", metavar=("W", "H", "D"),
+                   help="volume shape the artifact serves (repeat for a "
+                        "multi-z-bucket bundle)")
     p.add_argument("--reference-pt", action="store_true",
                    help="checkpoint is a reference torch .pt file")
     p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
@@ -59,18 +62,23 @@ def main():
     else:
         corrector = CCTAContrastCorrector.from_checkpoint(args.checkpoint, **kwargs)
 
-    path = save_exported_corrector(
-        args.out, corrector, tuple(args.shape), in_dtype=np.dtype(args.in_dtype),
-        platforms=args.platform,
-        extra_meta={
-            "checkpoint": str(args.checkpoint),
-            "patch_size": list(args.patch),
-            "overlap": args.overlap,
-            "compute_dtype": args.dtype,
-        },
-    )
-    print(f"wrote {path} ({path.stat().st_size / 1e6:.1f} MB) "
-          f"+ {path.name}.json")
+    extra_meta = {
+        "checkpoint": str(args.checkpoint),
+        "patch_size": list(args.patch),
+        "overlap": args.overlap,
+        "compute_dtype": args.dtype,
+    }
+    shapes = [tuple(s) for s in args.shape]
+    for shape in shapes:
+        out = args.out
+        if len(shapes) > 1:  # bundle directory, one artifact per shape
+            out = args.out / ("corrector_%dx%dx%d" % shape)
+        path = save_exported_corrector(
+            out, corrector, shape, in_dtype=np.dtype(args.in_dtype),
+            platforms=args.platform, extra_meta=extra_meta,
+        )
+        print(f"wrote {path} ({path.stat().st_size / 1e6:.1f} MB) "
+              f"+ {path.name}.json")
 
 
 if __name__ == "__main__":

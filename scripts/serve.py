@@ -57,10 +57,19 @@ def main():
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     if args.artifact:
-        from contrast_gan_3d_tpu.eval.export import load_exported_corrector
+        from pathlib import Path as _P
 
-        corrector = load_exported_corrector(args.checkpoint)
-        warmup = corrector.volume_shape  # AOT: "warmup" just loads/executes once
+        from contrast_gan_3d_tpu.eval.export import (
+            ArtifactBundle, load_exported_corrector,
+        )
+
+        if _P(args.checkpoint).is_dir():  # multi-z-bucket bundle directory
+            corrector = ArtifactBundle.from_dir(args.checkpoint)
+            corrector.warmup()
+            warmup = None
+        else:
+            corrector = load_exported_corrector(args.checkpoint)
+            warmup = corrector.volume_shape  # one compile on first call
     elif args.reference_pt:
         corrector = CCTAContrastCorrector.from_reference_checkpoint(
             args.checkpoint, **kwargs

@@ -10,6 +10,7 @@ import pytest
 
 from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
 from contrast_gan_3d_tpu.eval.export import (
+    ArtifactBundle,
     export_corrector,
     load_exported_corrector,
     save_exported_corrector,
@@ -101,6 +102,37 @@ def test_export_packed_corrector(tmp_path, rng):
         save_exported_corrector(tmp_path / "packed", corrector, SHAPE)
     )
     np.testing.assert_allclose(np.asarray(loaded(vol)), want, atol=2e-4)
+
+
+def test_artifact_bundle_picks_pads_crops(tmp_path, corrector, rng):
+    # bundle = AOT counterpart of z_bucket: pick smallest depth >= input,
+    # edge-pad z, crop back — must equal the live corrector on the padded z
+    for d in (18, 24):
+        save_exported_corrector(
+            tmp_path / f"corrector_20x20x{d}", corrector, (20, 20, d)
+        )
+    bundle = ArtifactBundle.from_dir(tmp_path)
+    assert [a.volume_shape for a in bundle.artifacts] == [
+        (20, 20, 18), (20, 20, 24),
+    ]
+    bundle.warmup()
+
+    # exact-depth volume hits its artifact directly
+    assert bundle.pick((20, 20, 18)).volume_shape == (20, 20, 18)
+    # intermediate depth pads up to 24 and crops
+    assert bundle.pick((20, 20, 20)).volume_shape == (20, 20, 24)
+    vol = rng.integers(-1000, 1400, (20, 20, 20)).astype(np.int16)
+    got = np.asarray(bundle(vol))
+    padded = np.pad(vol, ((0, 0), (0, 0), (0, 4)), mode="edge")
+    want = np.asarray(corrector(padded))[:, :, :20]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    with pytest.raises(ValueError, match="no artifact serves"):
+        bundle(np.zeros((20, 20, 30), np.int16))
+    with pytest.raises(ValueError, match="no artifact serves"):
+        bundle(np.zeros((24, 24, 18), np.int16))
+    with pytest.raises(ValueError, match="empty artifact bundle"):
+        ArtifactBundle([])
 
 
 def test_cross_platform_lowering(corrector):
