@@ -32,7 +32,8 @@ def create_patient(
     ostia_path,
     out_dir,
     out_spacing=None,
-) -> Path:
+    fmt: str = "npy",
+):
     """Preprocess one patient into ``<out_dir>/<name>.npy`` + ``<name>_meta.pkl``.
 
     ``out_spacing`` (scalar or per-axis mm, optional) resamples the scan onto
@@ -40,7 +41,11 @@ def create_patient(
     ``ops/resample.py`` — BASELINE.json's "isotropic resampling" stage; the
     reference trains at native spacing, so the default keeps that). The
     centerline mask is rasterized on the FINAL grid from world coordinates —
-    no mask interpolation artifacts."""
+    no mask interpolation artifacts.
+
+    ``fmt="h5"`` writes HDF5 instead (``data/hdf5.py``); an ``out_dir``
+    ending in ``.h5`` appends to that corpus file regardless of ``fmt`` and
+    the returned path is the addressable ``corpus.h5::<name>`` member."""
     logger.info("Preprocessing '%s'...", str(ccta_path))
     volume, meta = io_utils.load_scan(ccta_path)  # (W, H, D) int16
     ostia_world, _ = io_utils.load_mevis_coords(ostia_path)  # (2, 3)
@@ -58,22 +63,12 @@ def create_patient(
     centerlines_mask = geom.world_to_grid_coords(
         centerlines_world[..., :3], meta["offset"], meta["spacing"], volume.shape
     )
-    scan_and_mask = np.stack(
-        [volume, centerlines_mask.astype(np.int16)], axis=-1
-    )  # (W, H, D, 2)
-
-    out_dir = Path(out_dir).resolve()
-    out_dir.mkdir(parents=True, exist_ok=True)
     name = io_utils.stem(ccta_path)
-    out_path = out_dir / f"{name}.npy"
-    np.save(out_path, scan_and_mask)
     meta = dict(meta) | {
         "ostia_world": ostia_world,
         "centerlines_world": centerlines_world,
-        "name": name,
     }
-    with open(out_dir / f"{name}_meta.pkl", "wb") as fd:
-        pickle.dump(meta, fd)
+    out_path = write_patient(volume, centerlines_mask, meta, name, out_dir, fmt=fmt)
     logger.info("Created patient '%s'", str(out_path))
     return out_path
 
@@ -84,10 +79,19 @@ def write_patient(
     meta: Dict,
     name: str,
     out_dir,
-) -> Path:
+    fmt: str = "npy",
+):
     """Lower-level variant of :func:`create_patient` for already-loaded data
-    (used by tests and synthetic-data generation)."""
-    out_dir = Path(out_dir).resolve()
+    (used by tests and synthetic-data generation). ``fmt="h5"`` (or an
+    ``out_dir`` that IS a ``.h5`` corpus file) stores HDF5; returns the
+    addressable patient path either way."""
+    out_dir = Path(out_dir)
+    if fmt == "h5" or out_dir.suffix.lower() in (".h5", ".hdf5"):
+        from contrast_gan_3d_tpu.data.hdf5 import write_patient_h5
+
+        return write_patient_h5(volume, centerlines_mask, meta, name, out_dir)
+    assert fmt == "npy", f"unknown patient format {fmt!r}"
+    out_dir = out_dir.resolve()
     out_dir.mkdir(parents=True, exist_ok=True)
     scan_and_mask = np.stack(
         [volume.astype(np.int16), centerlines_mask.astype(np.int16)], axis=-1
@@ -102,7 +106,13 @@ def write_patient(
 def load_patient(patient_path) -> Tuple[np.ndarray, Dict]:
     """mmap-load a preprocessed patient: ((W, H, D, 2) memmap, meta dict).
     ``patient_path`` may or may not carry the .npy suffix (reference
-    ``load_patient``, data/utils.py:50-54)."""
+    ``load_patient``, data/utils.py:50-54). HDF5 patients (``*.h5`` files or
+    ``corpus.h5::name`` members, ``data/hdf5.py``) return the windowed-read
+    h5py dataset in place of the memmap — same slicing, same consumers."""
+    from contrast_gan_3d_tpu.data import hdf5
+
+    if hdf5.is_hdf5_path(patient_path):
+        return hdf5.open_patient_h5(patient_path)
     path = str(patient_path)
     if path.endswith(".npy"):
         path = path[: -len(".npy")]

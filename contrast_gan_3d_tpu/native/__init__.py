@@ -154,14 +154,20 @@ def crop_pad_int16(
     volume: np.ndarray, start, patch_size, out: Optional[np.ndarray] = None
 ) -> np.ndarray:
     """Crop a zero-padded (px, py, pz, C) int16 window whose ``start`` may be
-    negative / overhang the (W, H, D, C) ``volume``."""
+    negative / overhang the (W, H, D, C) ``volume``. ``volume`` may be any
+    sliceable array-like (np memmap, h5py dataset) — only contiguous ndarrays
+    take the native path; everything else gets the windowed-read fallback."""
     assert volume.ndim == 4 and volume.dtype == np.int16
     px, py, pz = (int(p) for p in patch_size)
     C = volume.shape[3]
     if out is None:
         out = np.empty((px, py, pz, C), np.int16)
     lib = _build_and_load()
-    if lib is not None and volume.flags["C_CONTIGUOUS"]:
+    if (
+        lib is not None
+        and isinstance(volume, np.ndarray)
+        and volume.flags["C_CONTIGUOUS"]
+    ):
         lib.crop_pad_int16(
             volume.ctypes.data,
             *(int(d) for d in volume.shape),

@@ -33,7 +33,7 @@ def basename(path: PathLike) -> str:
     return Path(path).name
 
 
-_IMAGE_SUFFIXES = (".nii.gz", ".nii", ".mhd", ".mha", ".npy", ".gz")
+_IMAGE_SUFFIXES = (".nii.gz", ".nii", ".mhd", ".mha", ".npy", ".gz", ".h5", ".hdf5")
 
 
 def stem(path: PathLike) -> str:
@@ -341,12 +341,60 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
 # ---------------------------------------------------------------------------
 
 
+def read_hdf5_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    """Read a raw CCTA volume stored in HDF5 (BASELINE.json north star:
+    "host-side HDF5/NIfTI CCTA loading"). Schema: dataset ``image`` in index
+    order (x, y, z) with optional ``spacing``/``offset``/``direction`` attrs
+    (defaults 1 mm / 0 / identity — same conventions as :func:`read_mhd`)."""
+    import h5py  # optional dep: only .h5 inputs need it
+
+    with h5py.File(str(path), "r") as fd:
+        if "image" not in fd:
+            raise ValueError(f"{path}: no 'image' dataset (HDF5 scan schema)")
+        array = np.asarray(fd["image"])
+        ndims = array.ndim
+        attrs = fd["image"].attrs
+        spacing = np.asarray(attrs.get("spacing", np.ones(ndims)), np.float64)
+        origin = np.asarray(attrs.get("offset", np.zeros(ndims)), np.float64)
+        direction = np.asarray(
+            attrs.get("direction", np.eye(ndims)), np.float64
+        ).reshape(ndims, ndims)
+    return array, {"spacing": spacing, "offset": origin, "direction": direction}
+
+
+def write_hdf5_image(
+    volume_xyz: np.ndarray,
+    path: PathLike,
+    spacing=None,
+    origin=None,
+    direction=None,
+    compression: Optional[str] = None,
+):
+    """Write a raw volume in the :func:`read_hdf5_image` schema."""
+    import h5py
+
+    ndims = volume_xyz.ndim
+    with h5py.File(str(path), "w") as fd:
+        ds = fd.create_dataset("image", data=volume_xyz, compression=compression)
+        ds.attrs["spacing"] = np.asarray(
+            np.ones(ndims) if spacing is None else spacing, np.float64
+        )
+        ds.attrs["offset"] = np.asarray(
+            np.zeros(ndims) if origin is None else origin, np.float64
+        )
+        ds.attrs["direction"] = np.asarray(
+            np.eye(ndims) if direction is None else direction, np.float64
+        )
+
+
 def read_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
     name = str(path)
     if name.endswith((".mhd", ".mha")):
         return read_mhd(path)
     if name.endswith((".nii", ".nii.gz")):
         return read_nifti(path)
+    if name.endswith((".h5", ".hdf5")):
+        return read_hdf5_image(path)
     raise ValueError(f"Unsupported image format: {name}")
 
 

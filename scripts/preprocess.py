@@ -28,8 +28,20 @@ logger = create_logger(name="preprocess")
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("root", type=Path, help="dataset root")
-    p.add_argument("out_dir", type=Path, help="output directory for .npy patients")
+    p.add_argument(
+        "out_dir",
+        type=Path,
+        help="output directory for patients — or a .h5 path to pack ALL "
+        "patients into one sharded-corpus HDF5 file (data/hdf5.py)",
+    )
     p.add_argument("--glob", default="*.mhd", help="scan file glob")
+    p.add_argument(
+        "--format",
+        choices=("npy", "h5"),
+        default="npy",
+        help="per-patient storage: .npy+pickle (reference layout) or "
+        "standalone HDF5 (ignored when out_dir is itself a .h5 corpus)",
+    )
     p.add_argument(
         "--out-spacing",
         type=float,
@@ -57,7 +69,14 @@ def main():
             logger.warning("Skipping %s: missing centerlines dir or ostia.xml", scan)
             continue
         try:
-            create_patient(scan, pdir, ostia, args.out_dir, out_spacing=out_spacing)
+            create_patient(
+                scan,
+                pdir,
+                ostia,
+                args.out_dir,
+                out_spacing=out_spacing,
+                fmt=args.format,
+            )
         except Exception as e:  # keep batch preprocessing going
             logger.error("FAILED %s: %s", scan, e)
             failures.append(scan)

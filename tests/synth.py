@@ -53,14 +53,17 @@ def make_dataset(
     n_per_label: int = 1,
     shape: Tuple[int, int, int] = (24, 24, 24),
     labels: Sequence[int] = (0, -1, 1),
+    fmt: str = "npy",
 ):
-    """Write synthetic preprocessed patients; returns a fold: [(path, label)]."""
+    """Write synthetic preprocessed patients; returns a fold: [(path, label)].
+    ``fmt``: "npy" (reference layout), "h5" (standalone HDF5 patients) — or
+    pass a ``tmp_path`` ending in .h5 for one corpus file."""
     fold = []
     for label in labels:
         for i in range(n_per_label):
             vol, mask, _, meta = synthetic_patient(rng, shape)
             name = f"synth_{label}_{i}"
-            path = write_patient(vol, mask, meta, name, tmp_path)
+            path = write_patient(vol, mask, meta, name, tmp_path, fmt=fmt)
             fold.append((str(path), label))
     return fold
 
