@@ -210,11 +210,13 @@ def create_loaders(
     prefetch: int = 3,
     to_device: bool = True,
     augmenter=None,
+    p_centerline_3d: float = 0.0,
 ) -> Dict[int, PrefetchLoader]:
     """One prefetching loader per ScanType label in the fold (reference
     ``create_dataloaders``, trainer/utils.py:44-107). ``augmenter`` is a
     per-sample host transform (``host_augment.HostAugmenter``) applied in
-    the prefetch workers."""
+    the prefetch workers; ``p_centerline_3d`` turns on centerline-guided 3D
+    crops with that probability (``CCTAPatchSampler``)."""
     import dataclasses
 
     from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
@@ -233,7 +235,7 @@ def create_loaders(
         )
         sampler = CCTAPatchSampler(
             paths, patch_shape, batch_sizes[label], rng=child_rng,
-            augmenter=loader_augmenter,
+            augmenter=loader_augmenter, p_centerline_3d=p_centerline_3d,
         )
         loaders[label] = PrefetchLoader(
             sampler, num_threads=num_threads, prefetch=prefetch, to_device=to_device

@@ -98,6 +98,10 @@ class ExperimentConfig:
     num_workers: Tuple[int, int] = (4, 1)  # (train, val) prefetch threads
     prefetch_depth: int = 3
     dataset_paths: Tuple[str, ...] = ()
+    # probability of a centerline-guided 3D TRAIN crop (patch window centered
+    # on a random centerline point — BASELINE.json's "coronary-centerline-
+    # guided 3D patch extraction"; 0.0 = the reference's uniform random crops)
+    p_centerline_3d: float = 0.0
 
     # on-device spatial augmentation (basic_conf.py:88-113)
     augment: bool = True

@@ -202,3 +202,81 @@ def test_worker_failure_surfaces_not_hangs(tmp_path, rng):
         for _ in range(5):
             next(loader)
     loader.stop()
+
+
+def test_3d_centerline_guided_sampling(tmp_path, rng):
+    """p_centerline_3d=1.0: every 3D patch window contains a centerline
+    voxel (the window is centered on a rasterized centerline point —
+    BASELINE.json's centerline-guided 3D patch extraction; the 3D analogue
+    of the reference's 2D guided slices, CCTADataLoader.py:51-69)."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1, shape=(32, 32, 32))
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(
+        paths, (8, 8, 8), batch_size=3, rng=rng, p_centerline_3d=1.0
+    )
+    for _ in range(6):
+        batch = sampler.next_batch()
+        assert batch["data"].shape == (3, 8, 8, 8)
+        # uniform 8^3 crops of a 32^3 volume holding a ~30-voxel polyline hit
+        # the vessel ~25% of the time; 18 consecutive guided hits is the signal
+        assert (batch["seg"].reshape(3, -1).max(axis=1) == 1).all()
+
+
+def test_3d_centerline_guided_edge_clamping(tmp_path, rng):
+    """Guided windows around near-edge points are clamped in-bounds; with a
+    patch larger than the volume the padding path still emits full shapes."""
+    from contrast_gan_3d_tpu.data.preprocess import write_patient
+    from tests.synth import synthetic_patient
+
+    vol, mask, _, meta = synthetic_patient(rng, shape=(10, 12, 8))
+    # centerline point at the very corner of the volume (world coords)
+    meta = dict(meta)
+    meta["centerlines_world"] = np.array(
+        [[0, 0, 0, 0.5]], np.float32
+    ) * meta["spacing"][0] + np.r_[meta["offset"], 0.0].astype(np.float32)
+    mask[:] = 0
+    mask[0, 0, 0] = 1
+    path = write_patient(vol, mask, meta, "edge", tmp_path)
+    sampler = CCTAPatchSampler(
+        [str(path)], (6, 6, 6), batch_size=2, rng=rng, p_centerline_3d=1.0
+    )
+    batch = sampler.next_batch()
+    assert batch["data"].shape == (2, 6, 6, 6)
+    assert (batch["seg"].reshape(2, -1).max(axis=1) == 1).all()
+
+    big = CCTAPatchSampler(
+        [str(path)], (16, 16, 16), batch_size=1, rng=rng, p_centerline_3d=1.0
+    )
+    b = big.next_batch()
+    assert b["data"].shape == (1, 16, 16, 16)
+    assert b["seg"].max() == 1
+
+
+def test_3d_guided_zero_probability_stream_unchanged(tmp_path, rng):
+    """p_centerline_3d=0.0 consumes NO extra rng draws: streams are
+    bit-identical to a sampler without the feature (resume compatibility)."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+    a = CCTAPatchSampler(paths, PATCH, 2, rng=np.random.default_rng(9))
+    b = CCTAPatchSampler(
+        paths, PATCH, 2, rng=np.random.default_rng(9), p_centerline_3d=0.0
+    )
+    for _ in range(4):
+        ba, bb = a.next_batch(), b.next_batch()
+        np.testing.assert_array_equal(ba["data"], bb["data"])
+        np.testing.assert_array_equal(ba["seg"], bb["seg"])
+
+
+def test_create_loaders_wires_p_centerline_3d(tmp_path, rng):
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 1, -1: 1, 1: 1}, rng, num_threads=1,
+        to_device=False, p_centerline_3d=0.75,
+    )
+    try:
+        for l in loaders.values():
+            assert l.sampler.p_centerline_3d == 0.75
+        assert next(loaders[0])["data"].shape == (1, *PATCH)
+    finally:
+        for l in loaders.values():
+            l.stop()

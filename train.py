@@ -299,6 +299,7 @@ class TrainManager:
             train_fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
             num_threads=cfg.num_workers[0], prefetch=cfg.prefetch_depth,
             augmenter=built.host_augmenter, to_device=to_device,
+            p_centerline_3d=0.0 if cfg.is_2d else cfg.p_centerline_3d,
         )
         val_loaders = None
         if cfg.validate_every is not None and val_fold:
