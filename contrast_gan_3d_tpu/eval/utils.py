@@ -29,6 +29,17 @@ def load_patient_or_scan(patient_path: PathLike):
     p = str(patient_path)
     if p.endswith((".mhd", ".mha", ".nii", ".nii.gz")):
         return io_utils.load_scan(p)
+    if p.endswith((".h5", ".hdf5")) or "::" in p:
+        # an .h5 path is either a preprocessed HDF5 patient/corpus member
+        # (scan_and_mask dataset, data/hdf5.py) or a raw HDF5 scan (image
+        # dataset, io_utils.read_hdf5_image) — probe the patient schema first
+        from contrast_gan_3d_tpu.data import hdf5
+
+        try:
+            scan_and_mask, meta = hdf5.open_patient_h5(p)
+            return np.asarray(scan_and_mask[..., 0]), meta
+        except KeyError:
+            return io_utils.load_scan(p)
     scan_and_mask, meta = load_patient(p)
     return np.asarray(scan_and_mask[..., 0]), meta
 
@@ -37,14 +48,18 @@ def correct_patient(
     corrector: CCTAContrastCorrector,
     savedir: PathLike,
     patient_path: PathLike,
+    suffix: str = ".mhd",
 ) -> Path:
-    """Correct one patient and write ``<savedir>/<name>.mhd``
-    (reference ``correct_patient``, eval/utils.py:9-24)."""
+    """Correct one patient and write ``<savedir>/<name><suffix>``
+    (reference ``correct_patient``, eval/utils.py:9-24; ``suffix`` picks the
+    output format — .mhd like the reference, .nii/.nii.gz or .h5)."""
     scan, meta = load_patient_or_scan(patient_path)
     corrected = np.asarray(corrector(scan))
-    savepath = Path(savedir) / io_utils.stem(patient_path)
+    savepath = io_utils.with_image_suffix(
+        Path(savedir) / io_utils.stem(patient_path), suffix
+    )
     corrector.save(corrected, savepath, meta)
-    return io_utils.with_image_suffix(savepath)
+    return savepath
 
 
 def correct_patients(
@@ -52,6 +67,7 @@ def correct_patients(
     savedir: PathLike,
     patient_paths: Sequence[PathLike],
     overlap_io: bool = True,
+    suffix: str = ".mhd",
 ) -> list:
     """Stream patients through the corrector (reference
     ``parallel_correct_patients`` capability; see module docstring for why
@@ -67,7 +83,7 @@ def correct_patients(
     per-volume order preserved)."""
     paths = list(patient_paths)
     if not overlap_io or len(paths) <= 1:
-        return [correct_patient(corrector, savedir, p) for p in paths]
+        return [correct_patient(corrector, savedir, p, suffix=suffix) for p in paths]
 
     import jax
 
@@ -129,10 +145,12 @@ def correct_patients(
             scan_dev, meta, p = item
             logger.info("Correcting %r", str(p))
             corrected = corrector(scan_dev)  # async dispatch
-            savepath = Path(savedir) / io_utils.stem(p)
+            savepath = io_utils.with_image_suffix(
+                Path(savedir) / io_utils.stem(p), suffix
+            )
             if not _put(write_q, (corrected, savepath, meta)):
                 break
-            out.append(io_utils.with_image_suffix(savepath))
+            out.append(savepath)
     finally:
         # orderly shutdown: let the writer drain its queue, then stop both
         _put(write_q, None)

@@ -39,8 +39,12 @@ _IMAGE_SUFFIXES = (".nii.gz", ".nii", ".mhd", ".mha", ".npy", ".gz", ".h5", ".hd
 def stem(path: PathLike) -> str:
     """Filename without its imaging suffix. Strips only KNOWN suffixes (the
     old split('.')[0] collapsed DICOM-UID-style names like
-    '1.2.840.113.mhd' to '1', colliding preprocess/correction outputs)."""
+    '1.2.840.113.mhd' to '1', colliding preprocess/correction outputs).
+    HDF5 corpus members (``corpus.h5::name``, data/hdf5.py) stem to the
+    member name."""
     name = basename(path)
+    if "::" in name:
+        name = name.split("::")[-1]
     low = name.lower()
     for suffix in _IMAGE_SUFFIXES:
         if low.endswith(suffix):
@@ -341,6 +345,60 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
 # ---------------------------------------------------------------------------
 
 
+def write_nifti(
+    volume_xyz: np.ndarray,
+    path: PathLike,
+    spacing=None,
+    origin=None,
+    direction=None,
+):
+    """Write a NIfTI-1 volume (.nii / .nii.gz): the inverse of
+    :func:`read_nifti`. ``spacing``/``origin``/``direction`` are in the LPS
+    world frame (our convention everywhere); the written sform is RAS as the
+    NIfTI spec requires. No scaling fields are emitted (scl_slope = 0 — the
+    spec's "no scaling", which :func:`read_nifti` honors)."""
+    volume_xyz = np.asarray(volume_xyz)
+    assert volume_xyz.ndim == 3, volume_xyz.shape
+    codes = {np.dtype(v): k for k, v in _NIFTI_DTYPES.items()}
+    dtype = volume_xyz.dtype
+    if dtype not in codes:
+        raise ValueError(f"unsupported NIfTI dtype {dtype}")
+    spacing = np.ones(3) if spacing is None else np.asarray(spacing, np.float64)
+    origin = np.zeros(3) if origin is None else np.asarray(origin, np.float64)
+    direction = np.eye(3) if direction is None else np.asarray(direction, np.float64)
+
+    affine_lps = np.eye(4)
+    affine_lps[:3, :3] = direction @ np.diag(spacing)
+    affine_lps[:3, 3] = origin
+    # LPS -> RAS: negate the first two world axes (read_nifti's inverse)
+    affine_ras = np.diag([-1.0, -1.0, 1.0, 1.0]) @ affine_lps
+
+    hdr = bytearray(348)
+    hdr[0:4] = np.int32(348).tobytes()
+    dim = np.zeros(8, "<i2")
+    dim[0], dim[1:4] = 3, volume_xyz.shape
+    dim[4:8] = 1
+    hdr[40:56] = dim.tobytes()
+    hdr[70:72] = np.int16(codes[dtype]).tobytes()
+    hdr[72:74] = np.int16(dtype.itemsize * 8).tobytes()  # bitpix
+    pixdim = np.zeros(8, "<f4")
+    pixdim[0], pixdim[1:4] = 1.0, spacing
+    hdr[76:108] = pixdim.tobytes()
+    hdr[108:112] = np.float32(352.0).tobytes()  # vox_offset
+    hdr[112:116] = np.float32(0.0).tobytes()  # scl_slope: no scaling
+    hdr[254:256] = np.int16(1).tobytes()  # sform_code = NIFTI_XFORM_SCANNER
+    hdr[280:328] = affine_ras[:3, :].astype("<f4").tobytes()
+    hdr[344:348] = b"n+1\0"
+
+    # on-disk x fastest; 4 alignment bytes pad the header to vox_offset 352
+    payload = bytes(hdr) + b"\0" * 4 + np.transpose(
+        volume_xyz, (2, 1, 0)
+    ).astype(dtype.newbyteorder("<")).tobytes()
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(str(path), "wb") as fd:
+        fd.write(payload)
+
+
 def read_hdf5_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
     """Read a raw CCTA volume stored in HDF5 (BASELINE.json north star:
     "host-side HDF5/NIfTI CCTA loading"). Schema: dataset ``image`` in index
@@ -442,9 +500,17 @@ def save_scan(
     spacing: np.ndarray,
     savepath: PathLike,
 ):
-    """Write a corrected (W, H, D) volume as int16 compressed .mhd
-    (reference ``to_sitk`` + CCTAContrastCorrector.save_scan)."""
-    write_mhd(volume_whd.astype(np.int16), savepath, spacing=spacing, origin=offset)
+    """Write a corrected (W, H, D) volume as int16 — compressed .mhd by
+    default (reference ``to_sitk`` + CCTAContrastCorrector.save_scan), or
+    NIfTI / HDF5 when ``savepath`` carries that suffix."""
+    volume_whd = volume_whd.astype(np.int16)
+    name = str(savepath)
+    if name.endswith((".nii", ".nii.gz")):
+        write_nifti(volume_whd, savepath, spacing=spacing, origin=offset)
+    elif name.endswith((".h5", ".hdf5")):
+        write_hdf5_image(volume_whd, savepath, spacing=spacing, origin=offset)
+    else:
+        write_mhd(volume_whd, savepath, spacing=spacing, origin=offset)
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Batch full-volume correction driver (reference ``eval/utils.py`` +
 eval notebooks): load a trained generator checkpoint and correct a list of
-scans / preprocessed patients, writing .mhd outputs."""
+scans / preprocessed patients, writing .mhd (default), NIfTI or HDF5
+outputs (``--output-format``)."""
 
 import sys
 from pathlib import Path
@@ -35,6 +36,10 @@ def main():
                         "(architecture auto-derived from its state_dict)")
     p.add_argument("--sharded", action="store_true",
                    help="shard each volume's patch grid over all local devices")
+    p.add_argument("--output-format", choices=("mhd", "nii", "nii.gz", "h5"),
+                   default="mhd",
+                   help="corrected-scan format (.mhd like the reference, "
+                        "NIfTI-1, or HDF5)")
     args = p.parse_args()
     if args.reference_pt and args.iteration is not None:
         p.error("--iteration applies to checkpoint DIRS; a --reference-pt "
@@ -59,7 +64,9 @@ def main():
         # patch grid split across all visible chips; keeps the corrector's
         # layout (packed block-space by default)
         corrector.shard_over(data_mesh())
-    correct_patients(corrector, args.out_dir, args.scans)
+    correct_patients(
+        corrector, args.out_dir, args.scans, suffix=f".{args.output_format}"
+    )
 
 
 if __name__ == "__main__":

@@ -211,3 +211,21 @@ def test_load_scan_hdf5_matches_mhd(tmp_path, rng):
 def test_stem_strips_h5_suffix():
     assert io_utils.stem("1.2.840.113.h5") == "1.2.840.113"
     assert io_utils.stem("scan.hdf5") == "scan"
+
+
+def test_load_patient_or_scan_h5_schemas(tmp_path, rng):
+    """eval's loader distinguishes preprocessed HDF5 patients (scan_and_mask)
+    from raw HDF5 scans (image) by schema probe."""
+    from contrast_gan_3d_tpu.eval.utils import load_patient_or_scan
+
+    vol, mask, _, meta = synthetic_patient(rng, shape=(10, 10, 6))
+    member = hdf5.write_patient_h5(vol, mask, meta, "p", tmp_path / "c.h5")
+    got, m = load_patient_or_scan(member)
+    np.testing.assert_array_equal(got, vol)
+    assert "centerlines_world" in m
+
+    raw = rng.integers(-500, 900, size=(8, 8, 4)).astype(np.int16)
+    io_utils.write_hdf5_image(raw, tmp_path / "raw.h5")
+    got2, m2 = load_patient_or_scan(tmp_path / "raw.h5")
+    np.testing.assert_array_equal(got2, raw)
+    assert m2["orientation"] == "LPS"

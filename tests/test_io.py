@@ -202,3 +202,70 @@ def test_write_mhd_geometry_full_precision(tmp_path, rng):
     _, meta = io_utils.read_mhd(tmp_path / "p.mhd")
     np.testing.assert_array_equal(meta["spacing"], spacing)
     np.testing.assert_array_equal(meta["offset"], origin)
+
+
+def test_write_nifti_roundtrip(tmp_path, rng):
+    """write_nifti is the exact inverse of read_nifti: array, LPS geometry
+    and dtype round-trip, .nii and .nii.gz, identity and oblique frames."""
+    vol = rng.integers(-500, 900, size=(7, 6, 5)).astype(np.int16)
+    spacing = np.array([0.43, 0.43, 0.625])
+    origin = np.array([-101.25, 33.5, -7.0])
+    # a proper rotation (oblique direction): rotate about z by ~20 deg
+    c, s = np.cos(0.35), np.sin(0.35)
+    direction = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    for fname in ("v.nii", "v.nii.gz"):
+        io_utils.write_nifti(
+            vol, tmp_path / fname, spacing=spacing, origin=origin,
+            direction=direction,
+        )
+        got, meta = io_utils.read_nifti(tmp_path / fname)
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(got, vol)
+        np.testing.assert_allclose(meta["spacing"], spacing, atol=1e-5)
+        np.testing.assert_allclose(meta["offset"], origin, atol=1e-4)
+        np.testing.assert_allclose(meta["direction"], direction, atol=1e-5)
+
+
+def test_write_nifti_float_and_default_geometry(tmp_path, rng):
+    vol = rng.normal(size=(4, 5, 6)).astype(np.float32)
+    io_utils.write_nifti(vol, tmp_path / "f.nii")
+    got, meta = io_utils.read_nifti(tmp_path / "f.nii")
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, vol)
+    np.testing.assert_allclose(meta["spacing"], 1.0)
+    np.testing.assert_allclose(meta["offset"], 0.0)
+
+
+def test_write_nifti_matches_mhd_through_load_scan(tmp_path, rng):
+    """The same volume written as .nii.gz and .mhd loads identically through
+    load_scan (reorientation + HU clip path)."""
+    vol = rng.integers(-1024, 1500, size=(8, 8, 4)).astype(np.int16)
+    spacing, origin = np.array([0.5, 0.5, 1.0]), np.array([1.0, -2.0, 3.0])
+    io_utils.write_nifti(vol, tmp_path / "s.nii.gz", spacing=spacing, origin=origin)
+    io_utils.write_mhd(vol, tmp_path / "s.mhd", spacing=spacing, origin=origin)
+    a, ma = io_utils.load_scan(tmp_path / "s.nii.gz")
+    b, mb = io_utils.load_scan(tmp_path / "s.mhd")
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(ma["spacing"], mb["spacing"], atol=1e-5)
+    np.testing.assert_allclose(ma["offset"], mb["offset"], atol=1e-4)
+    assert ma["orientation"] == mb["orientation"] == "LPS"
+
+
+def test_save_scan_format_dispatch(tmp_path, rng):
+    """save_scan writes the format its suffix names (.mhd default, NIfTI,
+    HDF5) — corrected volumes read back identically from each."""
+    vol = rng.integers(-200, 800, size=(6, 6, 3)).astype(np.int16)
+    spacing, origin = np.array([0.7, 0.7, 1.2]), np.array([0.5, -1.5, 2.0])
+    outs = {}
+    for fname in ("c.mhd", "c.nii.gz", "c.h5"):
+        io_utils.save_scan(vol, origin, spacing, tmp_path / fname)
+        outs[fname], meta = io_utils.load_scan(tmp_path / fname)
+        np.testing.assert_allclose(meta["spacing"], spacing, atol=1e-5)
+        np.testing.assert_allclose(meta["offset"], origin, atol=1e-4)
+    np.testing.assert_array_equal(outs["c.mhd"], outs["c.nii.gz"])
+    np.testing.assert_array_equal(outs["c.mhd"], outs["c.h5"])
+
+
+def test_stem_corpus_member():
+    assert io_utils.stem("data/corpus.h5::1.2.840.113") == "1.2.840.113"
+    assert io_utils.stem("corpus.h5::p0") == "p0"
