@@ -143,11 +143,26 @@ def cross_val_splits(
 
 def divide_scans_in_fold(fold: FoldType) -> dict:
     """Group a fold's (path, label) pairs by label (reference
-    ``divide_scans_in_fold``, trainer/utils.py:37-41)."""
+    ``divide_scans_in_fold``, trainer/utils.py:37-41).
+
+    A fold entry may be an HDF5 corpus FILE (``data/hdf5.py``): it expands
+    to its member patients, all under the entry's label — per-ScanType
+    corpus files (``opt.h5`` / ``low.h5`` / ``high.h5``) are the natural
+    shard layout for the "sharded HDF5 CT corpus" training stage."""
     out: dict = {}
     for path, label in fold:
-        out.setdefault(int(label), []).append(path)
+        out.setdefault(int(label), []).extend(_expand_corpus(path))
     return out
+
+
+def _expand_corpus(path) -> list:
+    from contrast_gan_3d_tpu.data import hdf5
+
+    if hdf5.HAS_H5PY and hdf5.is_hdf5_path(path):
+        _, member = hdf5.split_member(path)
+        if member is None:  # whole file: standalone patient OR corpus
+            return hdf5.corpus_members(path)
+    return [path]
 
 
 def minmax_norm(x, value_range: Optional[Tuple[float, float]] = None):

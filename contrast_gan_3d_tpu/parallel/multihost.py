@@ -55,6 +55,27 @@ def host_local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per)
 
 
+def host_fold_shard(fold) -> list:
+    """This host's share of a fold's (path, label) entries — the "sharded
+    HDF5 CT corpus" layout (BASELINE.json config #5): every process samples
+    a disjoint patient subset (HDF5 corpus FILES in the fold expand to their
+    members first, ``data/labeling.divide_scans_in_fold``), so no host reads
+    another host's shard. Round-robin keeps per-label mixes balanced."""
+    from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
+
+    pi, pc = jax.process_index(), jax.process_count()
+    shard = []
+    for label, paths in divide_scans_in_fold(fold).items():
+        mine = paths[pi::pc]
+        # every host needs every ScanType stream (one loader per label)
+        assert mine, (
+            f"label {label} has {len(paths)} patients — not enough for "
+            f"{pc} hosts (process {pi} would have an empty stream)"
+        )
+        shard.extend((p, label) for p in mine)
+    return shard
+
+
 def make_global_batch(host_local: np.ndarray, mesh) -> jax.Array:
     """Assemble a globally-sharded device array from this host's local shard
     (``jax.make_array_from_process_local_data`` under a batch sharding)."""

@@ -229,3 +229,52 @@ def test_load_patient_or_scan_h5_schemas(tmp_path, rng):
     got2, m2 = load_patient_or_scan(tmp_path / "raw.h5")
     np.testing.assert_array_equal(got2, raw)
     assert m2["orientation"] == "LPS"
+
+
+def test_fold_corpus_file_expansion(tmp_path, rng):
+    """A fold entry naming a per-ScanType corpus FILE expands to its member
+    patients under that label (the sharded-corpus training layout); loaders
+    build directly from it."""
+    from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
+    from contrast_gan_3d_tpu.data.pipeline import create_loaders
+
+    files = {}
+    for label, fname in [(0, "opt.h5"), (-1, "low.h5"), (1, "high.h5")]:
+        for i in range(2):
+            vol, mask, _, meta = synthetic_patient(rng, shape=(20, 20, 20))
+            hdf5.write_patient_h5(vol, mask, meta, f"p{i}", tmp_path / fname)
+        files[label] = str(tmp_path / fname)
+    fold = [(files[0], 0), (files[-1], -1), (files[1], 1)]
+
+    by_label = divide_scans_in_fold(fold)
+    assert {k: len(v) for k, v in by_label.items()} == {0: 2, -1: 2, 1: 2}
+    assert all(hdf5.MEMBER_SEP in p for ps in by_label.values() for p in ps)
+
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, to_device=False
+    )
+    try:
+        assert next(loaders[0])["data"].shape == (2, *PATCH)
+        assert next(loaders[-1])["data"].shape == (1, *PATCH)
+    finally:
+        for l in loaders.values():
+            l.stop()
+
+
+def test_host_fold_shard_single_process(tmp_path, rng):
+    """host_fold_shard on one process returns the full expanded fold with
+    per-label streams intact (N-process behavior = paths[i::n] per label,
+    exercised for real in tests/test_multihost.py's two-process harness)."""
+    from contrast_gan_3d_tpu.parallel.multihost import host_fold_shard
+
+    files = {}
+    for label, fname in [(0, "opt.h5"), (-1, "low.h5"), (1, "high.h5")]:
+        for i in range(2):
+            vol, mask, _, meta = synthetic_patient(rng, shape=(12, 12, 12))
+            hdf5.write_patient_h5(vol, mask, meta, f"p{i}", tmp_path / fname)
+        files[label] = str(tmp_path / fname)
+    fold = [(files[0], 0), (files[-1], -1), (files[1], 1)]
+    shard = host_fold_shard(fold)
+    labels = [l for _, l in shard]
+    assert sorted(labels) == [-1, -1, 0, 0, 1, 1]
+    assert all(hdf5.MEMBER_SEP in p for p, _ in shard)
