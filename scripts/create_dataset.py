@@ -30,9 +30,28 @@ from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 logger = create_logger(name="create_dataset")
 
 
+def patient_paths(src: Path) -> list:
+    """Addressable preprocessed patients under ``src``: .npy files,
+    standalone .h5 patients, members of .h5 corpus files — or ``src``
+    itself when it IS a corpus file (``data/hdf5.py``)."""
+    from contrast_gan_3d_tpu.data import hdf5
+
+    if src.suffix.lower() in (".h5", ".hdf5"):
+        return hdf5.corpus_members(src)
+    paths = [str(p) for p in sorted(src.glob("*.npy"))]
+    for h5_file in sorted(src.glob("*.h5")) + sorted(src.glob("*.hdf5")):
+        paths.extend(hdf5.corpus_members(h5_file))
+    return paths
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("patients_dir", type=Path, help="directory of preprocessed .npy patients")
+    p.add_argument(
+        "patients_dir",
+        type=Path,
+        help="directory of preprocessed patients (.npy and/or .h5) or one "
+        ".h5 corpus file",
+    )
     p.add_argument("out_dir", type=Path)
     p.add_argument("--n-folds", type=int, default=3)
     p.add_argument("--seed", type=int, default=42)
@@ -40,14 +59,14 @@ def main():
     args.out_dir.mkdir(parents=True, exist_ok=True)
 
     rows = []
-    for npy in sorted(args.patients_dir.glob("*.npy")):
-        data, meta = load_patient(str(npy))
+    for patient in patient_paths(args.patients_dir):
+        data, meta = load_patient(patient)
         patches = extract_ostia_patch(
             np.asarray(data[..., 0]).astype(np.float32),
             meta["ostia_world"], meta["offset"], meta["spacing"],
         )
         for (mu, std) in compute_ostia_HU_stats(patches, seed=args.seed):
-            rows.append({"ID": meta["name"], "path": str(npy), "mu": mu, "std": std})
+            rows.append({"ID": meta["name"], "path": str(patient), "mu": mu, "std": std})
         logger.info("Labeled %s", meta["name"])
 
     ostia_df = pd.DataFrame(rows)

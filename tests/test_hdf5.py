@@ -278,3 +278,39 @@ def test_host_fold_shard_single_process(tmp_path, rng):
     labels = [l for _, l in shard]
     assert sorted(labels) == [-1, -1, 0, 0, 1, 1]
     assert all(hdf5.MEMBER_SEP in p for p, _ in shard)
+
+
+def test_create_dataset_script_mixed_formats(tmp_path, rng):
+    """scripts/create_dataset.py labels a patients dir holding BOTH .npy
+    patients and an HDF5 corpus; the split pickle carries corpus-member
+    paths that load_patient resolves."""
+    import pickle
+    import subprocess
+    import sys
+
+    pdir = tmp_path / "patients"
+    pdir.mkdir()
+    for i in range(3):
+        vol, mask, _, meta = synthetic_patient(rng, shape=(24, 24, 24))
+        write_patient(vol, mask, meta, f"npy{i}", pdir)
+    for i in range(3):
+        vol, mask, _, meta = synthetic_patient(rng, shape=(24, 24, 24))
+        hdf5.write_patient_h5(vol, mask, meta, f"h5{i}", pdir / "corpus.h5")
+
+    out = tmp_path / "dataset"
+    proc = subprocess.run(
+        [sys.executable, "scripts/create_dataset.py", str(pdir), str(out),
+         "--n-folds", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": str(tmp_path)},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(out / "cross_val_splits.pkl", "rb") as fd:
+        splits = pickle.load(fd)
+    paths = {p for fold in splits["train"] + splits["test"] for p, _ in fold}
+    assert sum(hdf5.MEMBER_SEP in p for p in paths) == 3
+    assert sum(p.endswith(".npy") for p in paths) == 3
+    member = next(p for p in paths if hdf5.MEMBER_SEP in p)
+    data, _ = load_patient(member)
+    assert data.shape == (24, 24, 24, 2)
