@@ -128,7 +128,11 @@ def write_patient_h5(
     addressable patient path (``file.h5`` or ``file.h5::name``).
 
     ``compression`` is any h5py filter (``"gzip"``, ``"lzf"``); the default
-    is uncompressed for mmap-like random-crop read speed."""
+    is uncompressed for mmap-like random-crop read speed.
+
+    Corpus appends are single-writer (HDF5 has no concurrent-writer mode):
+    parallel preprocessing jobs should write per-job corpus files or
+    standalone patients — readers handle any mix."""
     _require_h5py()
     scan_and_mask = np.stack(
         [np.asarray(volume, np.int16), np.asarray(centerlines_mask, np.int16)],
