@@ -72,6 +72,12 @@ def main():
         help="2d = conf_2D-family: 2D patches/models, per-slice correction",
     )
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--p-centerline-3d", type=float, default=0.0,
+                   help="fraction of train crops centered on centerline "
+                        "points (guided 3D sampling A/B)")
+    p.add_argument("--data-format", choices=("npy", "h5"), default="npy",
+                   help="patient storage driving the run (h5 = one corpus "
+                        "file end-to-end)")
     p.add_argument("--seed", type=int, default=None,
                    help="training seed override (cohort stays fixed); the toy "
                         "WGAN oscillates — use to separate seed noise from "
@@ -90,10 +96,11 @@ def main():
     rng = np.random.default_rng(0)
     fold = []
     vessel_by_label = {0: 400, -1: 250, 1: 550}
+    out_store = tmp / ("data/corpus.h5" if args.data_format == "h5" else "data")
     for label, hu in vessel_by_label.items():
         for i in range(3):
             vol, mask, meta = synth_patient(rng, tuple(args.shape), hu)
-            path = write_patient(vol, mask, meta, f"s{label}_{i}", tmp / "data")
+            path = write_patient(vol, mask, meta, f"s{label}_{i}", out_store)
             fold.append((str(path), label))
 
     is_2d = args.family == "2d"
@@ -125,6 +132,7 @@ def main():
     loaders = create_loaders(
         fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
         num_threads=2, augmenter=built.host_augmenter,
+        p_centerline_3d=0.0 if is_2d else args.p_centerline_3d,
     )
     trainer = Trainer(
         built.generator, built.critic, built.gen_tx, built.critic_tx,
@@ -148,6 +156,8 @@ def main():
         "iterations": args.iterations,
         "mode": "gp" if args.gp else "wc",
         "family": args.family,
+        "p_centerline_3d": args.p_centerline_3d,
+        "data_format": args.data_format,
     }
     for tag, vessel_hu in (("", 250), ("high_", 550)):
         vol, mask, meta = synth_patient(rng, tuple(args.shape), vessel_hu)
