@@ -91,3 +91,84 @@ def test_two_process_data_parallel_step(tmp_path, rng):
         np.testing.assert_allclose(
             results[0][k], float(jax.device_get(v)), rtol=5e-4, atol=1e-5, err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_two_process_sharded_corpus_training(tmp_path, rng):
+    """BASELINE config #5 for real: two processes each own a DISJOINT
+    per-label shard of an HDF5 corpus fold (host_fold_shard), feed it
+    through the production prefetch loaders, and run one data-parallel WGAN
+    step — metrics replicate across hosts and equal a single-device run of
+    the assembled global batch."""
+    from contrast_gan_3d_tpu.data import hdf5
+    from tests.synth import synthetic_patient
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    for label, fname in ((0, "opt.h5"), (-1, "low.h5"), (1, "high.h5")):
+        for i in range(4):  # 2 per host per label
+            vol, mask, _, meta = synthetic_patient(rng, shape=(20, 20, 20))
+            hdf5.write_patient_h5(
+                vol, mask, meta, f"{fname.split('.')[0]}_{i}", corpus_dir / fname
+            )
+
+    worker = WORKER.parent / "multihost_corpus_worker.py"
+    for attempt in (0, 1):  # gloo barrier can time out under CPU contention
+        coordinator = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, "2", str(pid),
+                 str(corpus_dir), str(tmp_path / f"out{pid}.json")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=str(WORKER.parent.parent),
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-3000:]
+
+    results = [json.loads((tmp_path / f"out{i}.json").read_text()) for i in (0, 1)]
+    for r in results:
+        assert r.pop("global_devices") == 4
+    assert [r.pop("process_index") for r in results] == [0, 1]
+
+    # the corpus shards and the patients actually sampled are disjoint
+    shards = [set(r.pop("shard_paths")) for r in results]
+    sampled = [set(r.pop("sampled")) for r in results]
+    assert not shards[0] & shards[1]
+    assert len(shards[0]) == len(shards[1]) == 6  # 2 per label per host
+    assert not sampled[0] & sampled[1]
+
+    for k in results[0]:  # replicated metrics agree across hosts
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-5, err_msg=k)
+
+    # single-device replay of the assembled global batch (process order)
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import (
+        StepConfig, build_train_steps, init_state,
+    )
+
+    locals_ = [np.load(str(tmp_path / f"out{i}.json") + ".npz") for i in (0, 1)]
+    opt = np.concatenate([l["opt"] for l in locals_])
+    sub = np.concatenate([l["sub"] for l in locals_])
+    msk = np.concatenate([l["msk"] for l in locals_])
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), PATCH)
+    steps = build_train_steps(gen, critic, tx, tx, StepConfig(augment=None))
+    _, metrics = steps.combined_step(
+        state, jnp.asarray(opt), jnp.asarray(sub), jnp.asarray(msk)
+    )
+    for k, v in metrics.items():
+        np.testing.assert_allclose(
+            results[0][k], float(jax.device_get(v)), rtol=5e-4, atol=1e-5, err_msg=k
+        )
