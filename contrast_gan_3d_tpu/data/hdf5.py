@@ -182,13 +182,8 @@ def open_patient_h5(path: PathLike) -> Tuple["h5py.Dataset", Dict]:
         data = node[SCAN_DS]
         meta = _read_meta(node)
     except KeyError:
+        available = f"; members: {sorted(fd.keys())[:16]}"
         fd.close()
-        available = ""
-        try:
-            with h5py.File(file_part, "r") as probe:
-                available = f"; members: {sorted(probe.keys())[:16]}"
-        except OSError:
-            pass
         raise KeyError(
             f"{path}: no patient data found "
             f"(member={member!r}, dataset={SCAN_DS!r}){available}"

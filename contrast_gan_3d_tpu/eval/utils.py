@@ -27,18 +27,23 @@ logger = create_logger(name=__name__)
 def load_patient_or_scan(patient_path: PathLike):
     """Raw image file or preprocessed patient -> ((W, H, D) int16, meta)."""
     p = str(patient_path)
-    if p.endswith((".mhd", ".mha", ".nii", ".nii.gz")):
+    if p.lower().endswith((".mhd", ".mha", ".nii", ".nii.gz")):
         return io_utils.load_scan(p)
-    if p.endswith((".h5", ".hdf5")) or "::" in p:
+    from contrast_gan_3d_tpu.data import hdf5
+
+    if hdf5.is_hdf5_path(p):
         # an .h5 path is either a preprocessed HDF5 patient/corpus member
         # (scan_and_mask dataset, data/hdf5.py) or a raw HDF5 scan (image
         # dataset, io_utils.read_hdf5_image) — probe the patient schema first
-        from contrast_gan_3d_tpu.data import hdf5
-
+        _, member = hdf5.split_member(p)
         try:
             scan_and_mask, meta = hdf5.open_patient_h5(p)
             return np.asarray(scan_and_mask[..., 0]), meta
         except KeyError:
+            if member is not None:
+                # a member address can only name a patient — a raw-scan
+                # fallback would mask the diagnostic missing-member error
+                raise
             return io_utils.load_scan(p)
     scan_and_mask, meta = load_patient(p)
     return np.asarray(scan_and_mask[..., 0]), meta

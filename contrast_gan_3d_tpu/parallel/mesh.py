@@ -102,15 +102,23 @@ def put_replicated(tree, mesh: Mesh):
 def put_batch(tree, mesh: Mesh):
     """Place host batches sharded on their leading axis (and first spatial
     dim on a dp x sp mesh). Rank-aware: (B,) leaves (validity weights) only
-    shard over ``data``."""
-    full = batch_spec(mesh)
-    if len(full) <= 1:
-        return jax.device_put(tree, NamedSharding(mesh, full))
+    shard over ``data``.
+
+    Multi-process meshes: each process passes its HOST-LOCAL batch shard
+    (``multihost.host_fold_shard`` feeds per-host loaders) and the global
+    array is assembled via ``make_array_from_process_local_data`` — the
+    same call sites work single- and multi-host."""
+    multiprocess = not NamedSharding(mesh, batch_spec(mesh)).is_fully_addressable
 
     def _leaf(x):
-        spec = batch_spec(mesh, ndim=np.ndim(x))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, batch_spec(mesh, ndim=np.ndim(x)))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
+    full = batch_spec(mesh)
+    if len(full) <= 1 and not multiprocess:
+        return jax.device_put(tree, NamedSharding(mesh, full))
     return jax.tree.map(_leaf, tree)
 
 

@@ -61,12 +61,13 @@ def host_fold_shard(fold) -> list:
     a disjoint patient subset (HDF5 corpus FILES in the fold expand to their
     members first, ``data/labeling.divide_scans_in_fold``), so no host reads
     another host's shard. Round-robin keeps per-label mixes balanced."""
+    from contrast_gan_3d_tpu.data.hdf5 import shard_members
     from contrast_gan_3d_tpu.data.labeling import divide_scans_in_fold
 
     pi, pc = jax.process_index(), jax.process_count()
     shard = []
     for label, paths in divide_scans_in_fold(fold).items():
-        mine = paths[pi::pc]
+        mine = shard_members(paths, pi, pc)
         # every host needs every ScanType stream (one loader per label)
         assert mine, (
             f"label {label} has {len(paths)} patients — not enough for "
@@ -77,10 +78,9 @@ def host_fold_shard(fold) -> list:
 
 
 def make_global_batch(host_local: np.ndarray, mesh) -> jax.Array:
-    """Assemble a globally-sharded device array from this host's local shard
-    (``jax.make_array_from_process_local_data`` under a batch sharding)."""
-    from contrast_gan_3d_tpu.parallel.mesh import shard_batch
+    """Assemble a globally-sharded device array from this host's local shard.
+    Thin alias of ``parallel.mesh.put_batch``, which is process-aware — the
+    Trainer's own feed path therefore works multi-host unchanged."""
+    from contrast_gan_3d_tpu.parallel.mesh import put_batch
 
-    return jax.make_array_from_process_local_data(
-        shard_batch(mesh), host_local
-    )
+    return put_batch(host_local, mesh)

@@ -193,7 +193,11 @@ def maybe_restore(state, ckpt_dir) -> Any:
 
 
 def data_state_path(ckpt_dir, step: int) -> Path:
-    return Path(ckpt_dir) / f"{int(step)}.data.pkl"
+    """Multi-host runs write one sidecar PER PROCESS (each host's sampler
+    rngs/epoch order differ — host_fold_shard gives disjoint patients); the
+    single-host name stays ``<step>.data.pkl`` for compatibility."""
+    host = "" if jax.process_count() == 1 else f".host{jax.process_index()}"
+    return Path(ckpt_dir) / f"{int(step)}.data{host}.pkl"
 
 
 def save_data_state(loaders: Dict, ckpt_dir, step: int) -> Path:

@@ -149,7 +149,10 @@ class Trainer:
                 DATA_AXIS, SPACE_AXIS, mesh_axis_size, put_batch,
             )
 
-            n = mesh_axis_size(self.mesh, DATA_AXIS)
+            # multi-host: each process feeds its HOST-LOCAL shard (put_batch
+            # assembles the global array), so the local batch must divide
+            # this host's share of the data axis
+            n = max(1, mesh_axis_size(self.mesh, DATA_AXIS) // jax.process_count())
             if opt.shape[0] % n or subopt.shape[0] % n:
                 # padding a TRAIN batch with repeated samples would bias
                 # every unmasked loss mean AND the BatchNorm batch statistics
@@ -158,11 +161,11 @@ class Trainer:
                 # masked reductions). train.py auto-rounds configured batch
                 # sizes to device multiples before building loaders.
                 raise ValueError(
-                    f"train batch sizes (opt {opt.shape[0]}, subopt "
+                    f"host-local train batch sizes (opt {opt.shape[0]}, subopt "
                     f"{subopt.shape[0]}) must be divisible by the mesh's "
-                    f"{n} data-parallel devices; round them up to multiples "
-                    f"of {n} (train.py does this automatically) or pick "
-                    "dp_devices that divides them"
+                    f"{n} data-parallel devices on this host; round them up "
+                    f"to multiples of {n} (train.py does this automatically) "
+                    "or pick dp_devices that divides them"
                 )
             sp = mesh_axis_size(self.mesh, SPACE_AXIS)
             if subopt.shape[1] % sp:
@@ -264,11 +267,14 @@ class Trainer:
             if val_loaders and _due(iteration, self.cfg.val_every):
                 self.validate(val_loaders, iteration)
             if self.cfg.checkpoint_dir and _due(iteration, self.cfg.checkpoint_every):
-                ckpt_lib.save_checkpoint(
-                    self.state, self.cfg.checkpoint_dir,
-                    keep=self.cfg.checkpoint_keep, async_=True,
-                    meta=self._ckpt_meta,
-                )
+                # the model state is replicated -> process 0 writes it once;
+                # the data-stream sidecar is PER-HOST (disjoint fold shards)
+                if jax.process_index() == 0:
+                    ckpt_lib.save_checkpoint(
+                        self.state, self.cfg.checkpoint_dir,
+                        keep=self.cfg.checkpoint_keep, async_=True,
+                        meta=self._ckpt_meta,
+                    )
                 self._data_state(train_loaders, "save", self.iteration)
             if profiler is not None:
                 profiler.step()
@@ -276,10 +282,11 @@ class Trainer:
         if profiler is not None:
             profiler.stop()
         if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
-            ckpt_lib.save_checkpoint(
-                self.state, self.cfg.checkpoint_dir,
-                keep=self.cfg.checkpoint_keep, meta=self._ckpt_meta,
-            )
+            if jax.process_index() == 0:
+                ckpt_lib.save_checkpoint(
+                    self.state, self.cfg.checkpoint_dir,
+                    keep=self.cfg.checkpoint_keep, meta=self._ckpt_meta,
+                )
             self._data_state(train_loaders, "save", self.iteration)
         self._manage_loaders(train_loaders, "end")
         if val_loaders:
@@ -305,7 +312,9 @@ class Trainer:
             put_batch,
         )
 
-        padded = pad_batch_to_multiple(data, mesh_axis_size(self.mesh, DATA_AXIS))
+        padded = pad_batch_to_multiple(
+            data, max(1, mesh_axis_size(self.mesh, DATA_AXIS) // jax.process_count())
+        )
         w = np.zeros((padded.shape[0],), np.float32)
         w[:n] = 1.0
         return put_batch(padded, self.mesh), put_batch(w, self.mesh)

@@ -373,20 +373,22 @@ def write_nifti(
     # LPS -> RAS: negate the first two world axes (read_nifti's inverse)
     affine_ras = np.diag([-1.0, -1.0, 1.0, 1.0]) @ affine_lps
 
+    # every field explicitly little-endian — native-endian scalars would
+    # write a mixed-endian header on big-endian hosts
     hdr = bytearray(348)
-    hdr[0:4] = np.int32(348).tobytes()
+    hdr[0:4] = np.int32(348).astype("<i4").tobytes()
     dim = np.zeros(8, "<i2")
     dim[0], dim[1:4] = 3, volume_xyz.shape
     dim[4:8] = 1
     hdr[40:56] = dim.tobytes()
-    hdr[70:72] = np.int16(codes[dtype]).tobytes()
-    hdr[72:74] = np.int16(dtype.itemsize * 8).tobytes()  # bitpix
+    hdr[70:72] = np.int16(codes[dtype]).astype("<i2").tobytes()
+    hdr[72:74] = np.int16(dtype.itemsize * 8).astype("<i2").tobytes()  # bitpix
     pixdim = np.zeros(8, "<f4")
     pixdim[0], pixdim[1:4] = 1.0, spacing
     hdr[76:108] = pixdim.tobytes()
-    hdr[108:112] = np.float32(352.0).tobytes()  # vox_offset
-    hdr[112:116] = np.float32(0.0).tobytes()  # scl_slope: no scaling
-    hdr[254:256] = np.int16(1).tobytes()  # sform_code = NIFTI_XFORM_SCANNER
+    hdr[108:112] = np.float32(352.0).astype("<f4").tobytes()  # vox_offset
+    hdr[112:116] = np.float32(0.0).astype("<f4").tobytes()  # scl_slope: no scaling
+    hdr[254:256] = np.int16(1).astype("<i2").tobytes()  # sform = XFORM_SCANNER
     hdr[280:328] = affine_ras[:3, :].astype("<f4").tobytes()
     hdr[344:348] = b"n+1\0"
 
@@ -446,14 +448,14 @@ def write_hdf5_image(
 
 
 def read_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
-    name = str(path)
+    name = str(path).lower()
     if name.endswith((".mhd", ".mha")):
         return read_mhd(path)
     if name.endswith((".nii", ".nii.gz")):
         return read_nifti(path)
     if name.endswith((".h5", ".hdf5")):
         return read_hdf5_image(path)
-    raise ValueError(f"Unsupported image format: {name}")
+    raise ValueError(f"Unsupported image format: {path}")
 
 
 def load_scan(
@@ -504,7 +506,7 @@ def save_scan(
     default (reference ``to_sitk`` + CCTAContrastCorrector.save_scan), or
     NIfTI / HDF5 when ``savepath`` carries that suffix."""
     volume_whd = volume_whd.astype(np.int16)
-    name = str(savepath)
+    name = str(savepath).lower()
     if name.endswith((".nii", ".nii.gz")):
         write_nifti(volume_whd, savepath, spacing=spacing, origin=offset)
     elif name.endswith((".h5", ".hdf5")):

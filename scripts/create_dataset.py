@@ -33,14 +33,28 @@ logger = create_logger(name="create_dataset")
 def patient_paths(src: Path) -> list:
     """Addressable preprocessed patients under ``src``: .npy files,
     standalone .h5 patients, members of .h5 corpus files — or ``src``
-    itself when it IS a corpus file (``data/hdf5.py``)."""
+    itself when it IS a corpus file (``data/hdf5.py``). Unrecognized .h5
+    schemas (e.g. RAW scans that were never preprocessed) fail loudly
+    instead of silently contributing zero patients."""
     from contrast_gan_3d_tpu.data import hdf5
 
+    def members_or_raise(h5_file) -> list:
+        members = hdf5.corpus_members(h5_file)
+        if not members:
+            raise SystemExit(
+                f"{h5_file}: neither a preprocessed patient nor a corpus "
+                f"(no '{hdf5.SCAN_DS}' datasets) — raw scans must go "
+                "through scripts/preprocess.py first"
+            )
+        return members
+
     if src.suffix.lower() in (".h5", ".hdf5"):
-        return hdf5.corpus_members(src)
+        return members_or_raise(src)
     paths = [str(p) for p in sorted(src.glob("*.npy"))]
     for h5_file in sorted(src.glob("*.h5")) + sorted(src.glob("*.hdf5")):
-        paths.extend(hdf5.corpus_members(h5_file))
+        paths.extend(members_or_raise(h5_file))
+    if not paths:
+        raise SystemExit(f"{src}: no preprocessed patients (.npy/.h5) found")
     return paths
 
 

@@ -314,3 +314,45 @@ def test_create_dataset_script_mixed_formats(tmp_path, rng):
     member = next(p for p in paths if hdf5.MEMBER_SEP in p)
     data, _ = load_patient(member)
     assert data.shape == (24, 24, 24, 2)
+
+
+def test_missing_corpus_member_error_not_masked(tmp_path, rng):
+    """A bad member address surfaces the diagnostic KeyError (listing
+    available members) instead of a raw-scan fallback's format error."""
+    from contrast_gan_3d_tpu.eval.utils import load_patient_or_scan
+
+    vol, mask, _, meta = synthetic_patient(rng, shape=(8, 8, 8))
+    hdf5.write_patient_h5(vol, mask, meta, "present", tmp_path / "c.h5")
+    with pytest.raises(KeyError, match="present"):
+        load_patient_or_scan(f"{tmp_path / 'c.h5'}::absent")
+
+
+def test_uppercase_h5_suffix_dispatch(tmp_path, rng):
+    """Suffix dispatch is case-insensitive end to end: an uppercase raw
+    HDF5 scan loads through the scan path, not the patient probe."""
+    from contrast_gan_3d_tpu.eval.utils import load_patient_or_scan
+
+    raw = rng.integers(-500, 900, size=(6, 6, 4)).astype(np.int16)
+    io_utils.write_hdf5_image(raw, tmp_path / "SCAN.H5")
+    got, meta = load_patient_or_scan(tmp_path / "SCAN.H5")
+    np.testing.assert_array_equal(got, raw)
+    assert meta["orientation"] == "LPS"
+
+
+def test_create_dataset_rejects_raw_h5(tmp_path, rng):
+    """patient_paths fails loudly on .h5 files that are neither patients
+    nor corpora (e.g. raw scans) instead of yielding zero patients."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "create_dataset_script", "scripts/create_dataset.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    raw = rng.integers(-500, 900, size=(6, 6, 4)).astype(np.int16)
+    io_utils.write_hdf5_image(raw, tmp_path / "raw.h5")
+    with pytest.raises(SystemExit, match="preprocess"):
+        mod.patient_paths(tmp_path / "raw.h5")
+    with pytest.raises(SystemExit, match="no preprocessed patients"):
+        mod.patient_paths(tmp_path / "empty_does_not_glob")

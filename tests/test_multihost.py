@@ -172,3 +172,82 @@ def test_two_process_sharded_corpus_training(tmp_path, rng):
         np.testing.assert_allclose(
             results[0][k], float(jax.device_get(v)), rtol=5e-4, atol=1e-5, err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_two_process_train_cli_sharded_corpus(tmp_path, rng):
+    """The PRODUCTION train.py CLI across two processes: per-ScanType HDF5
+    corpus fold, host_fold_shard + per-host batch division engage inside
+    TrainManager, validation runs mesh-sharded, process 0 writes the model
+    checkpoint and each host writes its own data-stream sidecar."""
+    import pickle
+
+    from contrast_gan_3d_tpu.data import hdf5
+    from tests.synth import synthetic_patient
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    fold = []
+    for label, fname in ((0, "opt.h5"), (-1, "low.h5"), (1, "high.h5")):
+        for i in range(4):
+            vol, mask, _, meta = synthetic_patient(rng, shape=(16, 16, 16))
+            hdf5.write_patient_h5(
+                vol, mask, meta, f"{fname.split('.')[0]}_{i}", corpus_dir / fname
+            )
+        fold.append((str(corpus_dir / fname), label))
+    splits = tmp_path / "splits.pkl"
+    splits.write_bytes(pickle.dumps({"train": [fold], "test": [fold]}))
+
+    conf = tmp_path / "conf.py"
+    conf.write_text(
+        "from dataclasses import replace\n"
+        "def config(base):\n"
+        "    return replace(base, name='mh_cli', train_iterations=4,\n"
+        "        validate_every=2, val_iterations=1, checkpoint_every=4,\n"
+        "        log_every=None, log_images_every=None,\n"
+        "        train_patch_size=(8, 8, 8), val_patch_size=(8, 8, 8),\n"
+        "        train_batch_size={0: 4, -1: 2, 1: 2},\n"
+        "        val_batch_size={0: 2, -1: 2, 1: 2},\n"
+        "        generator_args={'n_resnet_blocks': 1,\n"
+        "                        'n_updownsample_blocks': 1,\n"
+        "                        'init_channels_out': 2},\n"
+        "        critic_args={'init_channels_out': 2,\n"
+        "                     'discriminator_depth': 1},\n"
+        "        generator_layout='direct', augment=False,\n"
+        "        num_workers=(1, 1), dp_devices=0)\n"
+    )
+
+    worker = WORKER.parent / "multihost_train_worker.py"
+    for attempt in (0, 1):
+        coordinator = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, "2", str(pid),
+                 str(conf), str(splits), str(tmp_path / "ckpts")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=str(WORKER.parent.parent),
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-4000:]
+
+    ckpt_dir = tmp_path / "ckpts" / "mh_cli-fold0"
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert "4.msgpack" in names, names  # process 0 wrote the model once
+    assert "4.data.host0.pkl" in names and "4.data.host1.pkl" in names, names
+
+    # the checkpoint is loadable and carries the trained step counter
+    from contrast_gan_3d_tpu.trainer.checkpoint import load_generator
+
+    payload = load_generator(ckpt_dir)
+    assert payload["step"] == 4
+
+    # each host's sidecar carries all three per-label loader states
+    for host in (0, 1):
+        states = pickle.loads((ckpt_dir / f"4.data.host{host}.pkl").read_bytes())
+        assert set(states) == {0, -1, 1}

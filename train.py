@@ -263,6 +263,35 @@ class TrainManager:
                 )
                 cfg = replace(cfg, train_batch_size=new_bs)
 
+        # multi-host: this process samples only ITS fold shard and loads
+        # 1/process_count of every stream — mesh.put_batch assembles the
+        # global arrays from the per-host shards (sharded-corpus layout)
+        loader_train_bs = dict(cfg.train_batch_size)
+        loader_val_bs = dict(cfg.val_batch_size)
+        if mesh is not None:
+            import jax as _jax
+
+            pc = _jax.process_count()
+            if pc > 1:
+                from contrast_gan_3d_tpu.parallel.multihost import host_fold_shard
+
+                bad = {k: v for k, v in loader_train_bs.items() if v % pc}
+                if bad:
+                    raise SystemExit(
+                        f"train batch sizes {bad} must be divisible by the "
+                        f"{pc} hosts (each host loads its share)"
+                    )
+                train_fold = host_fold_shard(train_fold)
+                if val_fold:
+                    val_fold = host_fold_shard(val_fold)
+                loader_train_bs = {k: v // pc for k, v in loader_train_bs.items()}
+                loader_val_bs = {k: max(1, v // pc) for k, v in loader_val_bs.items()}
+                logger.info(
+                    "Host %d/%d: %d-patient fold shard, per-host train "
+                    "batches %s", _jax.process_index(), pc, len(train_fold),
+                    loader_train_bs,
+                )
+
         if cfg.logger == "wandb":
             # init BEFORE build(): builder constructs WandbLogger, whose
             # define_metric calls need the active run
@@ -291,12 +320,20 @@ class TrainManager:
 
         built = build(cfg, checkpoint_dir=str(ckpt_dir))
         host_rng, key = seed_everything(built.seed)
+        if mesh is not None:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # decorrelate crop/augment streams across hosts (patients are
+                # already disjoint via host_fold_shard; identical rng streams
+                # would still correlate crop positions)
+                host_rng = host_rng.spawn(_jax.process_count())[_jax.process_index()]
 
         # under a mesh the trainer pads + shards batches itself; eager
         # single-device put would only force a host round-trip
         to_device = mesh is None
         train_loaders = create_loaders(
-            train_fold, cfg.train_patch_size, cfg.train_batch_size, host_rng,
+            train_fold, cfg.train_patch_size, loader_train_bs, host_rng,
             num_threads=cfg.num_workers[0], prefetch=cfg.prefetch_depth,
             augmenter=built.host_augmenter, to_device=to_device,
             p_centerline_3d=0.0 if cfg.is_2d else cfg.p_centerline_3d,
@@ -304,7 +341,7 @@ class TrainManager:
         val_loaders = None
         if cfg.validate_every is not None and val_fold:
             val_loaders = create_loaders(
-                val_fold, cfg.val_patch_size, cfg.val_batch_size, host_rng,
+                val_fold, cfg.val_patch_size, loader_val_bs, host_rng,
                 num_threads=cfg.num_workers[1], prefetch=1, to_device=to_device,
             )
 
@@ -354,6 +391,12 @@ def parse_args(argv=None):
                    help="additionally spatially partition each patch's first "
                         "dim over N devices (dp x sp mesh; oversized patches "
                         "train across chips via GSPMD conv halo exchange)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the multi-process JAX runtime before building "
+                        "the mesh (run one train.py per TPU host; cluster "
+                        "auto-detection on Cloud TPU pods). Each host then "
+                        "samples only its fold shard and loads its share of "
+                        "every batch (parallel/multihost.py)")
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--wandb-entity", default=None)
     p.add_argument("--profiler-dir", default=None)
@@ -373,6 +416,10 @@ def main(argv=None):
     args = parse_args(argv)
     if args.debug:
         jax.config.update("jax_debug_nans", True)
+    if args.multihost:
+        from contrast_gan_3d_tpu.parallel import multihost
+
+        multihost.initialize()  # before any device query builds a backend
 
     cfg = load_config(args.conf)
     overrides = {}
