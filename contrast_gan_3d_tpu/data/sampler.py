@@ -90,12 +90,25 @@ class CCTAPatchSampler:
                 "rng": self.rng.bit_generator.state,
                 "order": list(self._order),
                 "epoch_done": self._epoch_done,
+                # the epoch order indexes THIS patient list; a restore onto a
+                # different list (e.g. a resharded multi-host fold) would
+                # silently replay someone else's stream — record it so
+                # set_state can refuse
+                "paths": [str(p) for p in self.paths],
             }
             if self.augmenter is not None:
                 state["augmenter_rng"] = self.augmenter.rng.bit_generator.state
         return state
 
     def set_state(self, state: Dict):
+        saved_paths = state.get("paths")
+        if saved_paths is not None and list(saved_paths) != [str(p) for p in self.paths]:
+            raise ValueError(
+                "data-stream state was saved for a different patient list "
+                f"({len(saved_paths)} patients vs {len(self.paths)} now) — "
+                "the stream cannot be replayed over a different shard "
+                "(did the host count or fold composition change?)"
+            )
         with self._rng_lock:
             self.rng.bit_generator.state = state["rng"]
             self._order = list(state["order"])

@@ -106,8 +106,10 @@ def save_checkpoint(
             )
             for old in ckpts[:-keep]:
                 old.unlink(missing_ok=True)
-                # the sidecars of a pruned step are useless
-                (old.parent / f"{old.stem}.data.pkl").unlink(missing_ok=True)
+                # the sidecars of a pruned step are useless; the glob also
+                # catches multi-host per-process files (<step>.data.hostN.pkl)
+                for sidecar in old.parent.glob(f"{old.stem}.data*.pkl"):
+                    sidecar.unlink(missing_ok=True)
                 (old.parent / f"{old.stem}.meta.json").unlink(missing_ok=True)
 
     if async_:
@@ -204,10 +206,17 @@ def save_data_state(loaders: Dict, ckpt_dir, step: int) -> Path:
     """Checkpoint the host data-stream state (per-loader sampler rngs +
     epoch order) alongside ``<step>.msgpack`` so a resumed run reproduces
     the batch sequence — the reference loses its augmenter-worker rngs on
-    restart (non-resumable data stream)."""
+    restart (non-resumable data stream). The payload records the process
+    topology so an ELASTIC resume (different host count) is detected and
+    starts fresh streams instead of replaying another shard's state."""
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    payload = {label: loader.get_state() for label, loader in loaders.items()}
+    payload = {
+        "format": 2,
+        "process_count": jax.process_count(),
+        "process_index": jax.process_index(),
+        "loaders": {label: loader.get_state() for label, loader in loaders.items()},
+    }
     path = data_state_path(ckpt_dir, step)
     tmp = path.with_suffix(".pkl.tmp")
     tmp.write_bytes(pickle.dumps(payload))
@@ -217,14 +226,53 @@ def save_data_state(loaders: Dict, ckpt_dir, step: int) -> Path:
 
 def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
     """Restore loader states saved by :func:`save_data_state`; loaders must
-    not be started yet. Returns True when a sidecar was found."""
+    not be started yet. Returns True only when every loader's stream was
+    restored exactly. Elastic resumes (the run topology or a loader's patient
+    shard changed since the sidecar was written) log a warning and leave the
+    affected streams fresh — the model state restores exactly either way;
+    only the data-stream replay is necessarily different on a new shard."""
     path = data_state_path(ckpt_dir, step)
     if not path.exists():
+        # a sidecar for this step written under a different process topology
+        # (e.g. 2-host run resumed single-host) deserves an explicit note
+        others = sorted(Path(ckpt_dir).glob(f"{int(step)}.data*.pkl"))
+        if others:
+            logger.warning(
+                "No data-stream sidecar for this process at step %d, but %s "
+                "exist — the run topology changed; starting fresh data "
+                "streams (model state still restores exactly)",
+                int(step), [p.name for p in others],
+            )
         return False
     payload = pickle.loads(path.read_bytes())
-    for label, state in payload.items():
-        if label in loaders:
+    if isinstance(payload, dict) and payload.get("format") == 2:
+        saved_pc = payload["process_count"]
+        if saved_pc != jax.process_count():
+            logger.warning(
+                "Data-stream sidecar '%s' was written by a %d-process run; "
+                "this run has %d processes — fold shards differ, starting "
+                "fresh data streams (model state still restores exactly)",
+                path, saved_pc, jax.process_count(),
+            )
+            return False
+        states = payload["loaders"]
+    else:  # pre-format-2 sidecar: bare {label: state}
+        states = payload
+    stale = []
+    for label, state in states.items():
+        if label not in loaders:
+            continue
+        try:
             loaders[label].set_state(state)
+        except ValueError as e:  # saved for a different patient shard
+            stale.append((label, str(e)))
+    if stale:
+        logger.warning(
+            "Data-stream sidecar '%s' does not match the current patient "
+            "shards — streams %s start fresh: %s",
+            path, [label for label, _ in stale], stale[0][1],
+        )
+        return False
     logger.info("Restored data-stream state '%s'", path)
     return True
 

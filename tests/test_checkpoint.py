@@ -133,6 +133,74 @@ def test_data_state_sidecar_roundtrip(tmp_path, rng):
     assert not ckpt_lib.maybe_restore_data_state({0: b}, tmp_path / "ck", step=6)
 
 
+def test_data_state_elastic_resume(tmp_path, rng):
+    """Elastic resumes are detected, warned about, and start fresh streams
+    instead of silently replaying another shard's state."""
+    import pickle
+
+    from tests.synth import make_dataset
+
+    from contrast_gan_3d_tpu.data.pipeline import PrefetchLoader
+    from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+    fold = make_dataset(tmp_path, rng, n_per_label=2)
+    paths = [p for p, _ in fold]
+
+    def mk(subset, seed=3):
+        s = CCTAPatchSampler(subset, (8, 8, 8), 2, rng=np.random.default_rng(seed))
+        return PrefetchLoader(s, num_threads=1, prefetch=1, to_device=False)
+
+    ck = tmp_path / "ck"
+    a = mk(paths)
+    a.sampler.next_batch()
+    ckpt_lib.save_data_state({0: a}, ck, step=5)
+
+    # the sampler itself refuses a state saved for a different patient list
+    other = CCTAPatchSampler(paths[:3], (8, 8, 8), 2)
+    with pytest.raises(ValueError, match="different patient list"):
+        other.set_state(a.sampler.get_state())
+
+    # checkpoint layer: shard changed (e.g. resharded fold) -> fresh stream,
+    # restore reports False, loader rng untouched
+    b = mk(paths[:3], seed=999)
+    before = b.sampler.rng.bit_generator.state
+    assert not ckpt_lib.maybe_restore_data_state({0: b}, ck, step=5)
+    assert b.sampler.rng.bit_generator.state == before
+
+    # process-count change recorded in the payload -> fresh stream
+    sidecar = ckpt_lib.data_state_path(ck, 5)
+    payload = pickle.loads(sidecar.read_bytes())
+    assert payload["format"] == 2 and payload["process_count"] == 1
+    payload["process_count"] = 4
+    sidecar.write_bytes(pickle.dumps(payload))
+    c = mk(paths)
+    assert not ckpt_lib.maybe_restore_data_state({0: c}, ck, step=5)
+
+    # pre-format-2 sidecars (bare {label: state}) still restore
+    flat = {0: a.sampler.get_state()}
+    sidecar.write_bytes(pickle.dumps(flat))
+    d = mk(paths, seed=999)
+    assert ckpt_lib.maybe_restore_data_state({0: d}, ck, step=5)
+    np.testing.assert_array_equal(
+        a.sampler.next_batch()["data"], d.sampler.next_batch()["data"]
+    )
+
+
+def test_keep_prunes_multihost_data_sidecars(tiny_state, tmp_path):
+    """checkpoint_keep pruning removes per-host data sidecars too (a long
+    multi-host run must not accumulate <step>.data.hostN.pkl files)."""
+    state = tiny_state
+    for step in (1, 2):
+        for name in (f"{step}.data.pkl", f"{step}.data.host0.pkl", f"{step}.data.host1.pkl"):
+            (tmp_path / name).parent.mkdir(parents=True, exist_ok=True)
+            (tmp_path / name).write_bytes(b"x")
+        ckpt_lib.save_checkpoint(state, tmp_path, step=step, keep=1)
+    names = {p.name for p in tmp_path.iterdir()}
+    assert "2.msgpack" in names and "1.msgpack" not in names
+    assert not any(n.startswith("1.data") for n in names), names
+    assert {"2.data.pkl", "2.data.host0.pkl", "2.data.host1.pkl"} <= names
+
+
 def test_sampler_state_with_augmenter_roundtrip(tmp_path, rng):
     """The augmenter rng is part of the stream state: identical augmented
     batches after restore."""

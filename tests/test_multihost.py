@@ -247,7 +247,10 @@ def test_two_process_train_cli_sharded_corpus(tmp_path, rng):
     payload = load_generator(ckpt_dir)
     assert payload["step"] == 4
 
-    # each host's sidecar carries all three per-label loader states
+    # each host's sidecar carries all three per-label loader states plus the
+    # process topology (elastic-resume detection)
     for host in (0, 1):
-        states = pickle.loads((ckpt_dir / f"4.data.host{host}.pkl").read_bytes())
-        assert set(states) == {0, -1, 1}
+        payload = pickle.loads((ckpt_dir / f"4.data.host{host}.pkl").read_bytes())
+        assert payload["format"] == 2
+        assert payload["process_count"] == 2 and payload["process_index"] == host
+        assert set(payload["loaders"]) == {0, -1, 1}
