@@ -34,7 +34,8 @@ logger = create_logger(name=__name__)
 
 # largest accepted request body: a (1024, 1024, 1024) int16 volume (2 GiB)
 # plus npy header slack — protects the warm daemon from memory exhaustion
-# via huge/forged Content-Length (the server binds non-loopback by default)
+# via huge/forged Content-Length (matters when bound beyond the loopback
+# default, e.g. serve.py --host 0.0.0.0)
 MAX_BODY_BYTES = 2 * 1024**3 + 4096
 
 

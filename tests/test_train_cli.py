@@ -267,3 +267,17 @@ def test_round_train_batches_minimal():
     assert train_cli.round_train_batches({OPT: 4, LOW: 3, HIGH: 1}, 4) == {
         OPT: 4, LOW: 3, HIGH: 1,
     }
+
+
+def test_effective_logger_multihost_single_sink():
+    """Multi-host runs keep one experiment logger: non-zero hosts downgrade
+    wandb/file to none; console/noop stay per-host; single-host unchanged."""
+    from train import effective_logger
+
+    assert effective_logger("wandb", 0, 4) == "wandb"
+    assert effective_logger("wandb", 3, 4) == "none"
+    assert effective_logger("file", 1, 2) == "none"
+    assert effective_logger("console", 1, 2) == "console"
+    assert effective_logger("none", 1, 2) == "none"
+    assert effective_logger("wandb", 0, 1) == "wandb"
+    assert effective_logger("file", 0, 1) == "file"

@@ -122,6 +122,17 @@ class JaxProfiler:
             self._stop_trace()
 
 
+def effective_logger(logger_kind: str, process_index: int, process_count: int) -> str:
+    """Multi-host runs keep ONE experiment logger (host 0): the train state is
+    replicated, so every host computes identical metrics — N wandb runs / N
+    file sinks would be N copies of the same curves (and per-host FileLogger
+    dirs under a shared checkpoint root would collide). Console/noop loggers
+    are per-host by design and pass through."""
+    if process_count > 1 and process_index != 0 and logger_kind in ("wandb", "file"):
+        return "none"
+    return logger_kind
+
+
 def round_train_batches(bs: dict, n: int) -> dict:
     """MINIMAL batch-size rounding for an ``n``-device mesh: the Trainer
     needs only ``opt % n == 0`` and ``(LOW + HIGH) % n == 0`` — per-stream
@@ -238,11 +249,11 @@ class TrainManager:
                         dp * cfg.sp_devices, len(_jax.devices()), cfg.sp_devices,
                     )
                 mesh = dp_sp_mesh(dp, cfg.sp_devices)
-                for field in ("train_patch_size", "val_patch_size"):
-                    first_dim = getattr(cfg, field)[0]
+                for size_field in ("train_patch_size", "val_patch_size"):
+                    first_dim = getattr(cfg, size_field)[0]
                     if first_dim % cfg.sp_devices:
                         raise SystemExit(
-                            f"{field}[0]={first_dim} must be divisible by "
+                            f"{size_field}[0]={first_dim} must be divisible by "
                             f"sp_devices={cfg.sp_devices}"
                         )
             else:
@@ -286,6 +297,13 @@ class TrainManager:
                     val_fold = host_fold_shard(val_fold)
                 loader_train_bs = {k: v // pc for k, v in loader_train_bs.items()}
                 loader_val_bs = {k: max(1, v // pc) for k, v in loader_val_bs.items()}
+                downgraded = effective_logger(cfg.logger, _jax.process_index(), pc)
+                if downgraded != cfg.logger:
+                    logger.info(
+                        "Host %d: experiment logging (%s) delegated to host 0",
+                        _jax.process_index(), cfg.logger,
+                    )
+                    cfg = replace(cfg, logger=downgraded)
                 logger.info(
                     "Host %d/%d: %d-patient fold shard, per-host train "
                     "batches %s", _jax.process_index(), pc, len(train_fold),
