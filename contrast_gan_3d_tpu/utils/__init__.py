@@ -30,10 +30,13 @@ def swap_last_dim(x: np.ndarray) -> np.ndarray:
     return np.moveaxis(x, -1, 0)
 
 
-def downsample(x: np.ndarray, factor: int = 2) -> np.ndarray:
-    """Strided spatial downsample of a (W, H, ...) array."""
-    slicer = tuple(slice(None, None, factor) for _ in range(x.ndim))
-    return x[slicer]
+def downsample(a: np.ndarray, size: int, rng=None) -> np.ndarray:
+    """Random subsample WITHOUT replacement (reference ``utils.downsample``:
+    ``np.random.choice(a, size, replace=False)`` — used to bound histogram/KDE
+    inputs). ``rng`` makes it deterministic; the module-level legacy stream is
+    the reference behavior."""
+    rng = rng or np.random.default_rng()
+    return rng.choice(a, size=size, replace=False)
 
 
 def to_host(tree):

@@ -458,6 +458,15 @@ def read_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
     raise ValueError(f"Unsupported image format: {path}")
 
 
+def get_scan_orientation(path: PathLike) -> str:
+    """Anatomical orientation code (e.g. ``'LPS'``, ``'RAS'``) of the ON-DISK
+    image — the raw direction matrix before :func:`load_scan`'s LPS
+    reorientation (reference ``get_scan_orientation``, io_utils.py:14-20,
+    via torchio)."""
+    _, meta = read_image(path)
+    return orientation_code(np.asarray(meta["direction"]))
+
+
 def load_scan(
     image_path: PathLike,
     segmentation: bool = False,

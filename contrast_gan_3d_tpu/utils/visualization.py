@@ -133,6 +133,31 @@ def plot_ostium_patch(
     return fig
 
 
+def plot_mid_slice(
+    image: np.ndarray,
+    axes=None,
+    title: Optional[str] = None,
+    vmin: float = VMIN,
+    vmax: float = VMAX,
+):
+    """Axial/sagittal/coronal views through the volume CENTER (reference
+    ``plot_mid_slice``, ``visualization.py:197-219``) with the shape+middle
+    suptitle. Returns the axes array like the reference."""
+    if axes is None:
+        _, axes = plt.subplots(1, 3, figsize=(10, 5))
+    image = np.asarray(image)
+    middle = np.asarray(image.shape[:3]) // 2
+    views = get_medical_views(image, middle)
+    for ax, ax_title, view in zip(np.ravel(axes), ["Axial", "Sagittal", "Coronal"], views):
+        ax.imshow(view, cmap="gray", vmin=vmin, vmax=vmax)
+        ax.set_title(ax_title)
+    full_title = f"{tuple(image.shape)}, middle: {middle}"
+    if title is not None:
+        full_title = f"{title} {full_title}"
+    np.ravel(axes)[0].get_figure().suptitle(full_title)
+    return axes
+
+
 def subsample_voxels(values: np.ndarray, max_size: int = 100_000, rng=None) -> np.ndarray:
     """Cap a 1-D voxel-intensity sample for histogram/KDE rendering
     (reference ``downsampled_hist`` + ``utils.downsample``,

@@ -101,3 +101,17 @@ def test_ensure_valid_bounds_oversized_target_clamps():
     # in-range behavior unchanged (reference-exact)
     assert geom.ensure_valid_bounds(-2, 6, 8, 10) == (0, 8)
     assert geom.ensure_valid_bounds(5, 13, 8, 10) == (2, 10)
+
+
+def test_downsample_is_choice_without_replacement():
+    """utils.downsample matches the reference's np.random.choice(a, size,
+    replace=False) semantics (reference utils/__init__.py:70-71)."""
+    import numpy as np
+
+    from contrast_gan_3d_tpu.utils import downsample
+
+    a = np.arange(1000)
+    out = downsample(a, 100, rng=np.random.default_rng(0))
+    assert out.shape == (100,)
+    assert len(np.unique(out)) == 100  # no replacement
+    assert np.isin(out, a).all()

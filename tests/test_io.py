@@ -269,3 +269,18 @@ def test_save_scan_format_dispatch(tmp_path, rng):
 def test_stem_corpus_member():
     assert io_utils.stem("data/corpus.h5::1.2.840.113") == "1.2.840.113"
     assert io_utils.stem("corpus.h5::p0") == "p0"
+
+
+def test_get_scan_orientation_reports_on_disk_code(tmp_path):
+    """get_scan_orientation (reference io_utils.py:14-20) reports the raw
+    on-disk orientation, not the post-load LPS."""
+    import numpy as np
+
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    vol = np.zeros((4, 5, 6), np.int16)
+    ras = np.diag([-1.0, -1.0, 1.0])  # RAS direction in the LPS world frame
+    io_utils.write_mhd(vol, tmp_path / "ras.mhd", direction=ras)
+    io_utils.write_mhd(vol, tmp_path / "lps.mhd")
+    assert io_utils.get_scan_orientation(tmp_path / "ras.mhd") == "RAS"
+    assert io_utils.get_scan_orientation(tmp_path / "lps.mhd") == "LPS"

@@ -132,3 +132,20 @@ def test_plot_centerlines_3d(rng):
     fig = viz.plot_centerlines_3d(pts, downsample_factor=5, title="ctl", s=2)
     assert fig.axes[0].name == "3d"
     viz.close(fig)
+
+
+def test_plot_mid_slice():
+    """Reference plot_mid_slice (visualization.py:197-219): 3 center views +
+    shape/middle suptitle; returns the axes."""
+    import numpy as np
+
+    from contrast_gan_3d_tpu.utils import visualization as viz
+
+    vol = np.random.default_rng(0).integers(-1000, 1000, (12, 10, 8)).astype(np.int16)
+    axes = viz.plot_mid_slice(vol, title="scan")
+    flat = np.ravel(axes)
+    assert len(flat) == 3
+    assert flat[0].get_title() == "Axial"
+    fig = flat[0].get_figure()
+    assert "scan (12, 10, 8), middle: [6 5 4]" in fig._suptitle.get_text()
+    viz.plt.close("all")
