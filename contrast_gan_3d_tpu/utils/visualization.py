@@ -382,9 +382,12 @@ def hu_distribution_shift_plot(
             vals = np.asarray(by_region.get(region, []))
             if vals.size:
                 vals = subsample_voxels(vals[np.isfinite(vals)], max_voxels, rng)
-                sns.kdeplot(vals, ax=ax, label=series, fill=False)
+                # warn_singular off: tiny masks (2-voxel ostia) have zero
+                # variance — normal at smoke scale, not worth a warning
+                sns.kdeplot(vals, ax=ax, label=series, fill=False, warn_singular=False)
         ax.set_title(region)
         ax.set_xlim(*hu_range)
         ax.set_xlabel("HU")
-        ax.legend()
+        if ax.get_legend_handles_labels()[1]:  # degenerate series draw nothing
+            ax.legend()
     return fig

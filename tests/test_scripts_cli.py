@@ -1,0 +1,153 @@
+"""Argparse-level smoke tests for the notebook-replacement CLI drivers
+(SURVEY.md L7: the reference ships 5 notebooks; we ship scripts — these tests
+keep every driver executable against the living package APIs, the same rot
+guard test_compare_script.py provides for the training study).
+
+Each test drives a script's real ``main()`` in-process (inheriting the
+CPU-forced test backend) on tiny synthetic data and asserts the advertised
+outputs exist and parse."""
+
+import importlib.util
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from contrast_gan_3d_tpu.utils import io_utils
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_script(name: str):
+    spec = importlib.util.spec_from_file_location(
+        f"script_{name}", REPO / "scripts" / f"{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(monkeypatch, name: str, *argv: str):
+    mod = _load_script(name)
+    monkeypatch.setattr(sys, "argv", [f"{name}.py", *map(str, argv)])
+    mod.main()
+
+
+def _raw_patient(tmp_path, rng, name="p0", vessel_hu=400):
+    """Reference-layout raw patient: <root>/<name>.mhd + <root>/<name>/
+    {vessel0.txt, ostia.xml} (scripts/preprocess.py's expected structure)."""
+    shape = (20, 20, 16)
+    vol = rng.normal(50, 10, shape).astype(np.int16)
+    vol[0, 0, 0] = -1000  # pin load_scan's unsigned-offset heuristic off
+    pts = np.stack([np.linspace(3, 16, 10)] * 3, -1)
+    pts[:, 2] = np.linspace(2, 13, 10)
+    for x, y, z in np.round(pts).astype(int):
+        vol[x, y, z] = vessel_hu
+    pdir = tmp_path / name
+    pdir.mkdir(parents=True, exist_ok=True)
+    io_utils.write_mhd(vol, tmp_path / f"{name}.mhd", spacing=(1, 1, 1), origin=(0, 0, 0))
+    np.savetxt(pdir / "vessel0.txt", np.concatenate([pts, np.full((10, 1), 0.5)], -1))
+    (pdir / "ostia.xml").write_text(
+        "<ListSize>2</ListSize>\n<pos>3 3 2</pos>\n<pos>4 4 3</pos>\n"
+    )
+    return tmp_path / f"{name}.mhd", pdir
+
+
+def test_preprocess_cli_npy_and_corpus(tmp_path, rng, monkeypatch):
+    from contrast_gan_3d_tpu.data.hdf5 import corpus_members
+    from contrast_gan_3d_tpu.data.preprocess import load_patient
+
+    _raw_patient(tmp_path, rng)
+    out = tmp_path / "out"
+    _run(monkeypatch, "preprocess", tmp_path, out)
+    data, meta = load_patient(out / "p0")
+    assert data.shape == (20, 20, 16, 2) and data.dtype == np.int16
+    assert meta["centerlines_world"].shape[-1] == 4
+
+    corpus = tmp_path / "corpus.h5"
+    _run(monkeypatch, "preprocess", tmp_path, corpus)
+    assert corpus_members(corpus) == [f"{corpus}::p0"]
+
+
+def test_eval_hu_shift_cli(tmp_path, rng, monkeypatch):
+    scan, pdir = _raw_patient(tmp_path, rng)
+    eval_list = tmp_path / "eval.json"
+    eval_list.write_text(json.dumps([[[str(scan), str(pdir), None], 0]]))
+    out = tmp_path / "hu"
+    _run(monkeypatch, "eval_hu_shift", eval_list, out, "--workers", "1")
+    summary = json.loads((out / "hu_shift_original.json").read_text())
+    assert summary["OPT/centerlines"]["n"] == 10
+    assert summary["OPT/centerlines"]["mean"] > 300
+    assert (out / "hu_shift_original.png").stat().st_size > 0
+
+
+def test_eval_marker_recall_cli(tmp_path, monkeypatch):
+    for name in ("pa", "pb"):
+        pdir = tmp_path / "ctls" / name
+        pdir.mkdir(parents=True)
+        pts = np.stack([np.linspace(0, 9, 10)] * 3, -1)
+        np.savetxt(pdir / "vessel0.txt", np.concatenate([pts, np.ones((10, 1))], -1))
+        adir = tmp_path / "annots" / name
+        adir.mkdir(parents=True)
+        np.savetxt(adir / "LAD.txt", pts[:4])
+        np.savetxt(adir / "RCA.txt", pts[:4] + np.array([10.0, 0, 0]))
+    sheet = tmp_path / "labels.csv"
+    sheet.write_text("ID,label\npa,0\npb,-1\n")
+    out = tmp_path / "mrr.json"
+    _run(
+        monkeypatch, "eval_marker_recall",
+        tmp_path / "ctls", tmp_path / "annots", sheet, out, "--workers", "1",
+    )
+    payload = json.loads(out.read_text())
+    assert payload["per_scan_type"]["OPT"]["LAD"] == 1.0
+    assert payload["per_scan_type"]["OPT"]["RCA"] == 0.0
+    assert payload["summary"]["suboptimal"]["LAD"] == 1.0
+
+
+def test_view_batches_cli(tmp_path, rng, monkeypatch):
+    from tests.synth import make_dataset
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    splits = tmp_path / "splits.pkl"
+    splits.write_bytes(pickle.dumps({"train": [fold], "test": [fold]}))
+    out = tmp_path / "grids"
+    _run(
+        monkeypatch, "view_batches", splits, out,
+        "--patch-size", "8", "8", "8", "--batch-size", "2",
+    )
+    pngs = sorted(p.name for p in out.glob("*.png"))
+    assert pngs == ["batch_HIGH.png", "batch_LOW.png", "batch_OPT.png"]
+
+
+@pytest.mark.slow
+def test_export_corrector_cli(tmp_path, rng, monkeypatch):
+    import jax
+    import optax
+
+    from contrast_gan_3d_tpu.eval.export import load_exported_corrector
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+    from contrast_gan_3d_tpu.trainer.steps import init_state
+
+    state = init_state(
+        ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2),
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1),
+        optax.adam(1e-4), optax.adam(1e-4), jax.random.key(0), (8, 8, 8),
+    )
+    ckpt_dir = tmp_path / "ck"
+    ckpt_lib.save_checkpoint(state, ckpt_dir, step=0)
+
+    out = tmp_path / "artifact"
+    _run(
+        monkeypatch, "export_corrector", ckpt_dir, out,
+        "--shape", "12", "12", "10", "--patch", "8", "8", "8",
+        "--dtype", "float32", "--batch", "2",
+    )
+    art = load_exported_corrector(tmp_path / "artifact.jaxcorr")
+    corrected = np.asarray(art(np.zeros((12, 12, 10), np.int16)))
+    assert corrected.shape == (12, 12, 10)
+    assert np.isfinite(corrected).all()
