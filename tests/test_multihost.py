@@ -254,3 +254,22 @@ def test_two_process_train_cli_sharded_corpus(tmp_path, rng):
         assert payload["format"] == 2
         assert payload["process_count"] == 2 and payload["process_index"] == host
         assert set(payload["loaders"]) == {0, -1, 1}
+
+    # ELASTIC RESUME: continue the 2-host run single-process (this test
+    # process, 8-device CPU mesh). The model checkpoint restores exactly;
+    # the per-host data sidecars don't match the new topology, so the data
+    # streams start fresh (warned) and training proceeds to the new horizon.
+    conf2 = tmp_path / "conf_resume.py"
+    conf2.write_text(conf.read_text().replace("train_iterations=4", "train_iterations=6"))
+    import train as train_cli
+
+    train_cli.main([
+        "--conf", str(conf2),
+        "--cval-splits", str(splits),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+        "--logger", "none",
+    ])
+    payload = load_generator(ckpt_dir)  # latest = the resumed run's final save
+    assert payload["step"] == 6
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert "6.msgpack" in names and "6.data.pkl" in names  # single-host sidecar
