@@ -52,13 +52,30 @@ def main():
         "per-axis mm) before packing; default keeps native spacing like "
         "the reference",
     )
+    p.add_argument(
+        "--shard",
+        default=None,
+        metavar="I/N",
+        help="process only scans[i::n] — run N preprocessing jobs in "
+        "parallel (HDF5 corpora are single-writer: give each shard its own "
+        ".h5 out path, e.g. corpus.shard0.h5; readers/folds handle any mix)",
+    )
     args = p.parse_args()
+    shard = None
+    if args.shard:
+        i, n = (int(v) for v in args.shard.split("/"))
+        if not 0 <= i < n:
+            raise SystemExit(f"--shard {args.shard}: need 0 <= i < n")
+        shard = (i, n)
     out_spacing = args.out_spacing
     if out_spacing is not None and len(out_spacing) == 1:
         out_spacing = out_spacing[0]
 
     scans = sorted(args.root.glob(args.glob))
     logger.info("Found %d scans under %s", len(scans), args.root)
+    if shard is not None:
+        scans = scans[shard[0] :: shard[1]]
+        logger.info("Shard %d/%d: %d scans", shard[0], shard[1], len(scans))
     failures = []
     for scan in scans:
         # io_utils.stem, NOT Path.stem: '.nii.gz' scans keep '.nii' under

@@ -72,6 +72,21 @@ def test_preprocess_cli_npy_and_corpus(tmp_path, rng, monkeypatch):
     assert corpus_members(corpus) == [f"{corpus}::p0"]
 
 
+def test_preprocess_cli_shards_partition_the_scan_list(tmp_path, rng, monkeypatch):
+    """--shard i/n lets N preprocessing jobs split a dataset (each shard its
+    own corpus file — HDF5 corpora are single-writer)."""
+    from contrast_gan_3d_tpu.data.hdf5 import corpus_members
+
+    for name in ("pa", "pb", "pc"):
+        _raw_patient(tmp_path, rng, name)
+    members = []
+    for i in (0, 1):
+        corpus = tmp_path / f"corpus.shard{i}.h5"
+        _run(monkeypatch, "preprocess", tmp_path, corpus, "--shard", f"{i}/2")
+        members += [m.split("::")[1] for m in corpus_members(corpus)]
+    assert sorted(members) == ["pa", "pb", "pc"]  # disjoint, complete
+
+
 def test_eval_hu_shift_cli(tmp_path, rng, monkeypatch):
     scan, pdir = _raw_patient(tmp_path, rng)
     eval_list = tmp_path / "eval.json"
