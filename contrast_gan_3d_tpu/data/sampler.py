@@ -50,6 +50,10 @@ class CCTAPatchSampler:
     ):
         assert len(paths) > 0, "empty patient list"
         self.paths = list(paths)
+        # identity of the stream's patient shard, embedded in every
+        # get_state snapshot (which runs per batch in the prefetch worker —
+        # don't re-stringify the list there)
+        self._path_strs = [str(p) for p in self.paths]
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.is_2d = len(self.patch_shape) < 3
         self.batch_size = int(batch_size)
@@ -94,7 +98,7 @@ class CCTAPatchSampler:
                 # different list (e.g. a resharded multi-host fold) would
                 # silently replay someone else's stream — record it so
                 # set_state can refuse
-                "paths": [str(p) for p in self.paths],
+                "paths": list(self._path_strs),
             }
             if self.augmenter is not None:
                 state["augmenter_rng"] = self.augmenter.rng.bit_generator.state
@@ -102,7 +106,7 @@ class CCTAPatchSampler:
 
     def set_state(self, state: Dict):
         saved_paths = state.get("paths")
-        if saved_paths is not None and list(saved_paths) != [str(p) for p in self.paths]:
+        if saved_paths is not None and list(saved_paths) != self._path_strs:
             raise ValueError(
                 "data-stream state was saved for a different patient list "
                 f"({len(saved_paths)} patients vs {len(self.paths)} now) — "

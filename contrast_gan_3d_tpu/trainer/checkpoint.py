@@ -239,8 +239,9 @@ def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
         if others:
             logger.warning(
                 "No data-stream sidecar for this process at step %d, but %s "
-                "exist — the run topology changed; starting fresh data "
-                "streams (model state still restores exactly)",
+                "exist — the run topology likely changed (or this process's "
+                "sidecar write was lost); starting fresh data streams "
+                "(model state still restores exactly)",
                 int(step), [p.name for p in others],
             )
         return False

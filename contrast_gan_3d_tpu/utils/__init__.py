@@ -33,8 +33,8 @@ def swap_last_dim(x: np.ndarray) -> np.ndarray:
 def downsample(a: np.ndarray, size: int, rng=None) -> np.ndarray:
     """Random subsample WITHOUT replacement (reference ``utils.downsample``:
     ``np.random.choice(a, size, replace=False)`` — used to bound histogram/KDE
-    inputs). ``rng`` makes it deterministic; the module-level legacy stream is
-    the reference behavior."""
+    inputs). Pass ``rng`` for a reproducible draw; the default is a fresh
+    unseeded Generator (like the reference's unseeded-global-stream calls)."""
     rng = rng or np.random.default_rng()
     return rng.choice(a, size=size, replace=False)
 

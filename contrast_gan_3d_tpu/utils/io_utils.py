@@ -149,26 +149,41 @@ _MET_DTYPES = {
 _DTYPE_MET = {np.dtype(v): k for k, v in _MET_DTYPES.items()}
 
 
+def _read_mhd_header(fd, path) -> Dict[str, str]:
+    """Parse MetaImage header lines up to (and including) ElementDataFile,
+    leaving ``fd`` positioned at the start of LOCAL data."""
+    header: Dict[str, str] = {}
+    while True:
+        line = fd.readline()
+        if not line:
+            raise ValueError(f"{path}: no ElementDataFile key")
+        text = line.decode("ascii", errors="replace").strip()
+        if "=" not in text:
+            continue
+        key, value = (t.strip() for t in text.split("=", 1))
+        header[key] = value
+        if key == "ElementDataFile":
+            return header
+
+
+def _mhd_geometry(header: Dict[str, str], ndims: int) -> Dict:
+    spacing = np.array(
+        [float(v) for v in header.get("ElementSpacing", "1 1 1").split()][:ndims]
+    )
+    origin = np.array([float(v) for v in header.get("Offset", "0 0 0").split()][:ndims])
+    direction = np.array(
+        [float(v) for v in header.get("TransformMatrix", "1 0 0 0 1 0 0 0 1").split()]
+    ).reshape(ndims, ndims)
+    # MetaImage stores the matrix row-major with rows = image axes; ITK's
+    # direction has columns = image axes -> transpose
+    return {"spacing": spacing, "offset": origin, "direction": direction.T}
+
+
 def read_mhd(path: PathLike) -> Tuple[np.ndarray, Dict]:
     """Read a MetaImage volume. Returns (array in index order (x, y, z), meta)."""
     path = Path(path)
-    header: Dict[str, str] = {}
     with open(path, "rb") as fd:
-        data_start = None
-        while True:
-            line = fd.readline()
-            if not line:
-                break
-            text = line.decode("ascii", errors="replace").strip()
-            if "=" not in text:
-                continue
-            key, value = (t.strip() for t in text.split("=", 1))
-            header[key] = value
-            if key == "ElementDataFile":
-                data_start = fd.tell()
-                break
-        if data_start is None:
-            raise ValueError(f"{path}: no ElementDataFile key")
+        header = _read_mhd_header(fd, path)
 
         ndims = int(header.get("NDims", 3))
         dims = tuple(int(v) for v in header["DimSize"].split())
@@ -193,18 +208,7 @@ def read_mhd(path: PathLike) -> Tuple[np.ndarray, Dict]:
     array = array.reshape(dims[::-1])
     # reverse to index order (x, y, z)
     array = np.transpose(array, tuple(range(ndims))[::-1])
-
-    spacing = np.array(
-        [float(v) for v in header.get("ElementSpacing", "1 1 1").split()][:ndims]
-    )
-    origin = np.array([float(v) for v in header.get("Offset", "0 0 0").split()][:ndims])
-    direction = np.array(
-        [float(v) for v in header.get("TransformMatrix", "1 0 0 0 1 0 0 0 1").split()]
-    ).reshape(ndims, ndims)
-    # MetaImage stores the matrix row-major with rows = image axes; ITK's
-    # direction has columns = image axes -> transpose
-    direction = direction.T
-    return array, {"spacing": spacing, "offset": origin, "direction": direction}
+    return array, _mhd_geometry(header, ndims)
 
 
 def write_mhd(
@@ -271,14 +275,9 @@ _NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.f
                  256: np.int8, 512: np.uint16, 768: np.uint32}
 
 
-def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
-    """Read a NIfTI-1 volume. Returns (array in index order (x, y, z), meta)
-    with spacing/offset/direction expressed in the LPS world frame."""
-    path = Path(path)
-    opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rb") as fd:
-        blob = fd.read()
-    hdr = blob[:348]
+def _parse_nifti_header(hdr: bytes, path) -> Dict:
+    """Decode the fixed 348-byte NIfTI-1 header: shape/dtype/data offset/
+    scaling plus the LPS-frame geometry meta (no voxel data touched)."""
     if hdr[344:348] not in (b"n+1\0", b"ni1\0"):
         raise ValueError(f"{path}: not a NIfTI-1 file")
     # byte order: the magic is endian-invariant, sizeof_hdr (=348) is not —
@@ -298,17 +297,6 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
     ndim = int(dim[0])
     shape = tuple(int(d) for d in dim[1 : 1 + ndim])[:3]
     dtype = np.dtype(_NIFTI_DTYPES[datatype])
-    n = int(np.prod(shape))
-    array = np.frombuffer(blob, dtype.newbyteorder(bo), n, offset=vox_offset)
-    # NIfTI on-disk: x fastest
-    array = np.transpose(array.reshape(shape[::-1]), (2, 1, 0))
-    # NIfTI-1 spec: scl_slope == 0 (or non-finite) means NO scaling at all —
-    # the intercept must NOT be applied either (stale scl_inter values are a
-    # common exporter leftover)
-    if np.isfinite(scl_slope) and scl_slope != 0.0 and (
-        scl_slope != 1.0 or scl_inter != 0.0
-    ):
-        array = array * scl_slope + scl_inter
 
     if sform_code > 0:
         srow = np.frombuffer(hdr, bo + "f4", 12, offset=280).reshape(3, 4)
@@ -337,7 +325,40 @@ def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
     spacing = np.linalg.norm(mat, axis=0)
     direction = mat / spacing
     origin = affine_lps[:3, 3]
-    return array, {"spacing": spacing, "offset": origin, "direction": direction}
+    return {
+        "bo": bo,
+        "shape": shape,
+        "dtype": dtype,
+        "vox_offset": vox_offset,
+        "scl_slope": scl_slope,
+        "scl_inter": scl_inter,
+        "meta": {"spacing": spacing, "offset": origin, "direction": direction},
+    }
+
+
+def read_nifti(path: PathLike) -> Tuple[np.ndarray, Dict]:
+    """Read a NIfTI-1 volume. Returns (array in index order (x, y, z), meta)
+    with spacing/offset/direction expressed in the LPS world frame."""
+    path = Path(path)
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as fd:
+        blob = fd.read()
+    h = _parse_nifti_header(blob[:348], path)
+    n = int(np.prod(h["shape"]))
+    array = np.frombuffer(
+        blob, h["dtype"].newbyteorder(h["bo"]), n, offset=h["vox_offset"]
+    )
+    # NIfTI on-disk: x fastest
+    array = np.transpose(array.reshape(h["shape"][::-1]), (2, 1, 0))
+    # NIfTI-1 spec: scl_slope == 0 (or non-finite) means NO scaling at all —
+    # the intercept must NOT be applied either (stale scl_inter values are a
+    # common exporter leftover)
+    scl_slope, scl_inter = h["scl_slope"], h["scl_inter"]
+    if np.isfinite(scl_slope) and scl_slope != 0.0 and (
+        scl_slope != 1.0 or scl_inter != 0.0
+    ):
+        array = array * scl_slope + scl_inter
+    return array, h["meta"]
 
 
 # ---------------------------------------------------------------------------
@@ -458,13 +479,46 @@ def read_image(path: PathLike) -> Tuple[np.ndarray, Dict]:
     raise ValueError(f"Unsupported image format: {path}")
 
 
+def read_image_meta(path: PathLike) -> Dict:
+    """HEADER-ONLY geometry read: ``{spacing, offset, direction, shape}`` in
+    the on-disk (pre-reorientation) frame, without touching voxel data — a
+    512³ compressed scan costs bytes, not a decompress (surveying a
+    1000-scan dataset's geometry must not read a terabyte)."""
+    path = Path(path)
+    name = str(path).lower()
+    if name.endswith((".mhd", ".mha")):
+        with open(path, "rb") as fd:
+            header = _read_mhd_header(fd, path)
+        ndims = int(header.get("NDims", 3))
+        meta = _mhd_geometry(header, ndims)
+        meta["shape"] = tuple(int(v) for v in header["DimSize"].split())
+        return meta
+    if name.endswith((".nii", ".nii.gz")):
+        opener = gzip.open if name.endswith(".gz") else open
+        with opener(path, "rb") as fd:
+            h = _parse_nifti_header(fd.read(348), path)  # first deflate block only
+        return dict(h["meta"], shape=h["shape"])
+    if name.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as fd:
+            ds = fd["image"]
+            ndims = ds.ndim
+            return {
+                "spacing": np.asarray(ds.attrs.get("spacing", np.ones(ndims))),
+                "offset": np.asarray(ds.attrs.get("offset", np.zeros(ndims))),
+                "direction": np.asarray(ds.attrs.get("direction", np.eye(ndims))),
+                "shape": tuple(int(s) for s in ds.shape),
+            }
+    raise ValueError(f"Unsupported image format: {path}")
+
+
 def get_scan_orientation(path: PathLike) -> str:
     """Anatomical orientation code (e.g. ``'LPS'``, ``'RAS'``) of the ON-DISK
     image — the raw direction matrix before :func:`load_scan`'s LPS
     reorientation (reference ``get_scan_orientation``, io_utils.py:14-20,
-    via torchio)."""
-    _, meta = read_image(path)
-    return orientation_code(np.asarray(meta["direction"]))
+    via torchio). Header-only: no voxel data is read."""
+    return orientation_code(np.asarray(read_image_meta(path)["direction"]))
 
 
 def load_scan(

@@ -146,7 +146,12 @@ def plot_mid_slice(
     if axes is None:
         _, axes = plt.subplots(1, 3, figsize=(10, 5))
     image = np.asarray(image)
-    middle = np.asarray(image.shape[:3]) // 2
+    if image.ndim != 3:
+        raise ValueError(
+            f"plot_mid_slice takes a (W, H, D) volume, got {image.shape} — "
+            "for packed patients pass data[..., 0]"
+        )
+    middle = np.asarray(image.shape) // 2
     views = get_medical_views(image, middle)
     for ax, ax_title, view in zip(np.ravel(axes), ["Axial", "Sagittal", "Coronal"], views):
         ax.imshow(view, cmap="gray", vmin=vmin, vmax=vmax)
@@ -162,11 +167,12 @@ def subsample_voxels(values: np.ndarray, max_size: int = 100_000, rng=None) -> n
     """Cap a 1-D voxel-intensity sample for histogram/KDE rendering
     (reference ``downsampled_hist`` + ``utils.downsample``,
     ``visualization.py:255-265`` — random subsample without replacement)."""
+    from contrast_gan_3d_tpu.utils import downsample
+
     values = np.asarray(values).ravel()
     if values.size <= max_size:
         return values
-    rng = np.random.default_rng() if rng is None else rng
-    return rng.choice(values, size=max_size, replace=False)
+    return downsample(values, max_size, rng)
 
 
 def plot_three_views(

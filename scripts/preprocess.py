@@ -63,7 +63,10 @@ def main():
     args = p.parse_args()
     shard = None
     if args.shard:
-        i, n = (int(v) for v in args.shard.split("/"))
+        try:
+            i, n = (int(v) for v in args.shard.split("/"))
+        except ValueError:
+            raise SystemExit(f"--shard {args.shard!r}: expected I/N, e.g. 0/4")
         if not 0 <= i < n:
             raise SystemExit(f"--shard {args.shard}: need 0 <= i < n")
         shard = (i, n)

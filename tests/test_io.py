@@ -284,3 +284,29 @@ def test_get_scan_orientation_reports_on_disk_code(tmp_path):
     io_utils.write_mhd(vol, tmp_path / "lps.mhd")
     assert io_utils.get_scan_orientation(tmp_path / "ras.mhd") == "RAS"
     assert io_utils.get_scan_orientation(tmp_path / "lps.mhd") == "LPS"
+
+
+def test_read_image_meta_is_header_only_and_matches_full_read(tmp_path):
+    """read_image_meta returns the full reader's geometry (+ shape) for every
+    format without touching voxel data."""
+    import numpy as np
+
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    rng = np.random.default_rng(3)
+    vol = rng.integers(-500, 500, (6, 5, 4)).astype(np.int16)
+    direction = np.diag([-1.0, 1.0, -1.0])
+    spacing, origin = (0.7, 0.8, 0.9), (1.5, -2.25, 3.0)
+    paths = []
+    io_utils.write_mhd(vol, tmp_path / "a.mhd", spacing, origin, direction)
+    io_utils.write_mhd(vol, tmp_path / "a.mha", spacing, origin, direction)
+    io_utils.write_nifti(vol, tmp_path / "a.nii.gz", spacing, origin, direction)
+    io_utils.write_hdf5_image(vol, tmp_path / "a.h5", spacing, origin, direction)
+    for name in ("a.mhd", "a.mha", "a.nii.gz", "a.h5"):
+        full_meta = io_utils.read_image(tmp_path / name)[1]
+        meta = io_utils.read_image_meta(tmp_path / name)
+        assert meta["shape"] == (6, 5, 4), name
+        for k in ("spacing", "offset", "direction"):
+            np.testing.assert_allclose(
+                meta[k], full_meta[k], atol=1e-5, err_msg=f"{name}:{k}"
+            )

@@ -228,6 +228,18 @@ class TrainManager:
         ckpt_dir = Path(self.checkpoint_root) / run_name
 
         mesh = None
+        import jax as _jax
+
+        if _jax.process_count() > 1 and cfg.dp_devices is None and not cfg.sp_devices:
+            # without a mesh every host would train the FULL fold
+            # independently, all writing the same checkpoint dir and each
+            # spawning its own experiment logger — never what --multihost
+            # means (main() defaults dp_devices for --multihost; this guards
+            # programmatic TrainManager use)
+            raise SystemExit(
+                "multi-process runs need a mesh: set dp_devices (0 = all "
+                "devices) and/or sp_devices"
+            )
         if cfg.dp_devices is not None or cfg.sp_devices:
             from contrast_gan_3d_tpu.parallel import data_mesh, dp_sp_mesh
 
@@ -440,6 +452,17 @@ def main(argv=None):
         multihost.initialize()  # before any device query builds a backend
 
     cfg = load_config(args.conf)
+    if (
+        args.multihost
+        and args.dp_devices is None
+        and args.sp_devices is None
+        and cfg.dp_devices is None
+        and not cfg.sp_devices
+    ):
+        # --multihost implies a global mesh; default to data-parallel over
+        # every device rather than N independent full-fold trainings
+        logger.info("--multihost without a mesh config: defaulting --dp-devices 0")
+        args.dp_devices = 0
     overrides = {}
     if args.iterations is not None:
         overrides["train_iterations"] = args.iterations
