@@ -39,19 +39,39 @@ def main():
     p.add_argument("out_dir", type=Path)
     p.add_argument("--tag", default="original", help="series name in outputs")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument(
+        "--series",
+        action="append",
+        default=[],
+        metavar="TAG=EVAL_LIST.json",
+        help="additional series overlaid on ONE comparison figure (the "
+        "reference notebook's original-vs-corrected view) — e.g. "
+        "--series corrected=corrected_list.json; repeatable. Each series "
+        "also gets its own hu_shift_<tag>.json summary",
+    )
     args = p.parse_args()
     args.out_dir.mkdir(parents=True, exist_ok=True)
 
-    voxels = collect_voxels_intensity(_load_eval_list(args.eval_list), args.workers)
-    summary = summarize_hu_shift(voxels)
-    out_json = args.out_dir / f"hu_shift_{args.tag}.json"
-    out_json.write_text(json.dumps(summary, indent=2))
-    logger.info("Wrote %s", out_json)
+    lists = [(args.tag, args.eval_list)]
+    for spec in args.series:
+        tag, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--series {spec!r}: expected TAG=EVAL_LIST.json")
+        lists.append((tag, Path(path)))
 
-    series = {f"{args.tag}/{st.name}": by for st, by in voxels.items()}
+    series = {}
+    for tag, eval_list in lists:
+        voxels = collect_voxels_intensity(_load_eval_list(eval_list), args.workers)
+        summary = summarize_hu_shift(voxels)
+        out_json = args.out_dir / f"hu_shift_{tag}.json"
+        out_json.write_text(json.dumps(summary, indent=2))
+        logger.info("Wrote %s", out_json)
+        series |= {f"{tag}/{st.name}": by for st, by in voxels.items()}
+
+    name = f"hu_shift_{args.tag}.png" if len(lists) == 1 else "hu_shift_compare.png"
     fig = viz.hu_distribution_shift_plot(series, regions=("centerlines", "ostia"))
-    fig.savefig(args.out_dir / f"hu_shift_{args.tag}.png", dpi=120)
-    logger.info("Wrote %s", args.out_dir / f"hu_shift_{args.tag}.png")
+    fig.savefig(args.out_dir / name, dpi=120)
+    logger.info("Wrote %s", args.out_dir / name)
 
 
 if __name__ == "__main__":

@@ -99,6 +99,26 @@ def test_eval_hu_shift_cli(tmp_path, rng, monkeypatch):
     assert (out / "hu_shift_original.png").stat().st_size > 0
 
 
+def test_eval_hu_shift_cli_compare_series(tmp_path, rng, monkeypatch):
+    """--series overlays multiple cohorts on one comparison figure (the
+    reference notebook's original-vs-corrected view)."""
+    scan_a, pdir_a = _raw_patient(tmp_path, rng, "pa", vessel_hu=250)
+    scan_b, pdir_b = _raw_patient(tmp_path, rng, "pb", vessel_hu=400)
+    la = tmp_path / "a.json"
+    la.write_text(json.dumps([[[str(scan_a), str(pdir_a), None], -1]]))
+    lb = tmp_path / "b.json"
+    lb.write_text(json.dumps([[[str(scan_b), str(pdir_b), None], -1]]))
+    out = tmp_path / "cmp"
+    _run(
+        monkeypatch, "eval_hu_shift", la, out,
+        "--workers", "1", "--series", f"corrected={lb}",
+    )
+    orig = json.loads((out / "hu_shift_original.json").read_text())
+    corr = json.loads((out / "hu_shift_corrected.json").read_text())
+    assert corr["LOW/centerlines"]["mean"] > orig["LOW/centerlines"]["mean"]
+    assert (out / "hu_shift_compare.png").stat().st_size > 0
+
+
 def test_eval_marker_recall_cli(tmp_path, monkeypatch):
     for name in ("pa", "pb"):
         pdir = tmp_path / "ctls" / name
