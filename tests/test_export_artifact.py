@@ -167,3 +167,27 @@ def test_float_input_contract(tmp_path, corrector, rng):
     got = np.asarray(exp.call(vol))
     want = np.asarray(corrector(vol))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_export_2d_corrector_roundtrip(tmp_path, rng):
+    """The 2D (conf_2D-family) slice-batched corrector exports and round-trips
+    through jax.export like the 3D one."""
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        ndim=2, s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=(16, 16), batch_size=4,
+    )
+    vol = rng.integers(-1000, 1400, (16, 16, 6)).astype(np.int16)
+    want = np.asarray(corrector(vol))
+    path = save_exported_corrector(tmp_path / "c2d", corrector, vol.shape)
+    art = load_exported_corrector(path)
+    got = np.asarray(art(vol))
+    # the live 2D path runs eagerly (per-op), the artifact as one compiled
+    # program — fp fusion-order noise only (the 3D test is bit-exact because
+    # BOTH sides run the same compiled program); 1e-2 HU is far below the
+    # int16 HU quantum
+    np.testing.assert_allclose(want, got, atol=1e-2)

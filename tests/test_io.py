@@ -310,3 +310,37 @@ def test_read_image_meta_is_header_only_and_matches_full_read(tmp_path):
             np.testing.assert_allclose(
                 meta[k], full_meta[k], atol=1e-5, err_msg=f"{name}:{k}"
             )
+
+
+def test_malformed_images_raise_clean_errors(tmp_path):
+    """Truncated/garbled inputs raise diagnosable ValueErrors, not crashes."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    # .mhd with no ElementDataFile key
+    bad_mhd = tmp_path / "bad.mhd"
+    bad_mhd.write_text("ObjectType = Image\nNDims = 3\n")
+    with pytest.raises(ValueError, match="ElementDataFile"):
+        io_utils.read_mhd(bad_mhd)
+    with pytest.raises(ValueError, match="ElementDataFile"):
+        io_utils.read_image_meta(bad_mhd)
+
+    # .nii with a wrong magic
+    bad_nii = tmp_path / "bad.nii"
+    bad_nii.write_bytes(b"\x00" * 348)
+    with pytest.raises(ValueError, match="not a NIfTI-1"):
+        io_utils.read_nifti(bad_nii)
+
+    # gzipped garbage under a .nii.gz suffix
+    bad_gz = tmp_path / "bad.nii.gz"
+    bad_gz.write_bytes(gzip.compress(b"hello" * 100))
+    with pytest.raises(ValueError, match="NIfTI-1"):
+        io_utils.read_image_meta(bad_gz)
+
+    # unknown suffix
+    with pytest.raises(ValueError, match="Unsupported image format"):
+        io_utils.read_image_meta(tmp_path / "x.dcm")
