@@ -116,6 +116,11 @@ class CCTAContrastCorrector:
         self._apply_packed = None
         if self.is_2d:
             self._apply_2d = jax.jit(apply_fn)
+            # whole-volume 2D correction as ONE compiled program per volume
+            # shape, like the 3D sliding window (scale + slice batching +
+            # scan + unscale fuse; eager ran ~10 separate dispatches and
+            # re-cast the volume per op)
+            self._correct_2d = jax.jit(self._correct_2d)
         elif packed:
             # (pallas_proj stays off: with the slab-based packed reflect pad
             # the XLA f2->f4 projection is the faster end-to-end path —
