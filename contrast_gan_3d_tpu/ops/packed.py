@@ -42,8 +42,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contrast_gan_3d_tpu.ops.s2d_conv import space_to_depth
-
 
 @lru_cache(maxsize=64)
 def _axis_map_packed(
@@ -195,7 +193,7 @@ def packed_conv3d(
     f_out: int,
     stride: int = 1,
     pad: int = 0,
-    out_blocks: Optional[Tuple[int, int, int]] = None,
+    out_blocks: Tuple[int, int, int],
     o: Optional[Sequence[int]] = None,
     precision=None,
 ) -> jax.Array:
@@ -206,6 +204,8 @@ def packed_conv3d(
     pad: torch-style zero padding per side at full resolution. Ignored when
     ``o`` is given (the input is then already padded, e.g. by
     :func:`reflect_pad_packed`, and ``o`` is that pad's alignment offset).
+    ``out_blocks``: the output's block-space spatial dims (the caller knows
+    the intended full-res output extent; the padded input may overhang it).
     Output: (B, Xb', Yb', Zb', f_out^3*Co) packed with f_out.
     """
     b_stride = stride * f_out
@@ -225,11 +225,6 @@ def packed_conv3d(
 
     wp = transform_kernel_packed(w, f_in, f_out, stride, o3).astype(xp.dtype)
     K = wp.shape[:3]
-
-    if out_blocks is None:
-        # full-res output dim = in_dim // stride (SAME semantics); the
-        # caller passes out_blocks when the padded input overhangs
-        raise ValueError("out_blocks is required")
 
     # right-extend with zero blocks if the VALID conv needs more input
     # (extension blocks are never read with nonzero weight — see module doc)

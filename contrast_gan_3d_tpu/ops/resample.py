@@ -14,7 +14,7 @@ distinct here too — everything is pure jnp and jit/vmap-friendly:
   (``utils/geometry.py``) bit-for-bit in semantics.
 """
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -102,8 +102,10 @@ def trilinear_sample_extrapolate(volume: jax.Array, coords: jax.Array) -> jax.Ar
 
 
 def nearest_sample(volume: jax.Array, coords: jax.Array) -> jax.Array:
-    """Nearest-neighbour sampling (used for segmentation masks, matching
-    batchgenerators' order_seg=0)."""
+    """Nearest-neighbour sampling (used for segmentation masks). Rounds
+    half-to-even (jnp.round) — identical to the native host warp (parity
+    pinned by tests/test_host_augment.py); scipy ``order=0`` rounds half
+    UP, so the two differ only at exactly-half-integer coordinates."""
     has_channels = volume.ndim == 4
     if not has_channels:
         volume = volume[..., None]
@@ -279,17 +281,24 @@ def resample_volume(
     out_shape: Tuple[int, ...] = None,
     method: str = "linear",
     compute_dtype=jnp.float32,
+    spatial_dims: Optional[int] = None,
 ) -> np.ndarray:
     """One-shot (an)isotropic resample of a host volume ((W, H, D[, C]) or
-    (W, H[, C]) with ``channel_spatial_ndim`` inferred from the spacing
-    length). Device-capable counterpart of the "isotropic resampling" stage
-    the reference delegates to SimpleITK; returns a host numpy array.
+    (W, H[, C])). Device-capable counterpart of the "isotropic resampling"
+    stage the reference delegates to SimpleITK; returns a host numpy array.
 
-    Spatial rank = len(broadcasted spacing); trailing dims (e.g. the packed
-    scan+mask channel of a preprocessed patient) are untouched.
+    Spatial rank = ``spatial_dims`` when given, else len(broadcasted
+    spacing); trailing dims (e.g. the packed scan+mask channel of a
+    preprocessed patient) are untouched. With SCALAR spacings and no
+    ``spatial_dims`` the first min(ndim, 3) dims are treated as spatial —
+    a 3-D array is then read as (W, H, D); pass ``spatial_dims=2`` for a
+    (W, H, C) 2-D-plus-channels array (otherwise the channel axis would be
+    resampled as depth).
     """
     spatial = max(len(np.atleast_1d(in_spacing)), len(np.atleast_1d(out_spacing)))
-    if spatial == 1:  # scalar spacings: resample the (up to 3) leading dims
+    if spatial_dims is not None:
+        spatial = int(spatial_dims)
+    elif spatial == 1:  # scalar spacings: resample the (up to 3) leading dims
         spatial = min(volume.ndim, 3)
     fn, _ = make_volume_resampler(
         volume.shape[:spatial],

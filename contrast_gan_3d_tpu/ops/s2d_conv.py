@@ -47,22 +47,13 @@ def transform_kernel(w: jax.Array, f: int, s: int = 1) -> jax.Array:
     """(kx,ky,kz,Ci,Co) -> (Kx,Ky,Kz, f^3*Ci, f^3*Co) space-to-depth kernel.
 
     Channel layouts match :func:`s2d_conv3d`'s reshapes: input (dx,dy,dz,ci)
-    d-major, output (rx,ry,rz,co) r-major.
+    d-major, output (rx,ry,rz,co) r-major. The equal-block same-offset case
+    of ``ops.packed.transform_kernel_packed`` — one shared derivation
+    (local import: ``packed`` imports this module at top level).
     """
-    kx, ky, kz, ci, co = w.shape
-    Ax, _ = _axis_map(kx, f, s)
-    Ay, _ = _axis_map(ky, f, s)
-    Az, _ = _axis_map(kz, f, s)
-    # W'[qx,dx,rx, qy,dy,ry, qz,dz,rz, ci,co]
-    wp = jnp.einsum(
-        "adrx,besy,cftz,xyzio->adrbescftio",
-        jnp.asarray(Ax), jnp.asarray(Ay), jnp.asarray(Az), w,
-    )
-    # -> (qx,qy,qz, dx,dy,dz,ci, rx,ry,rz,co)
-    wp = wp.transpose(0, 3, 6, 1, 4, 7, 9, 2, 5, 8, 10)
-    Kx, Ky, Kz = Ax.shape[0], Ay.shape[0], Az.shape[0]
-    f3 = f * f * f
-    return wp.reshape(Kx, Ky, Kz, f3 * ci, f3 * co)
+    from contrast_gan_3d_tpu.ops.packed import transform_kernel_packed
+
+    return transform_kernel_packed(w, f, f, s, (0, 0, 0))
 
 
 def space_to_depth(x: jax.Array, f: int) -> jax.Array:
@@ -87,7 +78,19 @@ def _tconv_axis_map(k: int = 3, s: int = 2) -> np.ndarray:
     """(K, s, k) 0/1 tensor A[j, r, T] = [s*j - r == T] for the flax
     ``ConvTranspose(kernel=k, stride=s, padding='SAME')`` convention
     o[s*Y + r] = sum_j K[s*j - r] x[Y - 1 + j] (probed numerically —
-    tests/test_s2d_conv.py locks it)."""
+    tests/test_s2d_conv.py locks it).
+
+    Derived and verified for the k=3 s=2 window ONLY (the generator's up
+    path — the single transpose-conv shape in this framework). Other
+    kernels need a different output-window placement (k=5/7 match a
+    different crop; even k additionally drops the T=k-1 tap under this K)
+    — refuse rather than return silently wrong values."""
+    if k != 3 or s != 2:
+        raise NotImplementedError(
+            f"d2s/packed transpose conv is derived for kernel 3 stride 2 "
+            f"only (got k={k}, s={s}); use a direct ConvTranspose for other "
+            "shapes"
+        )
     K = (k - 1) // s + 1
     A = np.zeros((K, s, k), np.float32)
     for j in range(K):

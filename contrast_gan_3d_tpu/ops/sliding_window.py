@@ -349,7 +349,12 @@ def num_patches(
     stride = [max(1, int(round(p * (1.0 - overlap)))) for p in patch_size]
     padded = [max(s, p) for s, p in zip(shape, patch_size)]
     if packed_io:
-        stride = [max(4, s - s % 4) for s in stride]
+        if any(s < 4 for s in stride):  # the corrector refuses this config
+            raise ValueError(
+                f"packed_io needs stride >= 4 (got {tuple(stride)}): overlap "
+                f"{overlap} is too high for patch {tuple(patch_size)}"
+            )
+        stride = [s - s % 4 for s in stride]
         padded = [d + ((-d) % 4) for d in padded]
     return int(
         np.prod([len(grid_starts(padded[i], patch_size[i], stride[i])) for i in range(3)])

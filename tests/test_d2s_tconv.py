@@ -69,3 +69,14 @@ def test_convblock_d2s_equals_direct_transpose(rng):
         np.asarray(direct.apply(v, x, train=False)),
         atol=2e-5,
     )
+
+
+def test_tconv_refuses_underived_kernels(rng):
+    """The d2s transpose conv is derived for k=3 s=2 only; other shapes must
+    refuse loudly (even k silently dropped taps, k=5/7 match a different
+    output crop — found by review, pinned here)."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 2)), jnp.float32)
+    for k in (2, 4, 5):
+        w = jnp.asarray(rng.normal(size=(k, k, k, 2, 3)), jnp.float32)
+        with pytest.raises(NotImplementedError, match="kernel 3 stride 2"):
+            d2s_tconv3d(x, w, convention="same")

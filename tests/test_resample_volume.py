@@ -165,3 +165,16 @@ def test_create_patient_out_spacing(tmp_path, rng):
     )
     np.testing.assert_array_equal(data[..., 1], expected_mask.astype(np.int16))
     assert data[..., 1].sum() > 0
+
+
+def test_resample_volume_spatial_dims_for_2d_plus_channels(rng):
+    """spatial_dims=2 keeps a (W, H, C) channel axis out of the resample
+    (scalar spacing + 3-D array is otherwise read as (W, H, D))."""
+    img = rng.normal(size=(16, 16, 2)).astype(np.float32)
+    out = R.resample_volume(img, 1.0, 2.0, spatial_dims=2)
+    assert out.shape == (8, 8, 2)
+    np.testing.assert_allclose(
+        out[..., 1], R.resample_volume(img[..., 1], 1.0, 2.0, spatial_dims=2), atol=1e-5
+    )
+    # default inference on a 3-D array still treats all three dims as spatial
+    assert R.resample_volume(img, 1.0, 2.0).shape == (8, 8, 1)

@@ -117,3 +117,16 @@ def test_non_divisible_patch_auto_upsample(rng):
     out = np.asarray(corr(jnp.asarray(vol)))
     assert out.shape == vol.shape
     assert np.isfinite(out).all()
+
+
+def test_num_patches_refuses_what_the_corrector_refuses():
+    """num_patches must not report a grid for a packed config the corrector
+    raises on (stride < 4 after overlap)."""
+    import pytest
+
+    from contrast_gan_3d_tpu.ops.sliding_window import num_patches
+
+    with pytest.raises(ValueError, match="stride >= 4"):
+        num_patches((64, 64, 64), (16, 16, 16), overlap=0.9, packed_io=True)
+    # and agrees with itself for a valid config
+    assert num_patches((64, 64, 64), (16, 16, 16), overlap=0.25, packed_io=True) > 0
