@@ -310,5 +310,8 @@ class CCTAContrastCorrector:
         vol = np.clip(
             np.round(corrected), np.iinfo(np.int16).min, np.iinfo(np.int16).max
         ).astype(np.int16)
-        io_utils.save_scan(vol, meta.get("offset"), meta.get("spacing"), out_path)
+        io_utils.save_scan(
+            vol, meta.get("offset"), meta.get("spacing"), out_path,
+            direction=meta.get("direction"),
+        )
         logger.info("Saved corrected scan to '%s'", str(out_path))

@@ -26,6 +26,22 @@ from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 logger = create_logger(name=__name__)
 
 
+def _point_mask_voxels(ccta, points_world, offset, spacing) -> np.ndarray:
+    """HU values a ``world_to_grid_coords``-rasterized mask would gather,
+    WITHOUT materializing the full-resolution grid (the rasterize-then-
+    boolean-index route allocates two ~100 MB temporaries per mask per
+    512x512x400 patient just to read a few thousand samples). Identical
+    multiset AND order: boolean indexing scans the mask in C order = the
+    lexicographic row order np.unique returns; coords that clip onto the
+    same voxel dedupe exactly like the grid's idempotent writes."""
+    img = np.unique(geom.world_to_image_coords(points_world, offset, spacing), axis=0)
+    clipped = np.stack(
+        [np.clip(img[:, i], 0, ccta.shape[i] - 1) for i in range(3)], axis=-1
+    )
+    clipped = np.unique(clipped, axis=0)
+    return ccta[tuple(clipped.T)]
+
+
 def collect_patient_voxels(
     scan_path: PathLike,
     centerline_path: PathLike,
@@ -39,16 +55,14 @@ def collect_patient_voxels(
     centerlines_world = io_utils.load_centerlines(centerline_path)[..., :3]
     ostia_world, _ = io_utils.load_mevis_coords(Path(centerline_path) / "ostia.xml")
 
-    masks = {
-        "centerlines": geom.world_to_grid_coords(
-            centerlines_world, offset, spacing, ccta.shape
-        ),
-        "ostia": geom.world_to_grid_coords(ostia_world, offset, spacing, ccta.shape),
+    out = {
+        "centerlines": _point_mask_voxels(ccta, centerlines_world, offset, spacing),
+        "ostia": _point_mask_voxels(ccta, ostia_world, offset, spacing),
     }
     if myocardium_path is not None:
         myo, _ = io_utils.load_scan(myocardium_path, segmentation=True)
-        masks["myocardium"] = myo
-    return {k: ccta[m.astype(bool)] for k, m in masks.items()}
+        out["myocardium"] = ccta[myo.astype(bool)]
+    return out
 
 
 def collect_voxels_intensity(

@@ -48,7 +48,13 @@ def read_IDR_CADRADS_annotations(patient_dir: Path) -> Dict[str, np.ndarray]:
 def marker_recall_rate(
     distance_to_marker: np.ndarray, threshold: float = RECALL_THRESHOLD_MM
 ) -> float:
+    """Fraction of markers within ``threshold`` mm of an extracted
+    centerline (reference ``marker_recall_rate``, :33-34). An EMPTY distance
+    array yields NaN — the reference's 0/0 semantics, kept so aggregated
+    reports distinguish 'no markers scored' from a genuine 0.0 recall."""
     distance_to_marker = np.asarray(distance_to_marker)
+    if len(distance_to_marker) == 0:
+        return float("nan")  # without tripping numpy's 0/0 RuntimeWarning
     return float((distance_to_marker <= threshold).sum() / len(distance_to_marker))
 
 
@@ -96,19 +102,38 @@ def eval_model_marker_recall_rate(
             )
         return (exact or hits or [None])[0]
 
-    jobs = []
+    jobs, missing = [], []
     for label, name in labels_df[["label", "ID"]].values:
         ap = best_match(annotations_root_dir, name)
         cp = best_match(centerlines_root_dir, name)
         if ap is not None and cp is not None:
             jobs.append((int(label), ap, cp))
+        else:
+            missing.append(str(name))
+    if missing:
+        # a tracker that produced NOTHING for a corrected scan is exactly
+        # the failure recall should count — dropping such patients silently
+        # would bias the metric upward; make the shrunken denominator loud
+        logger.warning(
+            "%d/%d patients have no annotations/centerlines match and are "
+            "EXCLUDED from the recall denominator: %s",
+            len(missing), len(labels_df), missing,
+        )
+
+    def _one(j):
+        # one malformed patient file must not abort the whole cohort sweep
+        # (same contract as hu_distribution_shift.collect_voxels_intensity)
+        try:
+            return (j[0], find_closest_centerlines_to_annotations(j[1], j[2], **kwargs))
+        except Exception as e:
+            logger.error("FAILED %r: %s", str(j[2]), e)
+            return None
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(
-            pool.map(
-                lambda j: (j[0], find_closest_centerlines_to_annotations(j[1], j[2], **kwargs)),
-                jobs,
-            )
+        results = [r for r in pool.map(_one, jobs) if r is not None]
+    if len(results) < len(jobs):
+        logger.warning(
+            "%d/%d patients failed and were skipped", len(jobs) - len(results), len(jobs)
         )
 
     collected: Dict[int, Dict[str, Dict[str, list]]] = defaultdict(

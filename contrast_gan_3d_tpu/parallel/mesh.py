@@ -27,6 +27,11 @@ def data_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):  # same contract as dp_sp_mesh
+                raise ValueError(
+                    f"data_mesh(n_devices={n_devices}): only "
+                    f"{len(devices)} devices available"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -116,9 +121,8 @@ def put_batch(tree, mesh: Mesh):
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
-    full = batch_spec(mesh)
-    if len(full) <= 1 and not multiprocess:
-        return jax.device_put(tree, NamedSharding(mesh, full))
+    # rank-aware per leaf even on a 1-D mesh: a whole-tree device_put with
+    # P('data') would reject rank-0/mixed-rank leaves that batch_spec handles
     return jax.tree.map(_leaf, tree)
 
 

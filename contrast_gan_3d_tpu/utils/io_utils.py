@@ -564,18 +564,32 @@ def save_scan(
     offset: np.ndarray,
     spacing: np.ndarray,
     savepath: PathLike,
+    direction: Optional[np.ndarray] = None,
 ):
     """Write a corrected (W, H, D) volume as int16 — compressed .mhd by
     default (reference ``to_sitk`` + CCTAContrastCorrector.save_scan), or
-    NIfTI / HDF5 when ``savepath`` carries that suffix."""
+    NIfTI / HDF5 when ``savepath`` carries that suffix.
+
+    ``direction``: the LPS direction matrix to write. The reference's
+    ``to_sitk`` (io_utils.py:109-123) silently writes identity — wrong
+    voxel-to-world frames for gantry-tilted scans whose residual oblique
+    direction survives LPS reorientation; pass the loaded ``meta
+    ["direction"]`` to preserve it (a documented reference bug we fix,
+    like the critic checkpoint)."""
     volume_whd = volume_whd.astype(np.int16)
     name = str(savepath).lower()
     if name.endswith((".nii", ".nii.gz")):
-        write_nifti(volume_whd, savepath, spacing=spacing, origin=offset)
+        write_nifti(
+            volume_whd, savepath, spacing=spacing, origin=offset, direction=direction
+        )
     elif name.endswith((".h5", ".hdf5")):
-        write_hdf5_image(volume_whd, savepath, spacing=spacing, origin=offset)
+        write_hdf5_image(
+            volume_whd, savepath, spacing=spacing, origin=offset, direction=direction
+        )
     else:
-        write_mhd(volume_whd, savepath, spacing=spacing, origin=offset)
+        write_mhd(
+            volume_whd, savepath, spacing=spacing, origin=offset, direction=direction
+        )
 
 
 # ---------------------------------------------------------------------------

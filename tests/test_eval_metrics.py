@@ -95,3 +95,66 @@ def test_asoca_reader(tmp_path):
     f.write_text("m1 1.0 2.0 3.0\nm2 4.0 5.0 6.0\n")
     out = mrr.read_ASOCA_annotations(f)
     assert out["centerlines"].shape == (2, 3)
+
+
+def test_corrected_scan_preserves_direction(tmp_path, rng):
+    """corrector.save writes the source scan's direction matrix — the
+    reference's to_sitk drops it (identity), a documented bug we fix."""
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+
+    vol = rng.normal(50, 10, (8, 8, 6)).astype(np.int16)
+    vol[0, 0, 0] = -1000
+    direction = np.diag([1.0, -1.0, -1.0])  # residual flip after reorient
+    src = tmp_path / "tilted.mhd"
+    io_utils.write_mhd(vol, src, spacing=(1, 1, 1), origin=(0, 0, 0), direction=np.eye(3))
+    _, meta = io_utils.load_scan(src)
+    meta = dict(meta, direction=direction)
+    out = tmp_path / "corrected.mhd"
+    CCTAContrastCorrector.save(vol.astype(np.float32), out, meta)
+    written = io_utils.read_image_meta(out)
+    np.testing.assert_allclose(written["direction"], direction, atol=1e-6)
+
+
+def test_marker_recall_missing_and_failing_patients_are_loud(tmp_path):
+    """Patients with no match are warned about (not silently dropped) and a
+    malformed patient file does not abort the sweep."""
+    import logging
+
+    import pandas as pd
+
+    for name in ("pa", "pb"):
+        pdir = tmp_path / "ctls" / name
+        pdir.mkdir(parents=True)
+        pts = np.stack([np.linspace(0, 9, 10)] * 3, -1)
+        np.savetxt(pdir / "vessel0.txt", np.concatenate([pts, np.ones((10, 1))], -1))
+        adir = tmp_path / "annots" / name
+        adir.mkdir(parents=True)
+        np.savetxt(adir / "LAD.txt", pts[:4])
+    # pb's centerlines are malformed (inconsistent columns)
+    (tmp_path / "ctls" / "pb" / "vessel0.txt").write_text("1 2 3 4\n5 6 7\n")
+
+    df = pd.DataFrame({"ID": ["pa", "pb", "ghost"], "label": [0, -1, 1]})
+    # the package loggers set propagate=False, so collect records directly
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    mrr.logger.addHandler(handler)
+    try:
+        distances, metrics = mrr.eval_model_marker_recall_rate(
+            tmp_path / "ctls", tmp_path / "annots", df, workers=2
+        )
+    finally:
+        mrr.logger.removeHandler(handler)
+    assert metrics[ScanType.OPT]["LAD"] == 1.0  # pa still scored
+    assert ScanType.HIGH not in metrics  # ghost excluded...
+    text = "\n".join(records)
+    assert "ghost" in text and "EXCLUDED" in text  # ...but loudly
+    assert "FAILED" in text  # pb's malformed file logged, sweep survived
+
+
+def test_marker_recall_rate_empty_is_nan_without_warning():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert np.isnan(mrr.marker_recall_rate(np.array([])))

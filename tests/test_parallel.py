@@ -261,3 +261,26 @@ def test_trainer_rejects_nondivisible_train_batch(rng):
                ScanType.HIGH.value: batch(3)}
     with pytest.raises(ValueError, match="divisible by the mesh"):
         trainer.train_step(patches, 0)
+
+
+def test_data_mesh_refuses_overrequest():
+    import pytest
+
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+
+    with pytest.raises(ValueError, match="only"):
+        data_mesh(n_devices=1000)
+
+
+def test_put_batch_mixed_rank_tree():
+    """put_batch shards rank-aware per leaf — rank-0 leaves replicate even on
+    the 1-D mesh fast path."""
+    import numpy as np
+
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh, put_batch
+
+    mesh = data_mesh(2)
+    tree = {"data": np.ones((4, 3), np.float32), "count": np.float32(3.0)}
+    out = put_batch(tree, mesh)
+    assert out["data"].shape == (4, 3)
+    assert float(out["count"]) == 3.0
