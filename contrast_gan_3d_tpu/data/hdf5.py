@@ -168,22 +168,41 @@ def write_patient_h5(
     return str(path)
 
 
-def open_patient_h5(path: PathLike) -> Tuple["h5py.Dataset", Dict]:
+def open_patient_h5(
+    path: PathLike, file_cache: Optional[Dict] = None
+) -> Tuple["h5py.Dataset", Dict]:
     """Open a patient for windowed reads: ((W, H, D, 2) h5py dataset, meta).
 
     The dataset slices like the ``.npy`` memmap (``data[a:b, c:d, e:f]``)
     reading only the touched chunks. No file handle to manage: h5py's weak
-    close semantics keep the file open for as long as the dataset lives."""
+    close semantics keep the file open for as long as the dataset lives.
+
+    ``file_cache`` ({file path: h5py.File}) shares ONE OS file descriptor
+    across all members of a corpus file — without it, a sampler touching
+    every member of a 1500-patient corpus would hold 1500 fds of the same
+    file and trip the default ulimit mid-training. Entries are owned by the
+    caller for its lifetime (h5py serializes concurrent reads internally)."""
     _require_h5py()
     file_part, member = split_member(path)
-    fd = h5py.File(file_part, "r")
+    cached = file_cache is not None
+    if cached:
+        fd = file_cache.get(file_part)
+        if fd is None:
+            fd = h5py.File(file_part, "r")
+            kept = file_cache.setdefault(file_part, fd)
+            if kept is not fd:  # another thread raced the open; keep one fd
+                fd.close()
+                fd = kept
+    else:
+        fd = h5py.File(file_part, "r")
     try:
         node = fd[member] if member is not None else fd
         data = node[SCAN_DS]
         meta = _read_meta(node)
     except KeyError:
         available = f"; members: {sorted(fd.keys())[:16]}"
-        fd.close()
+        if not cached:
+            fd.close()
         raise KeyError(
             f"{path}: no patient data found "
             f"(member={member!r}, dataset={SCAN_DS!r}){available}"

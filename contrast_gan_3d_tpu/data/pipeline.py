@@ -59,6 +59,11 @@ class PrefetchLoader:
     def start(self):
         if self._threads:
             return
+        # a zombie from a previous generation still holds the SHARED
+        # sampler: letting it finish an in-flight draw AFTER the new
+        # worker's (batch, state_after) snapshots would silently desync the
+        # exact-replay pairing — same hazard set_state guards against
+        self._await_zombies()
         if self._last_state is None:
             self._last_state = self.sampler.get_state()
         # fresh per-generation stop/queue/counter: a worker that outlived a
@@ -118,15 +123,23 @@ class PrefetchLoader:
                         err_box["e"] = e
                 q.put(self._sentinel)
                 return
-            if self.to_device:
-                batch = dict(batch)
-                put = (
-                    (lambda x: jax.device_put(x, self.device))
-                    if self.device is not None
-                    else jax.device_put
-                )
-                batch["data"] = put(batch["data"])
-                batch["seg"] = put(batch["seg"])
+            try:
+                if self.to_device:
+                    batch = dict(batch)
+                    put = (
+                        (lambda x: jax.device_put(x, self.device))
+                        if self.device is not None
+                        else jax.device_put
+                    )
+                    batch["data"] = put(batch["data"])
+                    batch["seg"] = put(batch["seg"])
+            except Exception as e:  # device_put can fail too (e.g. HBM OOM)
+                with self._done_lock:
+                    done_box["n"] += 1
+                    if err_box["e"] is None:
+                        err_box["e"] = e
+                q.put(self._sentinel)
+                return
             while not stop.is_set():
                 try:
                     q.put((state_after, batch), timeout=0.5)
@@ -146,21 +159,23 @@ class PrefetchLoader:
             return self._last_state
         return self.sampler.get_state()
 
-    def set_state(self, state: Dict):
-        assert not self._threads, "stop() the loader before set_state()"
-        # a zombie from a previous generation still holds the SHARED sampler:
-        # if its in-flight next_batch() finished after set_state it would
-        # advance the restored rng/order and silently diverge the replayed
-        # stream — wait it out, and refuse rather than corrupt
+    def _await_zombies(self):
+        """Wait out workers that outlived a stop(): their in-flight
+        next_batch() still holds the SHARED sampler; proceeding would
+        silently corrupt the stream state — refuse instead."""
         for t in self._zombies:
             t.join(timeout=10)
         if any(t.is_alive() for t in self._zombies):
             raise RuntimeError(
                 "a prefetch worker from a previous generation is still "
-                "running and shares this loader's sampler; restoring its "
-                "state now would be silently corrupted"
+                "running and shares this loader's sampler; proceeding now "
+                "would silently corrupt the data stream"
             )
         self._zombies = []
+
+    def set_state(self, state: Dict):
+        assert not self._threads, "stop() the loader before set_state()"
+        self._await_zombies()
         self.sampler.set_state(state)
         self._last_state = state
 
@@ -182,9 +197,17 @@ class PrefetchLoader:
                 if self._stop.is_set():
                     raise StopIteration
                 with self._done_lock:
-                    if self._done_box["n"] >= len(self._threads):
-                        raise StopIteration  # all finite workers exhausted
-                continue
+                    all_done = self._done_box["n"] >= len(self._threads)
+                if not all_done:
+                    continue
+                try:
+                    # a worker may have posted its FINAL batch between the
+                    # get() timeout and the done check — drain before
+                    # declaring the pass exhausted (the one-full-pass
+                    # semantics must not drop the trailing batch)
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    raise StopIteration  # all finite workers exhausted
             if item is self._sentinel:
                 self._maybe_raise_worker_error()
                 with self._done_lock:

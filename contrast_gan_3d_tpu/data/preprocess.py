@@ -103,16 +103,17 @@ def write_patient(
     return out_path
 
 
-def load_patient(patient_path) -> Tuple[np.ndarray, Dict]:
+def load_patient(patient_path, h5_file_cache=None) -> Tuple[np.ndarray, Dict]:
     """mmap-load a preprocessed patient: ((W, H, D, 2) memmap, meta dict).
     ``patient_path`` may or may not carry the .npy suffix (reference
     ``load_patient``, data/utils.py:50-54). HDF5 patients (``*.h5`` files or
     ``corpus.h5::name`` members, ``data/hdf5.py``) return the windowed-read
-    h5py dataset in place of the memmap — same slicing, same consumers."""
+    h5py dataset in place of the memmap — same slicing, same consumers;
+    ``h5_file_cache`` shares one fd across a corpus file's members."""
     from contrast_gan_3d_tpu.data import hdf5
 
     if hdf5.is_hdf5_path(patient_path):
-        return hdf5.open_patient_h5(patient_path)
+        return hdf5.open_patient_h5(patient_path, file_cache=h5_file_cache)
     path = str(patient_path)
     if path.endswith(".npy"):
         path = path[: -len(".npy")]

@@ -79,6 +79,9 @@ class CCTAPatchSampler:
         # mmaps open for the sampler's lifetime
         self._patients: Dict[str, tuple] = {}
         self._patients_lock = threading.Lock()
+        # one h5py.File per corpus FILE shared by all its members — a
+        # per-member open would hold one fd per patient (data/hdf5.py)
+        self._h5_files: Dict[str, object] = {}
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -221,7 +224,7 @@ class CCTAPatchSampler:
             hit = self._patients.get(path)
         if hit is not None:
             return hit
-        loaded = load_patient(path)
+        loaded = load_patient(path, h5_file_cache=self._h5_files)
         with self._patients_lock:
             return self._patients.setdefault(path, loaded)
 

@@ -79,6 +79,36 @@ def test_missing_member_error_names_available(tmp_path, rng):
         hdf5.open_patient_h5(f"{corpus}::absent")
 
 
+def test_corpus_fd_shared_across_members(tmp_path, rng):
+    """One OS file descriptor per corpus FILE: a sampler touching every
+    member of a large corpus must not hold one fd per patient (a
+    1500-member corpus would trip the default ulimit mid-training)."""
+    corpus = tmp_path / "c.h5"
+    members = []
+    for i in range(4):
+        vol, mask, _, meta = synthetic_patient(rng, shape=(12, 12, 12))
+        members.append(hdf5.write_patient_h5(vol, mask, meta, f"p{i}", corpus))
+
+    cache = {}
+    datasets = [hdf5.open_patient_h5(m, file_cache=cache) for m in members]
+    assert len(cache) == 1  # one fd for the whole corpus
+    for (data, meta), m in zip(datasets, members):
+        assert data.shape == (12, 12, 12, 2)
+        assert meta["name"] == m.split(hdf5.MEMBER_SEP)[1]
+
+    # a missing member must not close the SHARED fd out from under the
+    # other members' live datasets
+    with pytest.raises(KeyError, match="absent"):
+        hdf5.open_patient_h5(f"{corpus}::absent", file_cache=cache)
+    assert datasets[0][0][0, 0, 0, 0] is not None  # fd still usable
+
+    # the sampler wires the cache through load_patient
+    sampler = CCTAPatchSampler(members, (8, 8, 8), 2, rng=np.random.default_rng(0))
+    for _ in range(4):
+        sampler.next_batch()
+    assert len(sampler._h5_files) == 1
+
+
 def test_load_patient_dispatch(tmp_path, rng):
     vol, mask, _, meta = synthetic_patient(rng, shape=(10, 10, 10))
     standalone = write_patient(vol, mask, meta, "s", tmp_path, fmt="h5")

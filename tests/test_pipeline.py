@@ -204,6 +204,87 @@ def test_worker_failure_surfaces_not_hangs(tmp_path, rng):
     loader.stop()
 
 
+def test_device_put_failure_surfaces_not_hangs(tmp_path, rng, monkeypatch):
+    """device_put can fail in the worker too (HBM OOM, device lost): the
+    error must surface to the consumer like a sampler failure, not hang."""
+    import contrast_gan_3d_tpu.data.pipeline as pl
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    sampler = CCTAPatchSampler(
+        [p for p, _ in fold], (8, 8, 8), 2, rng=np.random.default_rng(0)
+    )
+
+    def boom(x, *a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of HBM")
+
+    monkeypatch.setattr(pl.jax, "device_put", boom)
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=True)
+    loader.start()
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        for _ in range(5):
+            next(loader)
+    loader.stop()
+
+
+def test_trailing_batch_not_dropped_on_done_race(tmp_path, rng):
+    """The exhaustion race: a finite worker posts its FINAL batch between
+    __next__'s timed-out get() and the all-done check. The drain must serve
+    that batch before declaring the pass exhausted (one-full-pass semantics
+    must not drop the trailing batch). Exercised deterministically with a
+    queue whose timed get always misses but whose drain holds the batch."""
+    import queue as _q
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    sampler = CCTAPatchSampler(
+        [p for p, _ in fold], (8, 8, 8), 1, rng=np.random.default_rng(0)
+    )
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=False)
+
+    class RacyQueue:
+        def __init__(self, item):
+            self._item = item
+
+        def get(self, timeout=None):
+            raise _q.Empty  # the timed get that lost the race
+
+        def get_nowait(self):
+            if self._item is None:
+                raise _q.Empty
+            item, self._item = self._item, None
+            return item
+
+        def empty(self):
+            return self._item is None
+
+    batch = {"data": np.zeros((1, 8, 8, 8), np.int16)}
+    loader._threads = [object()]  # worker finished: done count == threads
+    loader._done_box = {"n": 1}
+    loader._queue = RacyQueue((None, batch))
+    assert next(loader) is batch
+    with pytest.raises(StopIteration):
+        next(loader)
+
+
+def test_start_joins_finished_zombies(tmp_path, rng):
+    """start() must wait out workers that outlived a previous stop() before
+    snapshotting sampler state: an in-flight draw finishing after the new
+    generation's (batch, state_after) pairs would silently desync replay."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    sampler = CCTAPatchSampler(
+        [p for p, _ in fold], (8, 8, 8), 1, rng=np.random.default_rng(0)
+    )
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=False)
+    release = threading.Event()
+    zombie = threading.Thread(target=release.wait, daemon=True)
+    zombie.start()
+    loader._zombies = [zombie]
+    release.set()  # zombie exits; start() joins and clears it
+    loader.start()
+    assert loader._zombies == []
+    assert next(loader)["data"].shape == (1, 8, 8, 8)
+    loader.stop()
+
+
 def test_3d_centerline_guided_sampling(tmp_path, rng):
     """p_centerline_3d=1.0: every 3D patch window contains a centerline
     voxel (the window is centered on a rasterized centerline point —
