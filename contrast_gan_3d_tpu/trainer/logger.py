@@ -36,6 +36,10 @@ except Exception:  # pragma: no cover - environment without wandb
 class LoggerInterface:
     """Base logger: scalars go out immediately, images may render off-path."""
 
+    # consumers (Trainer) check this BEFORE computing/fetching image batches:
+    # a logger that drops images should not cost a preview dispatch + D2H
+    logs_images: bool = True
+
     def log_scalars(self, scalars: Dict[str, float], step: int, stage: str = "train"):
         raise NotImplementedError
 
@@ -56,6 +60,8 @@ class LoggerInterface:
 
 
 class NoopLogger(LoggerInterface):
+    logs_images = False
+
     def log_scalars(self, scalars, step, stage="train"):
         pass
 
@@ -65,6 +71,8 @@ class NoopLogger(LoggerInterface):
 
 class ConsoleLogger(LoggerInterface):
     """Scalar-only logging to the module logger (images are skipped)."""
+
+    logs_images = False
 
     def log_scalars(self, scalars, step, stage="train"):
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in scalars.items())
@@ -279,6 +287,10 @@ class MultiThreadedLogger(LoggerInterface):
     def __init__(self, inner: LoggerInterface):
         self.inner = inner
         self._threads: List[threading.Thread] = []
+
+    @property
+    def logs_images(self) -> bool:
+        return self.inner.logs_images
 
     def log_scalars(self, scalars, step, stage="train"):
         self.inner.log_scalars(scalars, step, stage)

@@ -101,6 +101,7 @@ class Trainer:
                 if hasattr(generator, k)
             }
         }
+        self._warned_multiproc_images = False
         self.state = state if state is not None else init_state(
             generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
         )
@@ -129,6 +130,25 @@ class Trainer:
     @property
     def iteration(self) -> int:
         return int(jax.device_get(self.state.step))
+
+    def _can_log_images(self) -> bool:
+        """Whether image logging should run at all this fit: skipped when the
+        logger drops images (a preview dispatch + D2H for nothing), and on
+        multi-process meshes, where the train/val batches are global arrays
+        whose shards span processes — ``np.asarray`` on one would raise
+        'spans non-addressable devices' at the first image-log iteration."""
+        if not getattr(self.logger_interface, "logs_images", True):
+            return False
+        if self.mesh is not None and jax.process_count() > 1:
+            if not self._warned_multiproc_images:
+                self._warned_multiproc_images = True
+                logger.warning(
+                    "image logging is disabled under multi-process meshes "
+                    "(batches span hosts); set log_images_every=None to "
+                    "silence this"
+                )
+            return False
+        return True
 
     def _assemble(self, patches: Dict[int, Dict]) -> tuple:
         """3-stream batches -> (opt, subopt, subopt_mask) device arrays.
@@ -233,7 +253,10 @@ class Trainer:
         t_last, it_last = time.perf_counter(), start
         for iteration in range(start, self.cfg.train_iterations):
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
-            images_due = _due(iteration, self.cfg.log_images_every, skip_zero=False)
+            images_due = (
+                _due(iteration, self.cfg.log_images_every, skip_zero=False)
+                and self._can_log_images()
+            )
             rng_before = None
             if images_due and self._preview_step is not None:
                 # the step donates (and advances) state.rng — keep a copy so
@@ -327,6 +350,9 @@ class Trainer:
         batches are logged as images."""
         loss_sim = loss_G = loss_real_C = loss_fake_C = 0.0
         loggable = []
+        collect_images = (
+            self.cfg.log_images_every is not None and self._can_log_images()
+        )
         n_subopt = self.cfg.val_iterations * (len(ScanType) - 1)
         for i, st in itertools.product(range(self.cfg.val_iterations), ScanType):
             batch = next(val_loaders[st.value])
@@ -341,11 +367,11 @@ class Trainer:
                 loss_fake_C += loss_fake
                 loss_G -= loss_fake
                 loss_sim += float(jax.device_get(l_sim))
-                if i == 0:
+                if i == 0 and collect_images:
                     n = batch["data"].shape[0]  # unpadded size, no host copy
                     loggable.append((batch, sample_hat[:n], atten[:n]))
 
-        if loggable and self.cfg.log_images_every is not None:
+        if loggable:
             samples = np.concatenate(
                 [np.asarray(self.step_cfg.scaler(b["data"].astype(np.float32))) for b, _, _ in loggable]
             )

@@ -97,6 +97,62 @@ def test_fit_end_to_end(tmp_path, rng):
     assert trainer2.iteration == 4
 
 
+def test_image_logging_gates(tmp_path, rng, monkeypatch):
+    """_can_log_images: False for loggers that drop images (no preview
+    dispatch for nothing) and under multi-process meshes (batches span
+    hosts — np.asarray on them would raise); True for recording/wandb-style
+    loggers. MultiThreadedLogger mirrors its inner logger."""
+    from contrast_gan_3d_tpu.trainer.logger import (
+        ConsoleLogger, MultiThreadedLogger, NoopLogger,
+    )
+
+    assert NoopLogger.logs_images is False
+    assert ConsoleLogger.logs_images is False
+    rec = RecordingLogger()
+    assert getattr(rec, "logs_images", True) is True
+    assert MultiThreadedLogger(NoopLogger()).logs_images is False
+    assert MultiThreadedLogger(rec).logs_images is True
+
+    trainer = _build_trainer(tmp_path, NoopLogger())
+    assert not trainer._can_log_images()
+    trainer = _build_trainer(tmp_path, rec)
+    assert trainer._can_log_images()
+
+    # multi-process mesh: refused (with a one-time warning), even for an
+    # image-capable logger
+    import contrast_gan_3d_tpu.trainer.trainer as trainer_mod
+
+    trainer.mesh = object()  # only checked for None-ness on this path
+    monkeypatch.setattr(trainer_mod.jax, "process_count", lambda: 2)
+    assert not trainer._can_log_images()
+    assert trainer._warned_multiproc_images
+
+
+@pytest.mark.slow
+def test_noop_logger_skips_preview_dispatch(tmp_path, rng):
+    """With a NoopLogger, an image-log-due iteration must not run the
+    preview step (a wasted dispatch + rng snapshot every cadence hit)."""
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 1, -1: 1, 1: 1}, rng, num_threads=1, prefetch=2,
+        to_device=False,
+    )
+    from contrast_gan_3d_tpu.trainer.logger import NoopLogger
+
+    trainer = _build_trainer(tmp_path, NoopLogger(), iterations=4)
+    assert trainer._preview_step is not None  # device-augment config
+    calls = {"n": 0}
+    real = trainer._preview_step
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    trainer._preview_step = spy
+    trainer.fit(loaders)  # log_images_every=3 → iteration 3 is images-due
+    assert calls["n"] == 0
+
+
 @pytest.mark.slow
 def test_schedule_branches(tmp_path, rng):
     """critic-every-1 / generator-every-2: even iterations run combined,
