@@ -107,7 +107,13 @@ class CCTAContrastCorrector:
         )
         if layout == "packed" and not packed:
             raise ValueError("layout='packed' unsupported for this generator/patch")
-        self.batch_size = batch_size if batch_size is not None else (24 if packed else 8)
+        # 2D: the slice-batched forward only saturates the chip from ~128
+        # slices per dispatch (512^2 x 400 sweep: 0.82 s @ 8 -> 0.185 s @ 128,
+        # flat beyond — PERF.md); _correct_2d caps the effective batch at the
+        # padded slice count so short volumes don't pay 128x padding
+        self.batch_size = batch_size if batch_size is not None else (
+            128 if self.is_2d else (24 if packed else 8)
+        )
         batch_size = self.batch_size
         # kept for shard_over (mesh re-targeting preserves the layout choice)
         self._packed = packed
@@ -241,7 +247,10 @@ class CCTAContrastCorrector:
         W, H, D = volume.shape
         vol = self.scaler(volume.astype(jnp.float32))
         slices = jnp.moveaxis(vol, -1, 0)[..., None]  # (D, W, H, 1)
-        bs = self.batch_size
+        # a volume shorter than the configured batch runs as ONE full-volume
+        # dispatch (padded to a multiple of 8) instead of padding up to the
+        # saturation batch
+        bs = min(self.batch_size, -(-D // 8) * 8)
         pad = (-D) % bs
         if pad:
             slices = jnp.concatenate([slices, jnp.zeros((pad, W, H, 1), slices.dtype)])

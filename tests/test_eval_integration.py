@@ -105,6 +105,35 @@ def test_correct_patients_overlap_io_loader_error(tmp_path, rng):
         )
 
 
+def test_2d_corrector_batch_invariance(rng):
+    """The slice batch is a pure throughput knob (BatchNorm runs on frozen
+    eval stats; padded slices are dropped): outputs are identical across
+    batch sizes, and the effective batch caps at the padded slice count so
+    short volumes don't pay saturation-batch padding (the default is 128 —
+    the chip only saturates there, 0.82 s @ 8 -> 0.185 s @ 128 per
+    512x512x400 volume, PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        ndim=2, s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)), train=False)
+
+    def make(bs):
+        return CCTAContrastCorrector(
+            gen, variables["params"], variables.get("batch_stats"),
+            inference_patch_size=(16, 16), batch_size=bs,
+        )
+
+    assert make(None).batch_size == 128  # saturation default
+    vol = rng.integers(-1000, 1400, (16, 16, 11)).astype(np.int16)
+    outs = [np.asarray(make(bs)(vol)) for bs in (2, 4, None)]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_corrector_z_bucket(rng):
     """z_bucket pads/crops around the jitted correction; output shape exact
     and values near the identity-path result."""
