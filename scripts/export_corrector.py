@@ -34,7 +34,9 @@ def main():
                         "multi-z-bucket bundle)")
     p.add_argument("--reference-pt", action="store_true",
                    help="checkpoint is a reference torch .pt file")
-    p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
+    p.add_argument("--patch", type=int, nargs="+", default=(128, 128, 128),
+                   help="inference patch size: W H D (3D sliding window) or "
+                        "W H (conf_2D family, slice-batched)")
     p.add_argument("--overlap", type=float, default=0.25)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--dtype", choices=("bfloat16", "float32"), default="bfloat16")
@@ -44,6 +46,8 @@ def main():
                    help="target platform(s), e.g. --platform tpu (repeatable; "
                         "default: current backend)")
     args = p.parse_args()
+    if len(args.patch) not in (2, 3):
+        p.error("--patch takes W H D (3D) or W H (2D)")
 
     import jax.numpy as jnp
     import numpy as np

@@ -32,7 +32,9 @@ def main():
                         "tracing; serves exactly the exported volume shape")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8390)
-    p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
+    p.add_argument("--patch", type=int, nargs="+", default=(128, 128, 128),
+                   help="inference patch size: W H D (3D sliding window) or "
+                        "W H (conf_2D family, slice-batched)")
     p.add_argument("--overlap", type=float, default=0.25)
     p.add_argument("--batch", type=int, default=None,
                    help="patches per forward (default: corrector auto)")
@@ -45,6 +47,8 @@ def main():
     p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
                    help="pre-compile for this volume shape (e.g. 512 512 400)")
     args = p.parse_args()
+    if len(args.patch) not in (2, 3):
+        p.error("--patch takes W H D (3D) or W H (2D)")
 
     import jax.numpy as jnp
 

@@ -186,3 +186,42 @@ def test_export_corrector_cli(tmp_path, rng, monkeypatch):
     corrected = np.asarray(art(np.zeros((12, 12, 10), np.int16)))
     assert corrected.shape == (12, 12, 10)
     assert np.isfinite(corrected).all()
+
+
+def test_export_corrector_cli_2d_family(tmp_path, rng, monkeypatch):
+    """--patch W H (two ints) drives the conf_2D slice-batched corrector
+    through the CLI — the architecture (ndim=2) auto-derives from the
+    checkpoint's param tree."""
+    import jax
+    import optax
+
+    from contrast_gan_3d_tpu.eval.export import load_exported_corrector
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+    from contrast_gan_3d_tpu.trainer.steps import init_state
+
+    state = init_state(
+        ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1,
+                        init_channels_out=2, ndim=2),
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1, ndim=2),
+        optax.adam(1e-4), optax.adam(1e-4), jax.random.key(0), (8, 8),
+    )
+    ckpt_dir = tmp_path / "ck2d"
+    ckpt_lib.save_checkpoint(state, ckpt_dir, step=0)
+
+    out = tmp_path / "artifact2d"
+    _run(
+        monkeypatch, "export_corrector", ckpt_dir, out,
+        "--shape", "12", "12", "10", "--patch", "12", "12",
+        "--dtype", "float32", "--batch", "4",
+    )
+    art = load_exported_corrector(tmp_path / "artifact2d.jaxcorr")
+    corrected = np.asarray(art(np.zeros((12, 12, 10), np.int16)))
+    assert corrected.shape == (12, 12, 10)
+    assert np.isfinite(corrected).all()
+
+    # a malformed patch arity is a usage error, not a traceback
+    with pytest.raises(SystemExit):
+        _run(monkeypatch, "export_corrector", ckpt_dir, out,
+             "--shape", "12", "12", "10", "--patch", "12")
