@@ -5,9 +5,11 @@ in < 2 s. The default run prints, in order:
 
 1. ``train_patches_per_sec_128c_wc`` — full WGAN train step throughput at the
    reference 6 OPT + 3 LOW + 3 HIGH 128^3 batch (BENCH_GP=1 for WGAN-GP).
-2. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
+2. ``train_patches_per_sec_128c_wc_batch96`` — the saturated large-batch
+   point (48+48; the step's ~103 patches/s roofline, PERF.md batch sweep).
+3. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
    sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
-3. ``full_volume_correction_latency_512x512x400`` (headline) — the default
+4. ``full_volume_correction_latency_512x512x400`` (headline) — the default
    25% overlap (100 forwards). This is the production setting: 25%-overlap
    Gaussian blending is strictly richer aggregation than the reference's
    non-overlapping uniform tiles, and the end-to-end quality study
@@ -50,10 +52,13 @@ def _warm(fn):
             time.sleep(20)
 
 
-def bench_train():
+def bench_train(n_opt: int | None = None, n_sub: int | None = None,
+                tag_suffix: str = ""):
     """3D 128^3 patches/sec/chip for the full WGAN train step (BASELINE.md
     secondary metric; reference batch 6 OPT + 3 LOW + 3 HIGH, host-side
-    augmentation overlapped — the device step is augmentation-free)."""
+    augmentation overlapped — the device step is augmentation-free).
+    ``n_opt``/``n_sub`` override the batch mix (the default run also reports
+    the saturated large-batch point — PERF.md batch-scaling sweep)."""
     from contrast_gan_3d_tpu.data.augment import AugmentConfig
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
@@ -70,16 +75,16 @@ def bench_train():
         # conf_2D family (reference conf_2D.py): 128^2 patches, batch
         # 256 OPT + 128 LOW + 128 HIGH, 6 resnet blocks
         patch = (128, 128)
-        n_opt = int(os.environ.get("BENCH_OPT", "256"))
-        n_sub = int(os.environ.get("BENCH_SUB", "256"))
+        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "256"))
+        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "256"))
         gen = ResnetGenerator(
             n_resnet_blocks=6, ndim=2, dtype=jnp.bfloat16, remat=remat
         )
         critic = PatchGANDiscriminator(ndim=2, dtype=jnp.bfloat16, remat=remat)
     else:
         patch = (128, 128, 128)
-        n_opt = int(os.environ.get("BENCH_OPT", "6"))
-        n_sub = int(os.environ.get("BENCH_SUB", "6"))
+        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "6"))
+        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "6"))
         # production default (experiments/builder.py): the block-space
         # layout — 46.2 vs 20.9 patches/s; BENCH_LAYOUT=direct to compare
         t_layout = os.environ.get("BENCH_LAYOUT", "packed")
@@ -126,7 +131,8 @@ def bench_train():
     sec = min(times)
     tag = "128sq" if is_2d else "128c"
     print(json.dumps({
-        "metric": f"train_patches_per_sec_{tag}_{'gp' if use_gp else 'wc'}",
+        "metric": f"train_patches_per_sec_{tag}_{'gp' if use_gp else 'wc'}"
+        + tag_suffix,
         "value": round((n_opt + n_sub) / sec, 2),
         "unit": ("slices" if is_2d else "patches") + "/s/chip",
         "vs_baseline": None,
@@ -202,6 +208,11 @@ def main():
     if mode == "infer":
         return bench_inference(default_overlap)
     bench_train()
+    if os.environ.get("BENCH_2D") != "1":
+        # the large-batch point the step saturates at (PERF.md batch-scaling
+        # sweep: ~103 patches/s by 48+48) — what data-parallel pods feeding
+        # >=24 local patches per chip actually get
+        bench_train(n_opt=48, n_sub=48, tag_suffix="_batch96")
     if default_overlap != 0.5:
         bench_inference(0.5)
     bench_inference(default_overlap)
