@@ -54,16 +54,26 @@ def main():
     p.add_argument("--iterations", type=int, default=800)
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
     p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
+    p.add_argument("--family", choices=["3d", "2d"], default="3d",
+                   help="2d = conf_2D family head-to-head: 2D models on both "
+                        "sides, centerline-guided axial-slice batches (the "
+                        "reference's own '2D-WC-baseline' checkpoint family), "
+                        "per-slice correction judging")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--gp", action="store_true",
                    help="gradient-penalty mode on BOTH sides (weight_clip "
                         "None, Adam (0, 0.9) lr 1e-4, gp_weight 10; GP eps "
                         "draws differ across frameworks, so this compares "
                         "endpoint quality, not trajectories)")
-    p.add_argument("--out", type=Path,
-                   default=Path(__file__).resolve().parent.parent
-                   / "reference_training_comparison.json")
+    p.add_argument("--out", type=Path, default=None)
     args = p.parse_args()
+    is_2d = args.family == "2d"
+    if args.out is None:
+        args.out = Path(__file__).resolve().parent.parent / (
+            "reference_training_comparison_2d.json" if is_2d
+            else "reference_training_comparison.json"
+        )
+    patch = tuple(args.patch)[:2] if is_2d else tuple(args.patch)
     lr, betas, clip = (1e-4, (0.0, 0.9), None) if args.gp else (LR, BETAS, CLIP)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -110,24 +120,25 @@ def main():
     gen_t = fill_deterministic(
         mods["generator"].ResnetGenerator(
             GEN_CFG["n_resnet_blocks"], GEN_CFG["n_updownsample_blocks"],
-            GEN_CFG["init_channels_out"],
+            GEN_CFG["init_channels_out"], is_2D=is_2d,
         ),
         seed=70,
     )
     crit_t = fill_deterministic(
         mods["discriminator"].PatchGANDiscriminator(
             1, CRITIC_CFG["init_channels_out"], CRITIC_CFG["discriminator_depth"],
-            negative_slope=0.2,
+            is_2D=is_2d, negative_slope=0.2,
         ),
         seed=71,
     )
 
     scaler = FactorZeroCenterScaler()
-    gen = ResnetGenerator(tconv_placement="torch", **GEN_CFG)
-    critic = PatchGANDiscriminator(**CRITIC_CFG)
+    ndim = 2 if is_2d else 3
+    gen = ResnetGenerator(tconv_placement="torch", ndim=ndim, **GEN_CFG)
+    critic = PatchGANDiscriminator(ndim=ndim, **CRITIC_CFG)
     tx = make_optimizer("adam", lr=lr, betas=betas)
     cfg = StepConfig(weight_clip=clip, dtype=jnp.float32, augment=None)
-    state = init_state(gen, critic, tx, tx, jax.random.key(0), tuple(args.patch))
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     def port_generator():
         return generator_variables_from_torch(
             numpy_state_dict(gen_t.state_dict()),
@@ -185,7 +196,7 @@ def main():
         generator_class=lambda: gen_t, critic_class=lambda: crit_t,
         generator_optim_class=partial(torch.optim.Adam, lr=lr, betas=betas),
         critic_optim_class=partial(torch.optim.Adam, lr=lr, betas=betas),
-        hu_loss_instance=mods["loss"].HULoss(lo_s, hi_s, (n_sub, 1, *args.patch)),
+        hu_loss_instance=mods["loss"].HULoss(lo_s, hi_s, (n_sub, 1, *patch)),
         logger_interface=types.SimpleNamespace(logger=None),
         device=torch.device("cpu"),
         weight_clip=clip,
@@ -197,7 +208,7 @@ def main():
     # ---- identical batch stream ------------------------------------------
     samplers = {
         label: CCTAPatchSampler(
-            paths, tuple(args.patch), BATCH[label],
+            paths, patch, BATCH[label],
             rng=np.random.default_rng(100 + label),
         )
         for label, paths in by_label.items()
@@ -232,14 +243,15 @@ def main():
             print(f"  it {it}: ours D={float(metrics['D']):+.4f}", flush=True)
 
     # ---- the same corrector judges both ----------------------------------
+    corr_patch = tuple(args.shape[:2]) if is_2d else tuple(args.patch)
     ours_corr = CCTAContrastCorrector(
         gen, state.gen_params, state.gen_stats,
-        inference_patch_size=tuple(args.patch), batch_size=4,
+        inference_patch_size=corr_patch, batch_size=4,
     )
     ref_v = port_generator()
     ref_corr = CCTAContrastCorrector(
         gen, ref_v["params"], ref_v.get("batch_stats"),
-        inference_patch_size=tuple(args.patch), batch_size=4,
+        inference_patch_size=corr_patch, batch_size=4,
     )
 
     lo, hi = 350.0, 450.0
@@ -248,8 +260,9 @@ def main():
         "iterations": args.iterations,
         "target_corridor": [lo, hi],
         "mode": "gp" if args.gp else "wc",
+        "family": args.family,
         "setup": "identical init (ported), identical batch stream, "
-                 f"{'GP' if args.gp else 'WC'} mode, "
+                 f"{'GP' if args.gp else 'WC'} mode, {args.family} family, "
                  f"Adam lr {lr} betas {betas}, critic/{CRITIC_EVERY} gen/{GEN_EVERY}",
     }
     for tag, vessel_hu in (("low", 250), ("high", 550)):

@@ -47,3 +47,31 @@ def test_compare_reference_training_smoke(tmp_path):
         # both sides started from identical weights and saw identical
         # batches; 10 iterations cannot drift the corrections far apart
         assert abs(row["after_delta_ours_vs_reference"]) < 50
+
+
+@pytest.mark.slow
+def test_compare_reference_training_smoke_2d(tmp_path):
+    """--family 2d: the conf_2D-family head-to-head (2D models on both
+    sides, axial-slice batches, per-slice correction judging)."""
+    out = tmp_path / "cmp2d.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "compare_reference_training.py"),
+            "--iterations", "10",
+            "--shape", "32", "32", "32",
+            "--family", "2d",
+            "--cpu",
+            "--out", str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    summary = json.loads(out.read_text())
+    assert summary["family"] == "2d"
+    for tag in ("low", "high"):
+        row = summary[f"{tag}_scan_centerline_mean_hu"]
+        assert abs(row["after_delta_ours_vs_reference"]) < 50
