@@ -163,6 +163,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         log_every=cfg.log_every,
         log_images_every=cfg.log_images_every,
         checkpoint_every=cfg.checkpoint_every,
+        checkpoint_keep=cfg.checkpoint_keep,
         checkpoint_dir=checkpoint_dir,
     )
 

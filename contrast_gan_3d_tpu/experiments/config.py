@@ -37,6 +37,9 @@ class ExperimentConfig:
     train_critic_every: int = 1
     seed: Optional[int] = None  # None -> DEFAULT_SEED at runtime
     checkpoint_every: Optional[int] = 1000
+    # keep only the newest N checkpoints (+ their data sidecars); None =
+    # keep all, the reference behavior (it never prunes, Trainer.py:321-327)
+    checkpoint_keep: Optional[int] = None
     validate_every: Optional[int] = 400
     log_every: Optional[int] = 100
     log_images_every: Optional[int] = 500

@@ -122,3 +122,12 @@ def test_host_augmenter_seeded_deterministically():
         for _ in range(2)
     ]
     assert rngs[0] == rngs[1]
+
+
+def test_checkpoint_keep_wired_through():
+    """cfg.checkpoint_keep reaches the TrainerConfig (bounds checkpoint disk
+    on long runs; default None = keep-all, the reference behavior)."""
+    built = build(load_config("basic_3d"))
+    assert built.trainer_config.checkpoint_keep is None
+    built = build(replace(load_config("basic_3d"), checkpoint_keep=3))
+    assert built.trainer_config.checkpoint_keep == 3

@@ -414,6 +414,9 @@ def parse_args(argv=None):
     p.add_argument("--starting-fold", type=int, default=0)
     p.add_argument("--max-folds", type=int, default=1)
     p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--checkpoint-keep", type=int, default=None,
+                   help="keep only the newest N checkpoints (+ data "
+                        "sidecars); default: keep all, like the reference")
     p.add_argument("--logger", choices=["wandb", "file", "console", "none"], default=None)
     p.add_argument("--dp-devices", type=int, default=None,
                    help="data-parallel over N devices (0 = all)")
@@ -466,6 +469,8 @@ def main(argv=None):
     overrides = {}
     if args.iterations is not None:
         overrides["train_iterations"] = args.iterations
+    if args.checkpoint_keep is not None:
+        overrides["checkpoint_keep"] = args.checkpoint_keep
     if args.logger is not None:
         overrides["logger"] = args.logger
     if args.dp_devices is not None:
