@@ -207,6 +207,11 @@ class PrefetchLoader:
                     # semantics must not drop the trailing batch)
                     item = self._queue.get_nowait()
                 except queue.Empty:
+                    # same race window for FAILURES: a worker sets err_box +
+                    # done count under the lock before its sentinel lands —
+                    # a truncated pass must raise, not report clean
+                    # exhaustion
+                    self._maybe_raise_worker_error()
                     raise StopIteration  # all finite workers exhausted
             if item is self._sentinel:
                 self._maybe_raise_worker_error()

@@ -110,10 +110,16 @@ class CCTAContrastCorrector:
         # 2D: the slice-batched forward only saturates the chip from ~128
         # slices per dispatch (512^2 x 400 sweep: 0.82 s @ 8 -> 0.185 s @ 128,
         # flat beyond — PERF.md); _correct_2d caps the effective batch at the
-        # padded slice count so short volumes don't pay 128x padding
-        self.batch_size = batch_size if batch_size is not None else (
-            128 if self.is_2d else (24 if packed else 8)
-        )
+        # padded slice count so short volumes don't pay 128x padding. The
+        # saturation default is accelerator-only: on the CPU backend a
+        # 128-slice 512^2 dispatch holds ~16x the activations of the old
+        # batch 8 for no latency benefit.
+        if batch_size is not None:
+            self.batch_size = batch_size
+        elif self.is_2d:
+            self.batch_size = 128 if jax.default_backend() != "cpu" else 8
+        else:
+            self.batch_size = 24 if packed else 8
         batch_size = self.batch_size
         # kept for shard_over (mesh re-targeting preserves the layout choice)
         self._packed = packed
@@ -266,13 +272,22 @@ class CCTAContrastCorrector:
     def __call__(self, volume) -> jax.Array:
         """Correct one (W, H, D) HU volume (int16/float); float32 HU out."""
         volume = jnp.asarray(volume)
-        if self.is_2d:
-            return self._correct_2d(volume)
+        # z_bucket applies to BOTH families (a warm daemon on a mixed-z
+        # cohort otherwise recompiles per distinct extent). For 2D it is
+        # exactly output-preserving: padded slices are corrected
+        # independently and cropped away (in 3D it changes the blend grid —
+        # see the constructor note).
         if self.z_bucket > 0 and volume.shape[2] % self.z_bucket:
             d = volume.shape[2]
             pad = self.z_bucket - d % self.z_bucket
             padded = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
-            return self.correct_volume(padded)[:, :, :d]
+            corrected = (
+                self._correct_2d(padded) if self.is_2d
+                else self.correct_volume(padded)
+            )
+            return corrected[:, :, :d]
+        if self.is_2d:
+            return self._correct_2d(volume)
         return self.correct_volume(volume)
 
     # ------------------------------------------------------------------

@@ -53,7 +53,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--iterations", type=int, default=800)
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
-    p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
+    p.add_argument("--patch", type=int, nargs="+", default=None,
+                   help="training patch: W H D (3d family) or W H (2d); "
+                        "default 16 per dim")
     p.add_argument("--family", choices=["3d", "2d"], default="3d",
                    help="2d = conf_2D family head-to-head: 2D models on both "
                         "sides, centerline-guided axial-slice batches (the "
@@ -68,12 +70,17 @@ def main():
     p.add_argument("--out", type=Path, default=None)
     args = p.parse_args()
     is_2d = args.family == "2d"
+    if args.patch is None:
+        args.patch = (16, 16) if is_2d else (16, 16, 16)
+    if len(args.patch) != (2 if is_2d else 3):
+        p.error(f"--patch takes {'W H' if is_2d else 'W H D'} for "
+                f"--family {args.family}")
     if args.out is None:
         args.out = Path(__file__).resolve().parent.parent / (
             "reference_training_comparison_2d.json" if is_2d
             else "reference_training_comparison.json"
         )
-    patch = tuple(args.patch)[:2] if is_2d else tuple(args.patch)
+    patch = tuple(args.patch)
     lr, betas, clip = (1e-4, (0.0, 0.9), None) if args.gp else (LR, BETAS, CLIP)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -127,11 +127,46 @@ def test_2d_corrector_batch_invariance(rng):
             inference_patch_size=(16, 16), batch_size=bs,
         )
 
-    assert make(None).batch_size == 128  # saturation default
+    # saturation default is accelerator-only; the CPU backend (this test
+    # suite) keeps the memory-lean batch 8
+    expected = 128 if jax.default_backend() != "cpu" else 8
+    assert make(None).batch_size == expected
     vol = rng.integers(-1000, 1400, (16, 16, 11)).astype(np.int16)
     outs = [np.asarray(make(bs)(vol)) for bs in (2, 4, None)]
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_2d_corrector_z_bucket(rng):
+    """z_bucket bounds shape-recompiles for the 2D family too (a warm 2D
+    daemon on a mixed-z cohort): distinct z extents share one compiled
+    program per bucket, and — unlike 3D, where padding changes the blend
+    grid — 2D bucketing is exactly output-preserving (padded slices are
+    corrected independently and cropped away)."""
+    import jax
+    import jax.numpy as jnp
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        ndim=2, s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)), train=False)
+
+    def make(z_bucket):
+        return CCTAContrastCorrector(
+            gen, variables["params"], variables.get("batch_stats"),
+            inference_patch_size=(16, 16), batch_size=4, z_bucket=z_bucket,
+        )
+
+    plain, bucketed = make(0), make(8)
+    for d in (5, 7, 11):
+        vol = rng.integers(-1000, 1400, (16, 16, d)).astype(np.int16)
+        np.testing.assert_array_equal(
+            np.asarray(plain(vol)), np.asarray(bucketed(vol))
+        )
+    # 5 and 7 pad to the same 8-bucket; 11 to 16 -> two compiled programs
+    assert bucketed._correct_2d._cache_size() == 2
+    assert plain._correct_2d._cache_size() == 3
 
 
 def test_corrector_z_bucket(rng):

@@ -265,6 +265,50 @@ def test_trailing_batch_not_dropped_on_done_race(tmp_path, rng):
         next(loader)
 
 
+def test_worker_error_not_swallowed_on_done_race(tmp_path, rng):
+    """The failure twin of the trailing-batch race: a worker sets err_box +
+    done count under the lock BEFORE its sentinel lands in the queue. If the
+    consumer's timed get() misses that window, the exhaustion drain must
+    still raise the worker error — a truncated pass must not report clean
+    exhaustion."""
+    import queue as _q
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    sampler = CCTAPatchSampler(
+        [p for p, _ in fold], (8, 8, 8), 1, rng=np.random.default_rng(0)
+    )
+    loader = PrefetchLoader(sampler, num_threads=1, prefetch=1, to_device=False)
+
+    class EmptyQueue:
+        def get(self, timeout=None):
+            raise _q.Empty
+
+        def get_nowait(self):
+            raise _q.Empty  # the sentinel hasn't landed yet
+
+        def empty(self):
+            return True
+
+    loader._threads = [object()]
+    loader._done_box = {"n": 1}
+    loader._err_box = {"e": ValueError("corrupt patient")}
+    # the eager pre-check at the loop top normally catches this; simulate
+    # the race by injecting the error AFTER that check would have run — the
+    # drain path itself must also check
+    real_check = loader._maybe_raise_worker_error
+    calls = {"n": 0}
+
+    def delayed_check():
+        calls["n"] += 1
+        if calls["n"] > 1:  # skip the eager loop-top check once
+            real_check()
+
+    loader._maybe_raise_worker_error = delayed_check
+    loader._queue = EmptyQueue()
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(loader)
+
+
 def test_start_joins_finished_zombies(tmp_path, rng):
     """start() must wait out workers that outlived a previous stop() before
     snapshotting sampler state: an in-flight draw finishing after the new
