@@ -100,7 +100,11 @@ class ExportedCorrector:
             if jnp.issubdtype(self.in_dtype, jnp.integer) and jnp.issubdtype(
                 volume.dtype, jnp.floating
             ):
-                volume = jnp.round(volume)  # astype would truncate toward 0
+                # round (astype truncates toward 0) AND saturate: an
+                # out-of-range float would otherwise WRAP in the integer
+                # cast (40000.0 -> ~-25536 HU), silently corrupting voxels
+                info = jnp.iinfo(self.in_dtype)
+                volume = jnp.clip(jnp.round(volume), info.min, info.max)
             volume = volume.astype(self.in_dtype)
         return self._exported.call(volume)
 

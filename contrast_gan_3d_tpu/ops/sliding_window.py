@@ -108,6 +108,32 @@ def gaussian_weights(patch_size: Sequence[int], sigma_scale: float = 0.125) -> n
     return w.astype(np.float32)
 
 
+def plan_stride(
+    patch_size: Sequence[int], overlap: float, packed_io: bool
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """(patch_size, stride) for a sliding-window corrector — THE single
+    definition of the stride/alignment rules shared by the single-chip
+    (``make_volume_corrector``) and sharded (``parallel/inference``)
+    builders: stride = round(p * (1 - overlap)); packed grids additionally
+    require patch % 4 == 0 and snap strides DOWN to multiples of 4 (never
+    less overlap than requested)."""
+    patch_size = tuple(int(p) for p in patch_size)
+    stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
+    if packed_io:
+        if any(p % 4 for p in patch_size):
+            raise ValueError(
+                f"packed_io requires patch_size % 4 == 0, got {patch_size}"
+            )
+        if any(s < 4 for s in stride):
+            raise ValueError(
+                f"packed_io needs stride >= 4 (got {stride}): overlap "
+                f"{overlap} is too extreme for block-aligned gathers — use "
+                "the direct corrector"
+            )
+        stride = tuple(s - s % 4 for s in stride)
+    return patch_size, stride
+
+
 def _plan_grid(
     shape: Tuple[int, int, int], patch_size: Tuple[int, int, int], stride: Tuple[int, int, int]
 ) -> np.ndarray:
@@ -226,18 +252,7 @@ def make_volume_corrector(
     on the f4 accumulator. Patch sizes must divide 4; strides are snapped
     DOWN to multiples of 4 (never less overlap than requested).
     """
-    patch_size = tuple(int(p) for p in patch_size)
-    stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
-    if packed_io:
-        if any(p % 4 for p in patch_size):
-            raise ValueError(f"packed_io requires patch_size % 4 == 0, got {patch_size}")
-        if any(s < 4 for s in stride):
-            raise ValueError(
-                f"packed_io needs stride >= 4 (got {stride}): overlap "
-                f"{overlap} is too extreme for block-aligned gathers — use "
-                "the direct corrector"
-            )
-        stride = tuple(s - s % 4 for s in stride)
+    patch_size, stride = plan_stride(patch_size, overlap, packed_io)
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)

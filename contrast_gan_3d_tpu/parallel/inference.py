@@ -24,6 +24,7 @@ from contrast_gan_3d_tpu.data.scaler import FactorZeroCenterScaler, Scaler
 from contrast_gan_3d_tpu.ops.sliding_window import (
     _plan_grid,
     gaussian_weights,
+    plan_stride,
     weight_field,
     weight_vectors,
 )
@@ -51,15 +52,11 @@ def make_sharded_volume_corrector(
     a packed f4 accumulator, and the ``psum_scatter`` moves PACKED z-block
     slabs over ICI (same bytes, lane-friendly layout); each chip unpacks
     only its own slab."""
-    patch_size = tuple(int(p) for p in patch_size)
-    stride = tuple(max(1, int(round(p * (1.0 - overlap)))) for p in patch_size)
+    # ONE definition of the stride/alignment rules, shared with the
+    # single-chip corrector (ops/sliding_window.plan_stride) — the sharded
+    # grid must never diverge from the weight_vectors normalization math
+    patch_size, stride = plan_stride(patch_size, overlap, packed_io)
     n_dev = mesh.shape[axis]
-    if packed_io:
-        if any(p % 4 for p in patch_size):
-            raise ValueError(f"packed_io requires patch_size % 4 == 0, got {patch_size}")
-        if any(s < 4 for s in stride):
-            raise ValueError(f"packed_io needs stride >= 4, got {stride}")
-        stride = tuple(s - s % 4 for s in stride)
     gw_np = gaussian_weights(patch_size, sigma_scale)
 
     @partial(jax.jit, static_argnums=1)

@@ -84,18 +84,34 @@ class CorrectionService:
             }
 
 
-def _make_handler(service: CorrectionService):
+def _make_handler(service: CorrectionService, max_inflight: int = 4):
+    # bound HOST memory, not just per-request size: ThreadingHTTPServer
+    # accepts unbounded concurrent connections and only device compute is
+    # serialized — without this, N parallel sub-cap uploads each buffer
+    # body bytes + the np.load copy before ever reaching the device lock
+    ingest_slots = threading.BoundedSemaphore(max_inflight)
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # half-open uploads (slowloris) must not pin handler threads (and
+        # their buffers) forever
+        timeout = 300
 
         def log_message(self, fmt, *args):  # route to our logger
             logger.debug("%s " + fmt, self.client_address[0], *args)
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict, close: bool = False):
+            if close:
+                # the request body was not (fully) read: a keep-alive client
+                # would otherwise have its unread bytes parsed as the next
+                # request line (confirmed desync) — close instead
+                self.close_connection = True
             blob = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(blob)))
+            if close:
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(blob)
 
@@ -116,18 +132,35 @@ def _make_handler(service: CorrectionService):
 
         def do_POST(self):
             if self.path != "/correct":
-                return self._json(404, {"error": f"unknown path {self.path}"})
+                return self._json(
+                    404, {"error": f"unknown path {self.path}"}, close=True
+                )
+            # -- parse (client errors -> 4xx JSON) --------------------------
             try:
                 length = int(self.headers.get("Content-Length", "0"))
-                if length <= 0:
-                    # a negative length would make rfile.read(-1) block until
-                    # client EOF, pinning the handler thread
-                    self.send_error(400, "missing/invalid Content-Length")
-                    return
-                if length > MAX_BODY_BYTES:
-                    self.send_error(413, f"body {length} B > {MAX_BODY_BYTES} B cap")
-                    return
-                volume = np.load(io.BytesIO(self.rfile.read(length)))
+            except ValueError:
+                length = 0
+            if length <= 0:
+                # a negative length would make rfile.read(-1) block until
+                # client EOF, pinning the handler thread
+                return self._json(
+                    400, {"error": "missing/invalid Content-Length"}, close=True
+                )
+            if length > MAX_BODY_BYTES:
+                return self._json(
+                    413,
+                    {"error": f"body {length} B > {MAX_BODY_BYTES} B cap"},
+                    close=True,
+                )
+            try:
+                with ingest_slots:
+                    volume = np.load(io.BytesIO(self.rfile.read(length)))
+            except Exception as e:  # malformed payloads must not kill the server
+                logger.exception("bad /correct payload")
+                return self._json(400, {"error": str(e)}, close=True)
+            # -- compute (server errors -> 500) ------------------------------
+            responded = False
+            try:
                 corrected = service.correct(volume)
                 if self.headers.get("X-Response-Dtype") == "int16":
                     corrected = np.clip(np.round(corrected), -32768, 32767).astype(
@@ -140,10 +173,16 @@ def _make_handler(service: CorrectionService):
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("Content-Length", str(len(blob)))
                 self.end_headers()
+                responded = True
                 self.wfile.write(blob)
-            except Exception as e:  # malformed payloads must not kill the server
+            except Exception as e:
                 logger.exception("correct failed")
-                self._json(400, {"error": str(e)})
+                if responded:
+                    # the 200 status line already went out: a second status
+                    # line would corrupt the stream — just drop the link
+                    self.close_connection = True
+                    return
+                self._json(500, {"error": str(e)}, close=True)
 
     return Handler
 
@@ -174,13 +213,19 @@ class CorrectionServer:
 
     def stop(self):
         self.httpd.shutdown()
+        # shutdown() only stops serve_forever; the LISTENING socket stays
+        # bound (confirmed EADDRINUSE on rebind) until server_close()
+        self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
 
 
-def correct_remote(url: str, volume: np.ndarray, int16: bool = False) -> np.ndarray:
-    """Minimal client: POST a volume to a running server."""
+def correct_remote(
+    url: str, volume: np.ndarray, int16: bool = False, timeout: float = 600.0
+) -> np.ndarray:
+    """Minimal client: POST a volume to a running server. ``timeout`` bounds
+    the whole request — a wedged daemon must not block the caller forever."""
     import urllib.request
 
     buf = io.BytesIO()
@@ -191,5 +236,5 @@ def correct_remote(url: str, volume: np.ndarray, int16: bool = False) -> np.ndar
         headers={"X-Response-Dtype": "int16"} if int16 else {},
         method="POST",
     )
-    with urllib.request.urlopen(req) as resp:
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
         return np.load(io.BytesIO(resp.read()))

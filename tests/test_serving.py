@@ -96,3 +96,75 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(_url(srv) + "/nope")
     assert exc.value.code == 404
+
+
+def test_keepalive_survives_404_post(server, rng):
+    """A keep-alive client POSTing a body to a wrong path must not desync
+    the connection: the unread body would otherwise be parsed as the next
+    request line (BadStatusLine on the follow-up request). The server now
+    closes such connections; http.client transparently reconnects."""
+    import http.client
+
+    srv, corrector = server
+    host, port = srv.address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    buf = io.BytesIO()
+    np.save(buf, rng.integers(-100, 100, (20, 20, 18)).astype(np.int16))
+    body = buf.getvalue()
+    conn.request("POST", "/corect", body=body)  # typo'd path, full npy body
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+    assert resp.will_close  # server refused to keep the desynced link
+    conn.close()
+    # the server itself is still healthy
+    vol = rng.integers(-100, 100, (20, 20, 18)).astype(np.int16)
+    assert correct_remote(_url(srv), vol).shape == vol.shape
+
+
+def test_stop_releases_port(rng):
+    """stop() must server_close() the listening socket: the port is
+    immediately rebindable (shutdown() alone left it bound -> EADDRINUSE
+    on restart)."""
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    srv = CorrectionServer(corrector)
+    srv.start()
+    host, port = srv.address
+    srv.stop()
+    srv2 = CorrectionServer(corrector, host=host, port=port)  # rebind same port
+    srv2.start()
+    assert srv2.address[1] == port
+    srv2.stop()
+
+
+def test_artifact_input_saturates_not_wraps(tmp_path, rng):
+    """ExportedCorrector coerces float volumes into an integer input
+    contract by round + SATURATE: out-of-range values clip to the dtype
+    bounds instead of wrapping (40000.0 -> 32767, not ~-25536)."""
+    from contrast_gan_3d_tpu.eval.export import (
+        load_exported_corrector, save_exported_corrector,
+    )
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    shape = (16, 16, 16)
+    path = save_exported_corrector(tmp_path / "a", corrector, shape)
+    art = load_exported_corrector(path)
+    hot = np.full(shape, 40000.0, np.float32)  # out of int16 range
+    hot_sat = np.full(shape, 32767, np.int16)
+    np.testing.assert_array_equal(np.asarray(art(hot)), np.asarray(art(hot_sat)))
