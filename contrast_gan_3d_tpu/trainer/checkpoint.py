@@ -28,6 +28,29 @@ logger = create_logger(name=__name__)
 
 _CKPT_RE = re.compile(r"^(\d+)\.msgpack$")
 
+# one in-flight async write per checkpoint directory: serializes writes (a
+# periodic async save and the final synchronous save of the SAME step used
+# to race on the tmp file), bounds memory to one pending blob, and gives a
+# place to surface a failed background write instead of swallowing it
+_inflight_lock = threading.Lock()
+_inflight: Dict[str, threading.Thread] = {}
+_inflight_errors: Dict[str, BaseException] = {}
+
+
+def flush_async_saves(ckpt_dir) -> None:
+    """Join any in-flight async checkpoint write for ``ckpt_dir`` and raise
+    its error if it failed — call before relying on the checkpoint being on
+    disk (the Trainer does this before its final synchronous save)."""
+    key = str(Path(ckpt_dir))
+    with _inflight_lock:
+        t = _inflight.pop(key, None)
+    if t is not None:
+        t.join()
+    with _inflight_lock:
+        err = _inflight_errors.pop(key, None)
+    if err is not None:
+        raise RuntimeError(f"async checkpoint write under '{ckpt_dir}' failed") from err
+
 
 def _unkey(state):
     """Typed PRNG keys are not msgpack-serializable; store the raw key data."""
@@ -81,6 +104,10 @@ def save_checkpoint(
     the param tree cannot encode (e.g. the generator's ``tconv_placement``)
     so inference entry points rebuild the right module.
     """
+    if keep is not None and keep <= 0:
+        # ckpts[:-0] is an EMPTY slice — keep=0 would silently disable
+        # pruning, the exact opposite of "retain only the newest 0"
+        raise ValueError(f"keep must be a positive count, got {keep}")
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     if step is None:
@@ -88,9 +115,24 @@ def save_checkpoint(
     path = checkpoint_path(ckpt_dir, step)
     host_state = jax.device_get(_unkey(state))
     blob = serialization.to_bytes(host_state)
+    # serialize against any previous in-flight write to this dir (also
+    # surfaces its failure here rather than never)
+    dir_key = str(ckpt_dir)
+    with _inflight_lock:
+        prev = _inflight.pop(dir_key, None)
+    if prev is not None:
+        prev.join()
+    with _inflight_lock:
+        err = _inflight_errors.pop(dir_key, None)
+    if err is not None:
+        logger.error(
+            "previous async checkpoint write under '%s' failed: %s",
+            ckpt_dir, err,
+        )
 
     def _write():
-        tmp = path.with_suffix(".msgpack.tmp")
+        # unique tmp name: two writers of the same step must never share it
+        tmp = path.with_name(f".{path.name}.{threading.get_ident()}.tmp")
         tmp.write_bytes(blob)
         tmp.rename(path)
         if meta is not None:  # atomic like the msgpack: never a torn sidecar
@@ -113,7 +155,18 @@ def save_checkpoint(
                 (old.parent / f"{old.stem}.meta.json").unlink(missing_ok=True)
 
     if async_:
-        threading.Thread(target=_write, name=f"ckpt-{step}", daemon=True).start()
+        def _tracked_write():
+            try:
+                _write()
+            except BaseException as e:  # surfaced at the next save/flush
+                with _inflight_lock:
+                    _inflight_errors[dir_key] = e
+                logger.exception("async checkpoint write failed: %s", path)
+
+        t = threading.Thread(target=_tracked_write, name=f"ckpt-{step}", daemon=True)
+        with _inflight_lock:
+            _inflight[dir_key] = t
+        t.start()
     else:
         _write()
     return path
@@ -259,6 +312,16 @@ def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
         states = payload["loaders"]
     else:  # pre-format-2 sidecar: bare {label: state}
         states = payload
+    missing = sorted(set(loaders) - set(states))
+    if missing:
+        # the reverse of the label check below: a loader present NOW with no
+        # saved stream (e.g. a stream added since the sidecar was written)
+        # must not be silently left fresh under a "Restored" claim
+        logger.warning(
+            "Data-stream sidecar '%s' has no saved state for loaders %s — "
+            "those streams start fresh (the others restore exactly)",
+            path, missing,
+        )
     stale = []
     for label, state in states.items():
         if label not in loaders:
@@ -273,6 +336,8 @@ def maybe_restore_data_state(loaders: Dict, ckpt_dir, step: int) -> bool:
             "shards — streams %s start fresh: %s",
             path, [label for label, _ in stale], stale[0][1],
         )
+        return False
+    if missing:
         return False
     logger.info("Restored data-stream state '%s'", path)
     return True

@@ -93,6 +93,7 @@ def _render_sample_figs(
     idx = int(rng.integers(0, len(sample)))
     # names can be shorter than the batch (a loader without "name"s)
     name = names[idx] if names and idx < len(names) else str(idx)
+    mask = np.asarray(masks[idx]).squeeze() if masks is not None else None
     trios = [("sample", sample), ("reconstruction", reconstruction), ("attenuation", attenuation)]
     for tag, batch in trios:
         if batch is None:
@@ -100,7 +101,6 @@ def _render_sample_figs(
         vol = np.asarray(batch[idx]).squeeze()
         is_atten = tag == "attenuation"
         img = vol if is_atten else np.asarray(scaler.unscale(vol))
-        mask = np.asarray(masks[idx]).squeeze() if masks is not None else None
         fig = viz.plot_axial_slices(
             img,
             mask=None if is_atten else mask,
@@ -122,7 +122,11 @@ def _render_batch_figs(scaler, sample, reconstruction, attenuation, step, stage,
     ]:
         if batch is None:
             continue
-        imgs = np.asarray(batch).squeeze()  # (B, W, H) -> axial stack
+        imgs = np.asarray(batch)  # (B, W, H[, 1]) -> axial stack
+        if imgs.ndim == 4:
+            imgs = imgs[..., 0]
+        # NOT a bare squeeze(): a B=1 batch would lose its batch axis and
+        # moveaxis would then TRANSPOSE the lone slice instead of stacking
         is_atten = tag == "attenuation"
         vol = np.moveaxis(imgs, 0, -1)
         img = vol if is_atten else np.asarray(scaler.unscale(vol))
@@ -150,33 +154,57 @@ class WandbLogger(LoggerInterface):
         if not HAS_WANDB:
             raise ImportError("wandb is not installed; use ConsoleLogger/NoopLogger")
         self.scaler = scaler
-        self.run = run or wandb.run
+        # an explicit run wins; otherwise the ACTIVE global run is resolved
+        # lazily per log call (construction may precede wandb.init)
+        self._run = run
         self.max_slices = max_slices
         self.rng = rng or np.random.default_rng()
         self._metrics_defined = False
-        # custom step metric so resumed runs keep a monotonic x-axis; only
-        # definable against an ACTIVE run — when constructed pre-init (e.g.
-        # a builder used outside train.py) it defers to the first log call
-        if wandb.run is not None:
+        self._warned_no_run = False
+        if self.run is not None:
             self._define_metrics()
+
+    @property
+    def run(self):
+        return self._run if self._run is not None else wandb.run
 
     def _define_metrics(self):
-        wandb.define_metric("iteration")
-        wandb.define_metric("*", step_metric="iteration")
+        # custom step metric so resumed runs keep a monotonic x-axis
+        self.run.define_metric("iteration")
+        self.run.define_metric("*", step_metric="iteration")
         self._metrics_defined = True
 
-    def log_scalars(self, scalars, step, stage="train"):
-        if not self._metrics_defined and wandb.run is not None:
+    def _resolve_run(self):
+        """The run to log into, or None (+ one warning) when wandb.init
+        failed/never ran — a dead experiment tracker must not kill the
+        training run at the first log point."""
+        run = self.run
+        if run is None:
+            if not self._warned_no_run:
+                self._warned_no_run = True
+                logger.warning(
+                    "WandbLogger has no active run (wandb.init failed or was "
+                    "never called) — dropping metrics"
+                )
+            return None
+        if not self._metrics_defined:
             self._define_metrics()
-        wandb.log({f"{stage}/{k}": float(v) for k, v in scalars.items()} | {"iteration": step})
+        return run
+
+    def log_scalars(self, scalars, step, stage="train"):
+        run = self._resolve_run()
+        if run is None:
+            return
+        run.log({f"{stage}/{k}": float(v) for k, v in scalars.items()} | {"iteration": step})
 
     def log_images(
         self, sample, reconstruction, attenuation, masks, names, step, stage="train"
     ):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
-        if not self._metrics_defined and wandb.run is not None:
-            self._define_metrics()
+        run = self._resolve_run()
+        if run is None:
+            return
         payload = {"iteration": step}
         for tag, fig in _render_sample_figs(
             self.scaler, sample, reconstruction, attenuation, masks, names,
@@ -184,7 +212,7 @@ class WandbLogger(LoggerInterface):
         ):
             payload[f"{stage}/{tag}"] = wandb.Image(fig)
             viz.close(fig)
-        wandb.log(payload)
+        run.log(payload)
 
 
 class WandbLogger2D(WandbLogger):
@@ -196,8 +224,9 @@ class WandbLogger2D(WandbLogger):
     ):
         from contrast_gan_3d_tpu.utils import visualization as viz
 
-        if not self._metrics_defined and wandb.run is not None:
-            self._define_metrics()
+        run = self._resolve_run()
+        if run is None:
+            return
         payload = {"iteration": step}
         for tag, fig in _render_batch_figs(
             self.scaler, sample, reconstruction, attenuation, step, stage,
@@ -205,7 +234,7 @@ class WandbLogger2D(WandbLogger):
         ):
             payload[f"{stage}/{tag}"] = wandb.Image(fig)
             viz.close(fig)
-        wandb.log(payload)
+        run.log(payload)
 
 
 class FileLogger(LoggerInterface):
@@ -230,6 +259,9 @@ class FileLogger(LoggerInterface):
         self.max_slices = max_slices
         self.rng = rng or np.random.default_rng()
         self.save_images = save_images
+        # tell consumers (Trainer._can_log_images) not to pay the preview
+        # dispatch + D2H for images this logger would drop anyway
+        self.logs_images = save_images
         self.out_dir.mkdir(parents=True, exist_ok=True)
         # append mode: a resumed run continues the same scalar stream
         self._scalar_path = self.out_dir / "scalars.jsonl"
@@ -287,6 +319,11 @@ class MultiThreadedLogger(LoggerInterface):
     def __init__(self, inner: LoggerInterface):
         self.inner = inner
         self._threads: List[threading.Thread] = []
+        # ONE rendering thread at a time: pyplot's figure manager (and the
+        # logger's shared np rng) are not thread-safe — a train-image and a
+        # validation-image event landing on the same iteration would
+        # otherwise render concurrently (still off the training path)
+        self._render_lock = threading.Lock()
 
     @property
     def logs_images(self) -> bool:
@@ -300,13 +337,20 @@ class MultiThreadedLogger(LoggerInterface):
             np.asarray(a) if a is not None and not isinstance(a, (list, type(None))) else a
             for a in (sample, reconstruction, attenuation, masks)
         )
+
+        def _render():
+            with self._render_lock:
+                self.inner.log_images(*args, names, step, stage)
+
         t = threading.Thread(
-            target=self.inner.log_images,
-            args=(*args, names, step, stage),
+            target=_render,
             name=f"log-images-{stage}-{step}",
             daemon=True,
         )
         t.start()
+        # prune finished threads: end_hook only runs once per fit, so a long
+        # run would otherwise accumulate thousands of dead Thread objects
+        self._threads = [x for x in self._threads if x.is_alive()]
         self._threads.append(t)
 
     def end_hook(self):

@@ -272,3 +272,69 @@ def test_keep_limit_prunes_meta_sidecars(tiny_state, tmp_path):
             meta={"generator": {"tconv_placement": "same"}},
         )
     assert sorted(p.name for p in tmp_path.glob("*.meta.json")) == ["3.meta.json"]
+
+
+def test_keep_zero_rejected(tiny_state, tmp_path):
+    """keep=0 would evaluate ckpts[:-0] == [] and silently disable pruning —
+    the opposite of the requested retention; it must be a loud error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        ckpt_lib.save_checkpoint(tiny_state, tmp_path, step=1, keep=0)
+
+
+def test_async_then_sync_same_step(tiny_state, tmp_path):
+    """The last periodic ASYNC save and the final SYNC save can target the
+    same step (trainer.fit does exactly this when the schedule aligns): the
+    writes serialize on unique tmp files and the checkpoint loads."""
+    ckpt_lib.save_checkpoint(tiny_state, tmp_path, step=7, async_=True)
+    ckpt_lib.save_checkpoint(tiny_state, tmp_path, step=7)  # joins the async
+    restored = ckpt_lib.load_checkpoint(tmp_path, target=tiny_state)
+    assert int(restored.step) == int(tiny_state.step)
+    ckpt_lib.flush_async_saves(tmp_path)  # nothing pending, no raise
+
+
+def test_async_write_failure_surfaces(tiny_state, tmp_path, monkeypatch):
+    """A failed background checkpoint write must surface (flush raises; the
+    next save logs an error) instead of training on believing checkpoints
+    exist."""
+    import pytest
+
+    from pathlib import Path
+
+    target = tmp_path / "ck"
+    target.mkdir()
+
+    real_write_bytes = Path.write_bytes
+
+    def boom(self, data):
+        if self.name.endswith(".tmp") and "ck" in str(self.parent):
+            raise OSError(28, "No space left on device")
+        return real_write_bytes(self, data)
+
+    monkeypatch.setattr(Path, "write_bytes", boom)
+    ckpt_lib.save_checkpoint(tiny_state, target, step=3, async_=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        ckpt_lib.flush_async_saves(target)
+    monkeypatch.undo()
+    # recovered: a later save works
+    ckpt_lib.save_checkpoint(tiny_state, target, step=4)
+    assert (target / "4.msgpack").exists()
+
+
+def test_restore_warns_on_loader_without_saved_state(tmp_path, rng):
+    """A loader present NOW with no stream in the sidecar must not be
+    silently left fresh under a True/'Restored' claim."""
+    from tests.synth import make_dataset
+    from contrast_gan_3d_tpu.data.sampler import CCTAPatchSampler
+
+    fold = make_dataset(tmp_path, rng, n_per_label=1, labels=(0,))
+    paths = [p for p, _ in fold]
+
+    def mk():
+        return CCTAPatchSampler(paths, (8, 8, 8), 1, rng=np.random.default_rng(0))
+
+    ckpt_lib.save_data_state({0: mk()}, tmp_path / "ck", step=2)
+    loaders = {0: mk(), 1: mk()}  # loader 1 has no saved stream
+    ok = ckpt_lib.maybe_restore_data_state(loaders, tmp_path / "ck", step=2)
+    assert ok is False

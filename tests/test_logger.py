@@ -102,3 +102,57 @@ def test_builder_wires_file_logger(tmp_path):
     cfg2d = ExperimentConfig(name="conf_2d", logger="file", is_2d=True)
     built2d = build(cfg2d, checkpoint_dir=str(tmp_path / "ckpt2"))
     assert type(built2d.logger_interface.inner) is FileLogger2D
+
+
+def test_file_logger_save_images_false_disables_gate(tmp_path):
+    """save_images=False must also flip logs_images so the Trainer skips the
+    preview dispatch + D2H entirely (the gate exists for exactly this)."""
+    log = FileLogger(FactorZeroCenterScaler(), tmp_path, save_images=False)
+    assert log.logs_images is False
+    assert MultiThreadedLogger(log).logs_images is False
+    assert FileLogger(FactorZeroCenterScaler(), tmp_path).logs_images is True
+
+
+def test_2d_batch_of_one_keeps_orientation(tmp_path, rng):
+    """B=1 2D image logs must not transpose the lone slice (a bare squeeze()
+    used to drop the batch axis before the slice-stack moveaxis)."""
+    log = FileLogger2D(FactorZeroCenterScaler(), tmp_path, rng=np.random.default_rng(0))
+    sample = rng.normal(size=(1, 8, 12, 1)).astype(np.float32)  # W != H
+    log.log_images(sample, None, None, None, None, step=1)
+    assert (tmp_path / "images" / "train_sample_00000001.png").exists()
+
+
+def test_wandb_logger_survives_missing_run(monkeypatch):
+    """wandb.init failing (train.py logs and continues) must not crash the
+    run at the first log point: with no active run the logger warns once and
+    drops; an explicit run routes logs to THAT run, not the global one."""
+    import types
+
+    import contrast_gan_3d_tpu.trainer.logger as logger_mod
+    from contrast_gan_3d_tpu.trainer.logger import WandbLogger
+
+    fake_wandb = types.SimpleNamespace(run=None, Image=lambda fig: fig)
+    monkeypatch.setattr(logger_mod, "wandb", fake_wandb)
+    monkeypatch.setattr(logger_mod, "HAS_WANDB", True)
+
+    log = WandbLogger(FactorZeroCenterScaler())
+    log.log_scalars({"D": 1.0}, 1)  # no run: dropped, no raise
+    log.log_scalars({"D": 2.0}, 2)
+
+    class FakeRun:
+        def __init__(self):
+            self.logged, self.metrics = [], []
+
+        def define_metric(self, *a, **k):
+            self.metrics.append((a, k))
+
+        def log(self, payload):
+            self.logged.append(payload)
+
+    mine = FakeRun()
+    log2 = WandbLogger(FactorZeroCenterScaler(), run=mine)
+    fake_wandb.run = FakeRun()  # a DIFFERENT global run must not be used
+    log2.log_scalars({"D": 3.0}, 5)
+    assert mine.logged and mine.logged[0]["iteration"] == 5
+    assert not fake_wandb.run.logged
+    assert mine.metrics  # step metric defined against the explicit run
