@@ -186,8 +186,14 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         logger_interface = MultiThreadedLogger(file_cls(scaler, out_dir, rng=rng))
     elif cfg.logger == "console" or (cfg.logger == "wandb" and not HAS_WANDB):
         logger_interface = ConsoleLogger()
-    else:
+    elif cfg.logger == "none":
         logger_interface = NoopLogger()
+    else:
+        # a typo ("Wandb", "files") must not silently disable all logging
+        # for a 10k-iteration run
+        raise ValueError(
+            f"unknown logger {cfg.logger!r}: expected wandb | file | console | none"
+        )
 
     return BuiltExperiment(
         config=cfg,

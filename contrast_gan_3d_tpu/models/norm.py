@@ -10,9 +10,14 @@ statistics are computed with f32 ACCUMULATION over bf16 inputs
 normalization collapses to a single fused multiply-add in the compute dtype
 (``y = x * mult + add`` with per-channel f32 scalars folded on the side).
 
-Variable structure, initializers and semantics (biased variance, EMA decay
-``momentum``) are identical to ``nn.BatchNorm`` — params {scale, bias},
-batch_stats {mean, var} — so checkpoints interchange freely.
+Variable structure and initializers are identical to ``nn.BatchNorm`` —
+params {scale, bias}, batch_stats {mean, var} — so checkpoint TOPOLOGY
+interchanges freely. One deliberate semantic divergence from flax: the
+running-variance EMA uses torch's UNBIASED n/(n-1) estimator (flax updates
+with the biased batch variance) for reference parity — see the inline
+comment at the update site; long-trained running_var drifts ~1/n per update
+between the two conventions, so eval-mode outputs are flax-equal only at
+init, torch-equal always (tests/test_reference_parity_train.py).
 """
 
 from typing import Optional

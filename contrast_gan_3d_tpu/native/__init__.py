@@ -29,8 +29,10 @@ _BUILD_LOCK = threading.Lock()
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
+    # the unlocked fast path may only short-circuit on a PUBLISHED library:
+    # checking _TRIED here would hand None to threads racing an in-flight
+    # build (worker B sees _TRIED=True while worker A is still in g++)
+    if _LIB is not None:
         return _LIB
     with _BUILD_LOCK:
         return _build_and_load_locked()
@@ -162,6 +164,15 @@ def crop_pad_int16(
     C = volume.shape[3]
     if out is None:
         out = np.empty((px, py, pz, C), np.int16)
+    else:
+        # the native path memsets+writes px*py*pz*C int16s through out's raw
+        # pointer — a wrong-shape/dtype/non-contiguous buffer is heap
+        # corruption, not a python error, so validate it like `volume`
+        assert (
+            out.shape == (px, py, pz, C)
+            and out.dtype == np.int16
+            and out.flags["C_CONTIGUOUS"]
+        ), f"out must be C-contiguous int16 {(px, py, pz, C)}"
     lib = _build_and_load()
     if (
         lib is not None

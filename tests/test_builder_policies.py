@@ -131,3 +131,10 @@ def test_checkpoint_keep_wired_through():
     assert built.trainer_config.checkpoint_keep is None
     built = build(replace(load_config("basic_3d"), checkpoint_keep=3))
     assert built.trainer_config.checkpoint_keep == 3
+
+
+def test_unknown_logger_is_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown logger"):
+        build(replace(load_config("basic_3d"), logger="Wandb"))

@@ -57,3 +57,53 @@ def test_trilinear_matches_numpy(rng):
 def test_native_builds_here():
     """The image ships g++ — the native path should actually be active."""
     assert native.has_native()
+
+
+def test_crop_pad_rejects_bad_out_buffer(rng):
+    vol = rng.integers(-1000, 1000, size=(12, 12, 12, 2), dtype=np.int16)
+    with pytest.raises(AssertionError):
+        native.crop_pad_int16(vol, (0, 0, 0), (8, 8, 8), out=np.empty((4, 4, 4, 2), np.int16))
+    with pytest.raises(AssertionError):
+        native.crop_pad_int16(vol, (0, 0, 0), (8, 8, 8), out=np.empty((8, 8, 8, 2), np.int32))
+    with pytest.raises(AssertionError):
+        native.crop_pad_int16(
+            vol, (0, 0, 0), (8, 8, 8),
+            out=np.empty((8, 8, 16, 2), np.int16)[:, :, ::2],
+        )
+    ok = np.empty((8, 8, 8, 2), np.int16)
+    got = native.crop_pad_int16(vol, (0, 0, 0), (8, 8, 8), out=ok)
+    assert got is ok
+    np.testing.assert_array_equal(got, vol[:8, :8, :8])
+
+
+def test_build_fast_path_waits_for_inflight_build(monkeypatch):
+    """The unlocked fast path must not hand None to threads racing an
+    in-flight build (native/__init__.py: _TRIED is only meaningful under
+    the lock)."""
+    import threading
+    import time
+
+    sentinel = object()
+    entered = threading.Event()
+
+    def slow_locked_build():
+        # simulates the g++ window: _TRIED set, _LIB not yet published
+        native._TRIED = True
+        entered.set()
+        time.sleep(0.2)
+        native._LIB = sentinel
+        return sentinel
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setattr(native, "_build_and_load_locked", slow_locked_build)
+
+    results = {}
+    t_a = threading.Thread(target=lambda: results.setdefault("a", native._build_and_load()))
+    t_a.start()
+    entered.wait(timeout=5)
+    # B arrives while A is mid-build: it must block on the lock and get the
+    # library, not short-circuit on _TRIED and return None
+    results["b"] = native._build_and_load()
+    t_a.join(timeout=5)
+    assert results["a"] is sentinel and results["b"] is sentinel
