@@ -121,6 +121,7 @@ def write_patient_h5(
     name: str,
     out: PathLike,
     compression: Optional[str] = None,
+    chunks: Optional[Tuple[int, ...]] = None,
 ) -> str:
     """Write one patient. ``out`` is either a directory (-> standalone
     ``<out>/<name>.h5``) or a ``.h5`` corpus file the patient is appended to
@@ -129,6 +130,12 @@ def write_patient_h5(
 
     ``compression`` is any h5py filter (``"gzip"``, ``"lzf"``); the default
     is uncompressed for mmap-like random-crop read speed.
+
+    ``chunks`` overrides the storage chunk shape (default: 64^3 spatial
+    blocks x trailing dims, tuned for random 3D crops). Corpora meant for
+    the 2D slice samplers should use z-thin chunks (e.g. ``(64, 64, 1, 2)``)
+    — a single ``[:, :, z]`` slice read from 64^3 chunks faults in 64
+    z-planes per chunk, ~64x the needed bytes.
 
     Corpus appends are single-writer (HDF5 has no concurrent-writer mode):
     parallel preprocessing jobs should write per-job corpus files or
@@ -150,7 +157,7 @@ def write_patient_h5(
             group.create_dataset(
                 SCAN_DS,
                 data=scan_and_mask,
-                chunks=_chunk_shape(scan_and_mask.shape),
+                chunks=chunks or _chunk_shape(scan_and_mask.shape),
                 compression=compression,
             )
             _write_meta(group, meta, compression)
@@ -161,7 +168,7 @@ def write_patient_h5(
         fd.create_dataset(
             SCAN_DS,
             data=scan_and_mask,
-            chunks=_chunk_shape(scan_and_mask.shape),
+            chunks=chunks or _chunk_shape(scan_and_mask.shape),
             compression=compression,
         )
         _write_meta(fd, meta, compression)

@@ -39,7 +39,12 @@ class HostAugmenter:
 
     cfg: AugmentConfig
     rng: np.random.Generator
-    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    # init=False: dataclasses.replace() re-runs __init__, so every clone
+    # (create_loaders replaces rng per label) gets its OWN lock instead of
+    # sharing the template's — cross-loader draws must not serialize
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, init=False, compare=False
+    )
 
     def sample_params(
         self, shape: Tuple[int, int, int]
@@ -89,7 +94,12 @@ class HostAugmenter2D:
 
     cfg: Augment2DConfig
     rng: np.random.Generator
-    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    # init=False: dataclasses.replace() re-runs __init__, so every clone
+    # (create_loaders replaces rng per label) gets its OWN lock instead of
+    # sharing the template's — cross-loader draws must not serialize
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, init=False, compare=False
+    )
 
     def sample_params(self) -> Tuple[np.ndarray, bool]:
         cfg, rng = self.cfg, self.rng

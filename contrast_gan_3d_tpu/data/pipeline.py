@@ -66,6 +66,12 @@ class PrefetchLoader:
         self._await_zombies()
         if self._last_state is None:
             self._last_state = self.sampler.get_state()
+        elif self.num_threads == 1:
+            # a previous stop() drained queued batches the sampler had
+            # already drawn past; rewind to the last batch actually SERVED
+            # so a stop()/start() cycle neither skips batches nor diverges
+            # from what get_state() (exact-replay resume) claims
+            self.sampler.set_state(self._last_state)
         # fresh per-generation stop/queue/counter: a worker that outlived a
         # stop() (join timeout — e.g. stuck in a slow mmap page-in) holds
         # the OLD objects, so its event stays set forever and it can never

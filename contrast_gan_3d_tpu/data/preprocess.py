@@ -80,16 +80,21 @@ def write_patient(
     name: str,
     out_dir,
     fmt: str = "npy",
+    h5_chunks=None,
 ):
     """Lower-level variant of :func:`create_patient` for already-loaded data
     (used by tests and synthetic-data generation). ``fmt="h5"`` (or an
     ``out_dir`` that IS a ``.h5`` corpus file) stores HDF5; returns the
-    addressable patient path either way."""
+    addressable patient path either way. ``h5_chunks`` overrides the HDF5
+    chunk shape (z-thin chunks for 2D-slice corpora — see
+    ``hdf5.write_patient_h5``)."""
     out_dir = Path(out_dir)
     if fmt == "h5" or out_dir.suffix.lower() in (".h5", ".hdf5"):
         from contrast_gan_3d_tpu.data.hdf5 import write_patient_h5
 
-        return write_patient_h5(volume, centerlines_mask, meta, name, out_dir)
+        return write_patient_h5(
+            volume, centerlines_mask, meta, name, out_dir, chunks=h5_chunks
+        )
     assert fmt == "npy", f"unknown patient format {fmt!r}"
     out_dir = out_dir.resolve()
     out_dir.mkdir(parents=True, exist_ok=True)

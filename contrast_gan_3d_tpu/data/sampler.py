@@ -136,6 +136,12 @@ class CCTAPatchSampler:
                     self._epoch_done = True
                     if self.shuffle:
                         self.rng.shuffle(self._order)
+                    else:
+                        # pop() serves from the END — reverse so the
+                        # unshuffled finite pass (eval-style) visits
+                        # patients in list order, not backwards (shuffled
+                        # epochs keep their historical stream bit-exactly)
+                        self._order.reverse()
                 out.append(self._order.pop())
         return out
 

@@ -169,6 +169,11 @@ class ConvBlock(nn.Module):
                 use_bias=use_bias, dtype=self.dtype,
             )(x)
         else:
+            if self.padding_mode not in ("reflect", "zeros"):
+                raise ValueError(
+                    f"unknown padding_mode {self.padding_mode!r}: "
+                    "expected 'zeros' | 'reflect'"
+                )
             pad = _pad_pairs(self.padding, self.ndim)
             if self.padding_mode == "reflect" and self.padding > 0:
                 x = jnp.pad(x, ((0, 0), *pad, (0, 0)), mode="reflect")

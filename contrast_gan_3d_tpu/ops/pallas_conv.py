@@ -239,6 +239,12 @@ def s2d_conv3d_pallas(
         return s2d_conv3d(x, w, bias, f=f, padding_mode=padding_mode)
 
     pads = [(k - 1) // 2 for k in (kx, ky, kz)]
+    if padding_mode not in ("reflect", "zeros"):
+        # a typo must not silently train/infer with zero borders (the
+        # generator stem/projection depend on reflect padding)
+        raise ValueError(
+            f"unknown padding_mode {padding_mode!r}: expected 'zeros' | 'reflect'"
+        )
     mode = "reflect" if padding_mode == "reflect" else "constant"
     xp = jnp.pad(x, ((0, 0), *[(p, p) for p in pads], (0, 0)), mode=mode)
     # right-pad bound exactly as s2d_conv3d (s2d_conv.py req): the padded

@@ -185,6 +185,12 @@ def s2d_conv3d(
     assert all(d % f == 0 for d in out_dims), (x.shape, f, s)
 
     pads = [(kx - 1) // 2, (ky - 1) // 2, (kz - 1) // 2]
+    if padding_mode not in ("reflect", "zeros"):
+        # a typo must not silently train/infer with zero borders (the
+        # generator stem/projection depend on reflect padding)
+        raise ValueError(
+            f"unknown padding_mode {padding_mode!r}: expected 'zeros' | 'reflect'"
+        )
     mode = "reflect" if padding_mode == "reflect" else "constant"
     xp = jnp.pad(x, ((0, 0), *[(p, p) for p in pads], (0, 0)), mode=mode)
     # right-pad with zeros so (a) length divides f and (b) the block-space

@@ -40,7 +40,8 @@ _inflight_errors: Dict[str, BaseException] = {}
 def flush_async_saves(ckpt_dir) -> None:
     """Join any in-flight async checkpoint write for ``ckpt_dir`` and raise
     its error if it failed — call before relying on the checkpoint being on
-    disk (the Trainer does this before its final synchronous save)."""
+    disk. ``save_checkpoint`` itself calls this first, so a failed periodic
+    async write fails the run at the NEXT save instead of never."""
     key = str(Path(ckpt_dir))
     with _inflight_lock:
         t = _inflight.pop(key, None)
@@ -115,20 +116,12 @@ def save_checkpoint(
     path = checkpoint_path(ckpt_dir, step)
     host_state = jax.device_get(_unkey(state))
     blob = serialization.to_bytes(host_state)
-    # serialize against any previous in-flight write to this dir (also
-    # surfaces its failure here rather than never)
+    # serialize against any previous in-flight write to this dir, and RAISE
+    # its failure here: a run that cannot persist checkpoints (disk full,
+    # permissions) must die at the next save, not train 10k iterations
+    # believing its newest checkpoint exists (torch.save fails loudly too)
+    flush_async_saves(ckpt_dir)
     dir_key = str(ckpt_dir)
-    with _inflight_lock:
-        prev = _inflight.pop(dir_key, None)
-    if prev is not None:
-        prev.join()
-    with _inflight_lock:
-        err = _inflight_errors.pop(dir_key, None)
-    if err is not None:
-        logger.error(
-            "previous async checkpoint write under '%s' failed: %s",
-            ckpt_dir, err,
-        )
 
     def _write():
         # unique tmp name: two writers of the same step must never share it

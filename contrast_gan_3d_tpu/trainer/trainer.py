@@ -161,45 +161,53 @@ class Trainer:
         opt = patches[ScanType.OPT.value]["data"]
         low = patches[ScanType.LOW.value]
         high = patches[ScanType.HIGH.value]
+        names = list(low.get("name", [])) + list(high.get("name", []))
+        if self.mesh is None:
+            # single-chip: PrefetchLoader already device_put the streams —
+            # concatenate ON DEVICE (np.concatenate here would round-trip
+            # the LOW/HIGH batches host<->device every iteration)
+            opt = jnp.asarray(opt)
+            subopt = jnp.concatenate(
+                [jnp.asarray(low["data"]), jnp.asarray(high["data"])]
+            )
+            mask = jnp.concatenate([jnp.asarray(low["seg"]), jnp.asarray(high["seg"])])
+            return opt, subopt, mask, names
+        # mesh path: put_batch assembles the global array from process-local
+        # numpy shards (to_device=False under a mesh, so these are host
+        # arrays already — np.asarray is a no-op, not a device fetch)
         subopt = np.concatenate([np.asarray(low["data"]), np.asarray(high["data"])])
         mask = np.concatenate([np.asarray(low["seg"]), np.asarray(high["seg"])])
-        names = list(low.get("name", [])) + list(high.get("name", []))
-        if self.mesh is not None:
-            from contrast_gan_3d_tpu.parallel.mesh import (
-                DATA_AXIS, SPACE_AXIS, mesh_axis_size, put_batch,
-            )
+        from contrast_gan_3d_tpu.parallel.mesh import (
+            DATA_AXIS, SPACE_AXIS, mesh_axis_size, put_batch,
+        )
 
-            # multi-host: each process feeds its HOST-LOCAL shard (put_batch
-            # assembles the global array), so the local batch must divide
-            # this host's share of the data axis
-            n = max(1, mesh_axis_size(self.mesh, DATA_AXIS) // jax.process_count())
-            if opt.shape[0] % n or subopt.shape[0] % n:
-                # padding a TRAIN batch with repeated samples would bias
-                # every unmasked loss mean AND the BatchNorm batch statistics
-                # toward the duplicated patient — refuse instead of training
-                # silently wrong (validation pads exactly: eval mode +
-                # masked reductions). train.py auto-rounds configured batch
-                # sizes to device multiples before building loaders.
-                raise ValueError(
-                    f"host-local train batch sizes (opt {opt.shape[0]}, subopt "
-                    f"{subopt.shape[0]}) must be divisible by the mesh's "
-                    f"{n} data-parallel devices on this host; round them up "
-                    f"to multiples of {n} (train.py does this automatically) "
-                    "or pick dp_devices that divides them"
-                )
-            sp = mesh_axis_size(self.mesh, SPACE_AXIS)
-            if subopt.shape[1] % sp:
-                raise ValueError(
-                    f"first patch dim ({subopt.shape[1]}) must be divisible "
-                    f"by the mesh's {sp} spatial-partitioning devices"
-                )
-            opt = put_batch(np.asarray(opt), self.mesh)
-            subopt = put_batch(subopt, self.mesh)
-            mask = put_batch(mask, self.mesh)
-        else:
-            opt = jnp.asarray(opt)
-            subopt = jnp.asarray(subopt)
-            mask = jnp.asarray(mask)
+        # multi-host: each process feeds its HOST-LOCAL shard (put_batch
+        # assembles the global array), so the local batch must divide
+        # this host's share of the data axis
+        n = max(1, mesh_axis_size(self.mesh, DATA_AXIS) // jax.process_count())
+        if opt.shape[0] % n or subopt.shape[0] % n:
+            # padding a TRAIN batch with repeated samples would bias
+            # every unmasked loss mean AND the BatchNorm batch statistics
+            # toward the duplicated patient — refuse instead of training
+            # silently wrong (validation pads exactly: eval mode +
+            # masked reductions). train.py auto-rounds configured batch
+            # sizes to device multiples before building loaders.
+            raise ValueError(
+                f"host-local train batch sizes (opt {opt.shape[0]}, subopt "
+                f"{subopt.shape[0]}) must be divisible by the mesh's "
+                f"{n} data-parallel devices on this host; round them up "
+                f"to multiples of {n} (train.py does this automatically) "
+                "or pick dp_devices that divides them"
+            )
+        sp = mesh_axis_size(self.mesh, SPACE_AXIS)
+        if subopt.shape[1] % sp:
+            raise ValueError(
+                f"first patch dim ({subopt.shape[1]}) must be divisible "
+                f"by the mesh's {sp} spatial-partitioning devices"
+            )
+        opt = put_batch(np.asarray(opt), self.mesh)
+        subopt = put_batch(subopt, self.mesh)
+        mask = put_batch(mask, self.mesh)
         return opt, subopt, mask, names
 
     def train_step(self, patches: Dict[int, Dict], iteration: int):

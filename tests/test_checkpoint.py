@@ -295,8 +295,8 @@ def test_async_then_sync_same_step(tiny_state, tmp_path):
 
 
 def test_async_write_failure_surfaces(tiny_state, tmp_path, monkeypatch):
-    """A failed background checkpoint write must surface (flush raises; the
-    next save logs an error) instead of training on believing checkpoints
+    """A failed background checkpoint write must surface (flush raises, and
+    the NEXT save raises too) instead of training on believing checkpoints
     exist."""
     import pytest
 
@@ -317,9 +317,20 @@ def test_async_write_failure_surfaces(tiny_state, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="async checkpoint write"):
         ckpt_lib.flush_async_saves(target)
     monkeypatch.undo()
-    # recovered: a later save works
+    # the error was surfaced (popped): a later save works
     ckpt_lib.save_checkpoint(tiny_state, target, step=4)
     assert (target / "4.msgpack").exists()
+
+    # un-flushed variant: the failure must surface AT the next save call
+    # (save's internal flush joins the failed writer, so no undo race)
+    monkeypatch.setattr(Path, "write_bytes", boom)
+    ckpt_lib.save_checkpoint(tiny_state, target, step=5, async_=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        ckpt_lib.save_checkpoint(tiny_state, target, step=6)
+    monkeypatch.undo()
+    # surfaced once; saving again proceeds
+    ckpt_lib.save_checkpoint(tiny_state, target, step=7)
+    assert (target / "7.msgpack").exists()
 
 
 def test_restore_warns_on_loader_without_saved_state(tmp_path, rng):

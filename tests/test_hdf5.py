@@ -386,3 +386,21 @@ def test_create_dataset_rejects_raw_h5(tmp_path, rng):
         mod.patient_paths(tmp_path / "raw.h5")
     with pytest.raises(SystemExit, match="no preprocessed patients"):
         mod.patient_paths(tmp_path / "empty_does_not_glob")
+
+
+def test_write_patient_h5_custom_chunks(tmp_path, rng):
+    """chunks= overrides the 64^3 default (z-thin chunks for 2D-slice
+    corpora)."""
+    import h5py
+
+    from contrast_gan_3d_tpu.data.hdf5 import SCAN_DS, write_patient_h5
+
+    vol = rng.integers(-1000, 1000, (80, 70, 9), dtype=np.int16)
+    mask = (rng.random((80, 70, 9)) < 0.01).astype(np.int16)
+    meta = {"spacing": np.ones(3), "offset": np.zeros(3)}
+    path = write_patient_h5(
+        vol, mask, meta, "p0", tmp_path, chunks=(64, 64, 1, 2)
+    )
+    with h5py.File(path, "r") as fd:
+        assert fd[SCAN_DS].chunks == (64, 64, 1, 2)
+        np.testing.assert_array_equal(fd[SCAN_DS][..., 0], vol)

@@ -2,6 +2,7 @@
 NonDetMultiThreadedAugmenter lifecycle, trainer/utils.py:44-107)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -405,3 +406,48 @@ def test_create_loaders_wires_p_centerline_3d(tmp_path, rng):
     finally:
         for l in loaders.values():
             l.stop()
+
+
+def test_finite_unshuffled_pass_preserves_list_order(tmp_path, rng):
+    """shuffle=False + infinite=False (eval-style) must visit patients in
+    the given list order, not reversed (the epoch order is served by
+    pop-from-end internally)."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)  # 3 patients
+    paths = [p for p, _ in fold]
+    sampler = CCTAPatchSampler(
+        paths, PATCH, batch_size=1, rng=rng, infinite=False, shuffle=False
+    )
+    served = [sampler.next_batch()["path"][0] for _ in range(len(paths))]
+    assert served == paths
+
+
+def test_stop_start_cycle_does_not_skip_batches(tmp_path, rng):
+    """stop() discards queued batches the sampler already drew past; a
+    subsequent start() must rewind to the last batch actually served so the
+    live stream matches the exact-replay (get_state) semantics."""
+    fold = make_dataset(tmp_path, rng, n_per_label=1)
+    paths = [p for p, _ in fold]
+
+    def stream(n, cycle_after=None):
+        s = CCTAPatchSampler(
+            paths, PATCH, batch_size=2, rng=np.random.default_rng(7)
+        )
+        loader = PrefetchLoader(s, num_threads=1, prefetch=3, to_device=False)
+        out = []
+        try:
+            for i in range(n):
+                if cycle_after is not None and i == cycle_after:
+                    # let the worker fill the queue beyond the consumer
+                    time.sleep(0.3)
+                    loader.stop()
+                    loader.start()
+                out.append(next(loader))
+        finally:
+            loader.stop()
+        return out
+
+    plain = stream(6)
+    cycled = stream(6, cycle_after=3)
+    for a, b in zip(plain, cycled):
+        assert a["path"] == b["path"]
+        np.testing.assert_array_equal(a["data"], b["data"])
