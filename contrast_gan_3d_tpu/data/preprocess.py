@@ -33,6 +33,7 @@ def create_patient(
     out_dir,
     out_spacing=None,
     fmt: str = "npy",
+    h5_chunks=None,
 ):
     """Preprocess one patient into ``<out_dir>/<name>.npy`` + ``<name>_meta.pkl``.
 
@@ -45,7 +46,9 @@ def create_patient(
 
     ``fmt="h5"`` writes HDF5 instead (``data/hdf5.py``); an ``out_dir``
     ending in ``.h5`` appends to that corpus file regardless of ``fmt`` and
-    the returned path is the addressable ``corpus.h5::<name>`` member."""
+    the returned path is the addressable ``corpus.h5::<name>`` member;
+    ``h5_chunks`` overrides the HDF5 chunk shape (z-thin for 2D-slice
+    corpora — ``hdf5.write_patient_h5``)."""
     logger.info("Preprocessing '%s'...", str(ccta_path))
     volume, meta = io_utils.load_scan(ccta_path)  # (W, H, D) int16
     ostia_world, _ = io_utils.load_mevis_coords(ostia_path)  # (2, 3)
@@ -68,7 +71,9 @@ def create_patient(
         "ostia_world": ostia_world,
         "centerlines_world": centerlines_world,
     }
-    out_path = write_patient(volume, centerlines_mask, meta, name, out_dir, fmt=fmt)
+    out_path = write_patient(
+        volume, centerlines_mask, meta, name, out_dir, fmt=fmt, h5_chunks=h5_chunks
+    )
     logger.info("Created patient '%s'", str(out_path))
     return out_path
 

@@ -53,6 +53,16 @@ def main():
         "the reference",
     )
     p.add_argument(
+        "--h5-chunks",
+        type=int,
+        nargs=4,
+        default=None,
+        metavar=("CX", "CY", "CZ", "CC"),
+        help="HDF5 storage chunk shape override (default 64 64 64 C, tuned "
+        "for random 3D crops); corpora meant for 2D slice training should "
+        "use z-thin chunks, e.g. 64 64 1 2",
+    )
+    p.add_argument(
         "--shard",
         default=None,
         metavar="I/N",
@@ -73,6 +83,7 @@ def main():
     out_spacing = args.out_spacing
     if out_spacing is not None and len(out_spacing) == 1:
         out_spacing = out_spacing[0]
+    h5_chunks = tuple(args.h5_chunks) if args.h5_chunks else None
 
     scans = sorted(args.root.glob(args.glob))
     logger.info("Found %d scans under %s", len(scans), args.root)
@@ -96,6 +107,7 @@ def main():
                 args.out_dir,
                 out_spacing=out_spacing,
                 fmt=args.format,
+                h5_chunks=h5_chunks,
             )
         except Exception as e:  # keep batch preprocessing going
             logger.error("FAILED %s: %s", scan, e)

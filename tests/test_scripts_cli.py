@@ -71,6 +71,16 @@ def test_preprocess_cli_npy_and_corpus(tmp_path, rng, monkeypatch):
     _run(monkeypatch, "preprocess", tmp_path, corpus)
     assert corpus_members(corpus) == [f"{corpus}::p0"]
 
+    # --h5-chunks reaches the dataset (z-thin chunks for 2D-slice corpora)
+    import h5py
+
+    from contrast_gan_3d_tpu.data.hdf5 import SCAN_DS
+
+    thin = tmp_path / "thin.h5"
+    _run(monkeypatch, "preprocess", tmp_path, thin, "--h5-chunks", "16", "16", "1", "2")
+    with h5py.File(thin, "r") as fd:
+        assert fd["p0"][SCAN_DS].chunks == (16, 16, 1, 2)
+
 
 def test_preprocess_cli_shards_partition_the_scan_list(tmp_path, rng, monkeypatch):
     """--shard i/n lets N preprocessing jobs split a dataset (each shard its
