@@ -88,7 +88,13 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
     # bound HOST memory, not just per-request size: ThreadingHTTPServer
     # accepts unbounded concurrent connections and only device compute is
     # serialized — without this, N parallel sub-cap uploads each buffer
-    # body bytes + the np.load copy before ever reaching the device lock
+    # body bytes + the np.load copy before ever reaching the device lock.
+    # The slot is held through compute + response, NOT just the parse:
+    # releasing after np.load let every queued request park a decoded
+    # volume (up to 2 GiB each) on the device-lock wait — the cap bounded
+    # concurrent *parsing*, not resident volumes. Requests beyond the cap
+    # now block before reading their body, so the excess bytes sit in
+    # kernel socket buffers instead of user memory.
     ingest_slots = threading.BoundedSemaphore(max_inflight)
 
     class Handler(BaseHTTPRequestHandler):
@@ -152,37 +158,37 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
                     {"error": f"body {length} B > {MAX_BODY_BYTES} B cap"},
                     close=True,
                 )
-            try:
-                with ingest_slots:
+            with ingest_slots:
+                try:
                     volume = np.load(io.BytesIO(self.rfile.read(length)))
-            except Exception as e:  # malformed payloads must not kill the server
-                logger.exception("bad /correct payload")
-                return self._json(400, {"error": str(e)}, close=True)
-            # -- compute (server errors -> 500) ------------------------------
-            responded = False
-            try:
-                corrected = service.correct(volume)
-                if self.headers.get("X-Response-Dtype") == "int16":
-                    corrected = np.clip(np.round(corrected), -32768, 32767).astype(
-                        np.int16
-                    )
-                buf = io.BytesIO()
-                np.save(buf, corrected)
-                blob = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("Content-Length", str(len(blob)))
-                self.end_headers()
-                responded = True
-                self.wfile.write(blob)
-            except Exception as e:
-                logger.exception("correct failed")
-                if responded:
-                    # the 200 status line already went out: a second status
-                    # line would corrupt the stream — just drop the link
-                    self.close_connection = True
-                    return
-                self._json(500, {"error": str(e)}, close=True)
+                except Exception as e:  # malformed payloads must not kill the server
+                    logger.exception("bad /correct payload")
+                    return self._json(400, {"error": str(e)}, close=True)
+                # -- compute (server errors -> 500) --------------------------
+                responded = False
+                try:
+                    corrected = service.correct(volume)
+                    if self.headers.get("X-Response-Dtype") == "int16":
+                        corrected = np.clip(
+                            np.round(corrected), -32768, 32767
+                        ).astype(np.int16)
+                    buf = io.BytesIO()
+                    np.save(buf, corrected)
+                    blob = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(blob)))
+                    self.end_headers()
+                    responded = True
+                    self.wfile.write(blob)
+                except Exception as e:
+                    logger.exception("correct failed")
+                    if responded:
+                        # the 200 status line already went out: a second
+                        # status line would corrupt the stream — drop the link
+                        self.close_connection = True
+                        return
+                    self._json(500, {"error": str(e)}, close=True)
 
     return Handler
 
@@ -191,9 +197,12 @@ class CorrectionServer:
     """Threaded HTTP server around a :class:`CorrectionService`."""
 
     def __init__(self, corrector, host: str = "127.0.0.1", port: int = 0,
-                 warmup_shape: Optional[Tuple[int, ...]] = None):
+                 warmup_shape: Optional[Tuple[int, ...]] = None,
+                 max_inflight: int = 4):
         self.service = CorrectionService(corrector, warmup_shape)
-        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.service, max_inflight=max_inflight)
+        )
         self._thread: Optional[threading.Thread] = None
 
     @property

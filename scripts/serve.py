@@ -46,6 +46,10 @@ def main():
                         "(bounds recompiles for mixed z extents; 0 = off)")
     p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
                    help="pre-compile for this volume shape (e.g. 512 512 400)")
+    p.add_argument("--max-inflight", type=int, default=4,
+                   help="max concurrent requests holding decoded volumes in "
+                        "host memory; excess requests queue before reading "
+                        "their body (default 4)")
     args = p.parse_args()
     if len(args.patch) not in (2, 3):
         p.error("--patch takes W H D (3D) or W H (2D)")
@@ -85,6 +89,7 @@ def main():
 
     server = CorrectionServer(
         corrector, host=args.host, port=args.port, warmup_shape=warmup,
+        max_inflight=args.max_inflight,
     )
     server.start(background=False)
 

@@ -91,6 +91,43 @@ def test_concurrent_requests(server, rng):
         np.testing.assert_allclose(r, np.asarray(corrector(v)), atol=1e-4)
 
 
+def test_requests_beyond_inflight_cap_queue_not_fail(rng):
+    """The ingest slot is held through compute, bounding resident decoded
+    volumes to ``max_inflight``; requests beyond the cap must still QUEUE
+    (block pre-read) and succeed, not error — here 3 concurrent requests
+    against a cap of 1."""
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    srv = CorrectionServer(corrector, warmup_shape=(20, 20, 18), max_inflight=1)
+    srv.start()
+    try:
+        vols = [
+            rng.integers(-500, 500, (20, 20, 18)).astype(np.int16) for _ in range(3)
+        ]
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = correct_remote(_url(srv), vols[i])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for v, r in zip(vols, results):
+            assert r is not None
+            np.testing.assert_allclose(r, np.asarray(corrector(v)), atol=1e-4)
+    finally:
+        srv.stop()
+
+
 def test_unknown_path_404(server):
     srv, _ = server
     with pytest.raises(urllib.error.HTTPError) as exc:
