@@ -235,3 +235,61 @@ def test_export_corrector_cli_2d_family(tmp_path, rng, monkeypatch):
     with pytest.raises(SystemExit):
         _run(monkeypatch, "export_corrector", ckpt_dir, out,
              "--shape", "12", "12", "10", "--patch", "12")
+
+
+def test_serve_cli(tmp_path, rng, monkeypatch):
+    """serve.py end-to-end: checkpoint -> warm daemon -> HTTP round-trip.
+    ``start(background=False)`` blocks forever, so the test redirects it to
+    background mode and captures the server instance for shutdown."""
+    import jax
+    import optax
+
+    from contrast_gan_3d_tpu import serving
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+    from contrast_gan_3d_tpu.trainer.steps import init_state
+
+    state = init_state(
+        ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2),
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1),
+        optax.adam(1e-4), optax.adam(1e-4), jax.random.key(0), (8, 8, 8),
+    )
+    ckpt_dir = tmp_path / "ck"
+    ckpt_lib.save_checkpoint(state, ckpt_dir, step=1)
+
+    created = []
+    orig_init = serving.CorrectionServer.__init__
+    orig_start = serving.CorrectionServer.start
+
+    def capture_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        created.append(self)
+
+    monkeypatch.setattr(serving.CorrectionServer, "__init__", capture_init)
+    monkeypatch.setattr(
+        serving.CorrectionServer, "start",
+        lambda self, background=True: orig_start(self, background=True),
+    )
+    _run(
+        monkeypatch, "serve", ckpt_dir, "--patch", "8", "8", "8",
+        "--batch", "2", "--port", "0", "--z-bucket", "0",
+        "--max-inflight", "2", "--dtype", "float32",
+        "--warmup-shape", "10", "10", "9",
+    )
+    (srv,) = created
+    try:
+        import json as _json
+        import urllib.request
+
+        host, port = srv.address
+        url = f"http://{host}:{port}"
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert _json.loads(r.read())["status"] == "ok"
+        vol = rng.integers(-800, 800, (10, 10, 9)).astype(np.int16)
+        out = serving.correct_remote(url, vol)
+        assert out.shape == vol.shape and np.isfinite(out).all()
+        want = np.asarray(srv.service.corrector(vol))
+        np.testing.assert_allclose(out, want, atol=1e-4)
+    finally:
+        srv.stop()
