@@ -14,6 +14,8 @@ asynchronous.
 """
 
 import itertools
+import signal
+import threading
 import time
 from dataclasses import dataclass
 from typing import Dict, Iterable, Optional
@@ -102,6 +104,7 @@ class Trainer:
             }
         }
         self._warned_multiproc_images = False
+        self._stop_event = threading.Event()
         self.state = state if state is not None else init_state(
             generator, critic, gen_tx, critic_tx, key, tuple(patch_shape)
         )
@@ -241,6 +244,30 @@ class Trainer:
         return metrics, (subopt, mask, names)
 
     # ------------------------------------------------------------------
+    def request_stop(self, reason: str = "") -> None:
+        """Ask :meth:`fit` to exit at the next iteration boundary.
+
+        Signal-/thread-safe (sets an Event; no device work). The loop then
+        breaks and falls through to the normal end-of-fit path, which writes
+        the final checkpoint + per-host data sidecars — so a preempted run
+        resumes exactly where it stopped (TPU pods are routinely preempted;
+        the reference has no analogue: a killed run loses everything since
+        its last periodic checkpoint, reference ``trainer/Trainer.py:230``).
+        No-op if checkpointing is disabled (``checkpoint_every=None``) —
+        matching the end-of-fit semantics."""
+        if not self._stop_event.is_set():
+            logger.warning(
+                "Graceful stop requested%s — finishing current iteration, "
+                "then checkpointing and exiting",
+                f" ({reason})" if reason else "",
+            )
+            self._stop_event.set()
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop_event.is_set()
+
+    # ------------------------------------------------------------------
     def fit(
         self,
         train_loaders: Dict[int, Iterable],
@@ -260,6 +287,12 @@ class Trainer:
             profiler.begin()  # covers a schedule whose iteration 0 is active
         t_last, it_last = time.perf_counter(), start
         for iteration in range(start, self.cfg.train_iterations):
+            if self._stop_event.is_set():
+                logger.warning(
+                    "Stopping at iteration %d (graceful stop); the final "
+                    "checkpoint + data sidecars follow", iteration,
+                )
+                break
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
             images_due = (
                 _due(iteration, self.cfg.log_images_every, skip_zero=False)
@@ -463,3 +496,33 @@ class Trainer:
             fn = getattr(loader, "start" if event == "start" else "stop", None)
             if fn is not None:
                 fn()
+
+
+def install_preemption_handler(trainer: Trainer, signums=(signal.SIGTERM, signal.SIGINT)):
+    """Wire OS preemption signals to :meth:`Trainer.request_stop`.
+
+    TPU VMs and pod schedulers deliver SIGTERM ahead of eviction; the first
+    signal requests a graceful stop (finish the current iteration, write the
+    final checkpoint + data sidecars, exit 0), a second delivery of the same
+    signal escalates to the previous handler (default: terminate / raise
+    KeyboardInterrupt) for runs wedged inside a device call. Multi-host note:
+    handlers are per-process — schedulers signal every worker on preemption;
+    a host stopping alone would leave peers blocked in collectives.
+
+    Must be called from the main thread (CPython restricts ``signal.signal``).
+    Returns ``{signum: previous_handler}`` so callers can restore (tests,
+    nested runs)."""
+    previous = {}
+
+    def _handler(signum, frame):
+        if trainer.stop_requested:  # second signal: escalate
+            signal.signal(signum, previous[signum])
+            raise KeyboardInterrupt(
+                f"{signal.Signals(signum).name} received twice — aborting "
+                "without waiting for the graceful stop"
+            )
+        trainer.request_stop(reason=signal.Signals(signum).name)
+
+    for signum in signums:
+        previous[signum] = signal.signal(signum, _handler)
+    return previous

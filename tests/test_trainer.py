@@ -351,3 +351,74 @@ def test_resume_is_exactly_equivalent_to_uninterrupted(tmp_path, rng):
         np.asarray(jax.random.key_data(state_a.rng)),
         np.asarray(jax.random.key_data(state_b.rng)),
     )
+
+
+class _ActAtStepLogger(RecordingLogger):
+    """Fires a callback the first time a train scalar for ``at_step`` logs."""
+
+    def __init__(self, at_step, action):
+        super().__init__()
+        self.at_step, self.action, self._fired = at_step, action, False
+
+    def log_scalars(self, scalars, step, stage="train"):
+        super().log_scalars(scalars, step, stage)
+        if stage == "train" and step >= self.at_step and not self._fired:
+            self._fired = True
+            self.action()
+
+
+def test_graceful_stop_checkpoints_and_resumes(tmp_path, rng):
+    """request_stop() exits at the next iteration boundary and the normal
+    end-of-fit path persists model + data-stream state — a preempted run
+    resumes exactly where it stopped instead of replaying up to 1000
+    iterations (TPU pods are routinely evicted; the reference loses
+    everything since its last periodic save)."""
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, prefetch=2,
+        to_device=False,
+    )
+    holder = {}
+    log = _ActAtStepLogger(1, lambda: holder["t"].request_stop("test"))
+    ckpt_dir = tmp_path / "ckpt"
+    trainer = _build_trainer(tmp_path, log, ckpt_dir=ckpt_dir, iterations=40)
+    holder["t"] = trainer
+    state = trainer.fit(loaders)
+
+    stopped_at = int(state.step)
+    assert 1 <= stopped_at < 40, stopped_at  # exited early, not at the end
+    assert trainer.stop_requested
+    # final checkpoint + data sidecar written for the break step
+    assert (ckpt_dir / f"{stopped_at}.msgpack").exists()
+    assert list(ckpt_dir.glob(f"{stopped_at}.data.*")), "no data sidecar"
+    # a fresh trainer resumes from the break step
+    resumed = _build_trainer(
+        tmp_path, RecordingLogger(), ckpt_dir=ckpt_dir, iterations=40
+    )
+    assert resumed.iteration == stopped_at
+
+
+def test_preemption_handler_sigterm_graceful_then_escalates(tmp_path, rng):
+    """First SIGTERM -> graceful stop mid-fit; a second delivery escalates
+    (KeyboardInterrupt) for runs wedged inside a device call."""
+    import signal as sig
+
+    from contrast_gan_3d_tpu.trainer.trainer import install_preemption_handler
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, prefetch=2,
+        to_device=False,
+    )
+    log = _ActAtStepLogger(1, lambda: sig.raise_signal(sig.SIGTERM))
+    trainer = _build_trainer(tmp_path, log, ckpt_dir=tmp_path / "ck", iterations=40)
+    prev = install_preemption_handler(trainer)
+    try:
+        state = trainer.fit(loaders)
+        assert trainer.stop_requested
+        assert int(state.step) < 40
+        with pytest.raises(KeyboardInterrupt):
+            sig.raise_signal(sig.SIGTERM)
+    finally:
+        for signum, handler in prev.items():
+            sig.signal(signum, handler)

@@ -10,7 +10,9 @@ or are built on the fly from labeled dataset sheets.
 
 import argparse
 import pickle
+import signal
 import sys
+import threading
 from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import List, Optional
@@ -25,7 +27,7 @@ from contrast_gan_3d_tpu.data.pipeline import create_loaders
 from contrast_gan_3d_tpu.experiments import ExperimentConfig, asdict_flat, load_config
 from contrast_gan_3d_tpu.experiments.builder import build
 from contrast_gan_3d_tpu.models.utils import count_parameters
-from contrast_gan_3d_tpu.trainer.trainer import Trainer
+from contrast_gan_3d_tpu.trainer.trainer import Trainer, install_preemption_handler
 from contrast_gan_3d_tpu.utils import seed_everything
 from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 
@@ -388,9 +390,20 @@ class TrainManager:
             fold_idx, f"{n_gen:,}", f"{n_critic:,}", asdict_flat(cfg),
         )
 
+        # preemption tolerance: SIGTERM/SIGINT -> finish the iteration,
+        # checkpoint, exit 0 (signal.signal is main-thread-only; in-process
+        # embeddings — tests, notebooks driving main() off-thread — skip it)
+        prev_handlers = (
+            install_preemption_handler(trainer)
+            if threading.current_thread() is threading.main_thread()
+            else None
+        )
         try:
             trainer.fit(train_loaders, val_loaders, profiler=self.profiler)
         finally:
+            if prev_handlers:
+                for signum, handler in prev_handlers.items():
+                    signal.signal(signum, handler)
             if cfg.logger == "wandb":
                 # close the fold's run: the next fold's wandb.init would
                 # otherwise attach to (and merge into) this one
