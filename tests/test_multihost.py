@@ -273,3 +273,50 @@ def test_two_process_train_cli_sharded_corpus(tmp_path, rng):
     assert payload["step"] == 6
     names = {p.name for p in ckpt_dir.iterdir()}
     assert "6.msgpack" in names and "6.data.pkl" in names  # single-host sidecar
+
+
+@pytest.mark.slow
+def test_two_process_coordinated_graceful_stop(tmp_path, rng):
+    """A preemption signal reaching ONE host must stop BOTH at the same
+    iteration boundary (Trainer._stop_due all-gathers local stop flags every
+    stop_sync_every iterations) — a host breaking alone would deadlock its
+    peer in the next step's collectives. Both workers must exit 0 with equal
+    final steps, and the end-of-fit persistence must cover the break step
+    (process-0 model checkpoint + per-host data sidecars)."""
+    import json
+
+    worker = WORKER.parent / "multihost_stop_worker.py"
+    ckpt_dir = tmp_path / "ckpt"
+    for attempt in (0, 1):
+        coordinator = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, "2", str(pid),
+                 str(tmp_path / "data"), str(ckpt_dir),
+                 str(tmp_path / f"out{pid}.json")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=str(WORKER.parent.parent),
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-4000:]
+
+    results = [
+        json.loads((tmp_path / f"out{pid}.json").read_text()) for pid in (0, 1)
+    ]
+    steps = {r["final_step"] for r in results}
+    assert len(steps) == 1, f"hosts broke at different steps: {results}"
+    (step,) = steps
+    # stopped early (iteration 3 request -> next even sync boundary), not at
+    # the 40-iteration horizon; host 1 never saw the signal locally but its
+    # flag was aligned by the collective
+    assert 3 < step < 40, results
+    assert all(r["stop_requested"] for r in results), results
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert f"{step}.msgpack" in names, names
+    assert {f"{step}.data.host0.pkl", f"{step}.data.host1.pkl"} <= names, names
