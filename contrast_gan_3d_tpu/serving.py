@@ -193,6 +193,17 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
     return Handler
 
 
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    # non-daemon handler threads + block_on_close: server_close() JOINS
+    # in-flight requests, so a graceful shutdown (SIGTERM -> stop()) finishes
+    # the responses already streaming instead of truncating them when the
+    # process exits (ThreadingHTTPServer defaults to daemon threads, which
+    # die mid-write). The per-connection timeout (Handler.timeout) bounds
+    # how long a wedged client can hold the drain.
+    daemon_threads = False
+    block_on_close = True
+
+
 class CorrectionServer:
     """Threaded HTTP server around a :class:`CorrectionService`."""
 
@@ -200,7 +211,7 @@ class CorrectionServer:
                  warmup_shape: Optional[Tuple[int, ...]] = None,
                  max_inflight: int = 4):
         self.service = CorrectionService(corrector, warmup_shape)
-        self.httpd = ThreadingHTTPServer(
+        self.httpd = _DrainingHTTPServer(
             (host, port), _make_handler(self.service, max_inflight=max_inflight)
         )
         self._thread: Optional[threading.Thread] = None
@@ -219,6 +230,41 @@ class CorrectionServer:
         else:
             logger.info("Serving on http://%s:%d", *self.address)
             self.httpd.serve_forever()
+
+    def serve_until_signaled(self, signums=None):
+        """Foreground serving with graceful shutdown: blocks until SIGTERM/
+        SIGINT, then drains in-flight requests (:class:`_DrainingHTTPServer`)
+        and returns — so an orchestrator's stop never truncates a response
+        mid-write. Calling ``shutdown()`` from a signal handler would
+        deadlock (the handler suspends the very thread running
+        ``serve_forever``), so the loop runs on the background thread and
+        the main thread waits on an Event the handler sets. Main-thread
+        only (CPython ``signal.signal`` restriction)."""
+        import signal as _signal
+
+        signums = signums or (_signal.SIGTERM, _signal.SIGINT)
+        stop_evt = threading.Event()
+        previous = {}
+
+        def _handler(signum, frame):
+            logger.warning(
+                "%s received — draining in-flight requests and shutting down",
+                _signal.Signals(signum).name,
+            )
+            stop_evt.set()
+
+        for signum in signums:
+            previous[signum] = _signal.signal(signum, _handler)
+        try:
+            self.start(background=True)
+            # timed wait loop: an untimed Event.wait can park the main
+            # thread in a C lock where pending signal handlers don't run
+            while not stop_evt.wait(timeout=1.0):
+                pass
+            self.stop()
+        finally:
+            for signum, handler in previous.items():
+                _signal.signal(signum, handler)
 
     def stop(self):
         self.httpd.shutdown()

@@ -91,7 +91,13 @@ def main():
         corrector, host=args.host, port=args.port, warmup_shape=warmup,
         max_inflight=args.max_inflight,
     )
-    server.start(background=False)
+    import threading
+
+    if threading.current_thread() is threading.main_thread():
+        # graceful shutdown: SIGTERM/SIGINT drain in-flight requests first
+        server.serve_until_signaled()
+    else:  # embedded (tests drive main() off-thread): plain blocking serve
+        server.start(background=False)
 
 
 if __name__ == "__main__":

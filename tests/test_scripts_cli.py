@@ -271,6 +271,12 @@ def test_serve_cli(tmp_path, rng, monkeypatch):
         serving.CorrectionServer, "start",
         lambda self, background=True: orig_start(self, background=True),
     )
+    # the CLI's main-thread path blocks in serve_until_signaled waiting for
+    # SIGTERM — redirect it to a plain background start for the smoke test
+    monkeypatch.setattr(
+        serving.CorrectionServer, "serve_until_signaled",
+        lambda self, signums=None: orig_start(self, background=True),
+    )
     _run(
         monkeypatch, "serve", ckpt_dir, "--patch", "8", "8", "8",
         "--batch", "2", "--port", "0", "--z-bucket", "0",

@@ -205,3 +205,61 @@ def test_artifact_input_saturates_not_wraps(tmp_path, rng):
     hot = np.full(shape, 40000.0, np.float32)  # out of int16 range
     hot_sat = np.full(shape, 32767, np.int16)
     np.testing.assert_array_equal(np.asarray(art(hot)), np.asarray(art(hot_sat)))
+
+
+def test_stop_drains_inflight_requests(rng):
+    """stop() must finish responses already streaming (non-daemon handler
+    threads + block_on_close): a client whose request is mid-compute when
+    the server stops still receives its full corrected volume."""
+    import time
+
+    class SlowCorrector:
+        def __call__(self, volume):
+            time.sleep(1.5)
+            return np.asarray(volume, np.float32) - 1.0
+
+    srv = CorrectionServer(SlowCorrector())
+    srv.start()
+    vol = rng.integers(-500, 500, (8, 8, 6)).astype(np.int16)
+    result = {}
+
+    def client():
+        result["out"] = correct_remote(_url(srv), vol)
+
+    t = threading.Thread(target=client)
+    t.start()
+    time.sleep(0.4)  # request is in flight (inside the sleep)
+    srv.stop()  # must block until the handler finished writing
+    t.join(timeout=30)
+    assert not t.is_alive()
+    np.testing.assert_allclose(result["out"], vol.astype(np.float32) - 1.0)
+
+
+def test_serve_until_signaled_returns_on_sigterm(rng):
+    """The foreground CLI path exits cleanly on SIGTERM (drain + return)
+    and restores prior signal handlers."""
+    import signal as sig
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2,
+        s2d_factor=None,
+    )
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, *PATCH, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=PATCH, batch_size=2,
+    )
+    srv = CorrectionServer(corrector)
+    before = sig.getsignal(sig.SIGTERM)
+    timer = threading.Timer(1.2, lambda: sig.raise_signal(sig.SIGTERM))
+    timer.start()
+    try:
+        srv.serve_until_signaled()  # blocks until the timer fires
+    finally:
+        timer.cancel()
+    assert sig.getsignal(sig.SIGTERM) is before  # handlers restored
+    # listening socket released: the port is immediately rebindable
+    host, port = srv.address
+    srv2 = CorrectionServer(corrector, host=host, port=port)
+    srv2.start()
+    srv2.stop()
