@@ -73,6 +73,7 @@ def correct_patients(
     patient_paths: Sequence[PathLike],
     overlap_io: bool = True,
     suffix: str = ".mhd",
+    stop_requested=None,
 ) -> list:
     """Stream patients through the corrector (reference
     ``parallel_correct_patients`` capability; see module docstring for why
@@ -85,10 +86,30 @@ def correct_patients(
     encoding all hide behind compute instead of serializing with it (the
     TPU-side answer to the reference's mp.Pool fan-out, eval/utils.py:27-39).
     Outputs are bit-identical to the sequential path (same jitted program,
-    per-volume order preserved)."""
+    per-volume order preserved).
+
+    ``stop_requested``: optional zero-arg callable polled between volumes —
+    a truthy return stops the batch gracefully (every volume already
+    dispatched is still fetched and written; the return lists exactly the
+    completed outputs). Lets long cohort jobs honor SIGTERM/Ctrl-C without
+    losing the in-flight volume (wired by ``scripts/correct_scans.py``)."""
     paths = list(patient_paths)
+
+    def _stopped() -> bool:
+        if stop_requested is not None and stop_requested():
+            logger.warning(
+                "Graceful stop: finishing in-flight volumes, skipping the rest"
+            )
+            return True
+        return False
+
     if not overlap_io or len(paths) <= 1:
-        return [correct_patient(corrector, savedir, p, suffix=suffix) for p in paths]
+        out = []
+        for p in paths:
+            if _stopped():
+                break
+            out.append(correct_patient(corrector, savedir, p, suffix=suffix))
+        return out
 
     import jax
 
@@ -141,6 +162,8 @@ def correct_patients(
     out = []
     try:
         while not errors:
+            if _stopped():
+                break
             try:
                 item = load_q.get(timeout=0.2)
             except queue.Empty:

@@ -18,6 +18,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
 from contrast_gan_3d_tpu.eval.utils import correct_patients
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name="correct_scans")
 
 
 def main():
@@ -64,9 +67,33 @@ def main():
         # patch grid split across all visible chips; keeps the corrector's
         # layout (packed block-space by default)
         corrector.shard_over(data_mesh())
-    correct_patients(
-        corrector, args.out_dir, args.scans, suffix=f".{args.output_format}"
+    # graceful interrupt for long cohort jobs: first SIGTERM/Ctrl-C finishes
+    # the in-flight volume(s) and exits 0 with completed outputs intact, a
+    # second one aborts (signal.signal is main-thread-only; embedded runs skip)
+    import signal
+    import threading
+
+    stop = threading.Event()
+
+    def _sig(signum, frame):
+        if stop.is_set():
+            raise KeyboardInterrupt(
+                f"{signal.Signals(signum).name} received twice — aborting"
+            )
+        stop.set()
+
+    if threading.current_thread() is threading.main_thread():
+        for signum in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(signum, _sig)
+
+    done = correct_patients(
+        corrector, args.out_dir, args.scans, suffix=f".{args.output_format}",
+        stop_requested=stop.is_set,
     )
+    if stop.is_set():
+        logger.warning(
+            "Stopped early: %d/%d scans corrected", len(done), len(args.scans)
+        )
 
 
 if __name__ == "__main__":

@@ -193,3 +193,47 @@ def test_corrector_z_bucket(rng):
     padded = np.pad(vol, ((0, 0), (0, 0), (0, 6)), mode="edge")
     ref = np.asarray(base(padded))[:, :, :18]
     np.testing.assert_allclose(out_b, ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("overlap_io", [False, True])
+def test_correct_patients_graceful_stop(tmp_path, rng, overlap_io):
+    """stop_requested polls between volumes: a stop after the first volume
+    returns exactly the completed outputs (written, loadable), skips the
+    rest, and joins both pipeline threads (no hang)."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    patients = []
+    for i, hu in enumerate((250, 420, 550)):
+        pdir, _ = _write_synth_patient(tmp_path, rng, f"g{i}", vessel_hu=hu)
+        patients.append(pdir / f"g{i}.mhd")
+
+    gen = ResnetGenerator(n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2)
+    variables = gen.init(jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1)), train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"], variables.get("batch_stats"),
+        inference_patch_size=(16, 16, 16), batch_size=2,
+    )
+
+    polls = {"n": 0}
+
+    def stop_after_first():
+        polls["n"] += 1
+        return polls["n"] > 1  # first poll lets volume 0 dispatch
+
+    out_dir = tmp_path / f"out_{overlap_io}"
+    done = correct_patients(
+        corrector, out_dir, patients, overlap_io=overlap_io,
+        stop_requested=stop_after_first,
+    )
+    assert 1 <= len(done) < len(patients), done
+    for p in done:  # everything reported is fully on disk and loadable
+        scan, _ = io_utils.load_scan(p)
+        assert scan.shape == (20, 20, 16)
+    # nothing beyond the reported outputs was written (.mhd headers come
+    # with a companion .raw each — compare the image files only)
+    assert sorted(q.name for q in out_dir.glob("*.mhd")) == sorted(
+        p.name for p in done
+    )
