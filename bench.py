@@ -30,7 +30,12 @@ BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB.
 import json
 import os
 import sys
+import threading
 import time
+
+# set at the first metric line: the startup watchdog only guards the path
+# to first output (a wedged tunnel), never a long-but-progressing run
+_FIRST_METRIC = threading.Event()
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +142,7 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
         "unit": ("slices" if is_2d else "patches") + "/s/chip",
         "vs_baseline": None,
     }), flush=True)
+    _FIRST_METRIC.set()
 
 
 def bench_inference(overlap: float):
@@ -198,11 +204,39 @@ def bench_inference(overlap: float):
         "unit": "s",
         "vs_baseline": round(target / latency, 3),
     }), flush=True)
+    _FIRST_METRIC.set()
+
+
+def _start_watchdog():
+    """Fail fast when the device never responds. The axon tunnel can wedge
+    (jax.devices()/first dispatch hangs in iowait forever); without a bound
+    the bench records NOTHING and gives no reason. If the FIRST metric line
+    hasn't printed within BENCH_WATCHDOG seconds (default 900 — cold
+    full-volume compiles take minutes, a healthy startup always beats
+    this), print a diagnostic and exit 3. Once any metric is out the run is
+    progressing and the watchdog stands down. BENCH_WATCHDOG=0 disables."""
+    timeout = float(os.environ.get("BENCH_WATCHDOG", "900"))
+    if timeout <= 0:
+        return
+
+    def _fire():
+        if not _FIRST_METRIC.is_set():
+            print(
+                f"bench watchdog: no metric within {timeout:.0f}s — device/"
+                "tunnel unresponsive (not a perf regression; probe with a "
+                "60s jax.devices() and retry)", file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    timer = threading.Timer(timeout, _fire)
+    timer.daemon = True
+    timer.start()
 
 
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
     default_overlap = float(os.environ.get("BENCH_OVERLAP", "0.25"))
+    _start_watchdog()
     if mode == "train":
         return bench_train()
     if mode == "infer":
