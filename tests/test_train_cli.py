@@ -281,3 +281,46 @@ def test_effective_logger_multihost_single_sink():
     assert effective_logger("none", 1, 2) == "none"
     assert effective_logger("wandb", 0, 1) == "wandb"
     assert effective_logger("file", 0, 1) == "file"
+
+
+@pytest.mark.slow
+def test_train_cli_max_hours_budget_stops_gracefully(tmp_path, rng, monkeypatch):
+    """--max-hours: an expired wall-clock budget requests the same graceful
+    stop as a preemption signal — the run checkpoints at the break step and
+    main() returns (exit 0) long before the iteration horizon. The manager's
+    start time is rewound at fold entry so ~15 s of budget remain no matter
+    how long dataset/build startup took (patching time.monotonic globally
+    would corrupt other consumers — queue.get timeouts, thread waits)."""
+    import time as time_mod
+
+    import train as train_cli
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    splits_path = tmp_path / "splits.pkl"
+    with open(splits_path, "wb") as fd:
+        pickle.dump({"train": [fold], "test": [fold]}, fd)
+    conf_path = tmp_path / "conf.py"
+    conf_path.write_text(
+        OVERRIDE.replace("train_iterations=2", "train_iterations=100000")
+    )
+
+    class PinnedBudgetManager(train_cli.TrainManager):
+        def run_fold(self, *a, **k):
+            self._t0 = time_mod.monotonic() - self.max_hours * 3600.0 + 15.0
+            return super().run_fold(*a, **k)
+
+    monkeypatch.setattr(train_cli, "TrainManager", PinnedBudgetManager)
+
+    train_cli.main([
+        "--conf", str(conf_path),
+        "--cval-splits", str(splits_path),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+        "--max-hours", "1.0",
+    ])
+
+    ckpts = sorted(
+        (tmp_path / "ckpts" / "cli_smoke-fold0").glob("*.msgpack"),
+        key=lambda p: int(p.stem),
+    )
+    assert ckpts, "no checkpoint written at the budget stop"
+    assert int(ckpts[-1].stem) < 100000  # stopped on budget, not the horizon

@@ -13,6 +13,7 @@ import pickle
 import signal
 import sys
 import threading
+import time
 from dataclasses import dataclass, field, replace
 from pathlib import Path
 from typing import List, Optional
@@ -169,6 +170,11 @@ class TrainManager:
     wandb_project: Optional[str] = None
     wandb_entity: Optional[str] = None
     group: Optional[str] = None
+    # wall-clock budget (hours) across the whole run: when it expires the
+    # trainer checkpoints gracefully and exits 0 — for bounded TPU
+    # reservations where a hard eviction would otherwise land mid-iteration
+    max_hours: Optional[float] = None
+    _t0: float = field(default_factory=time.monotonic)
 
     def maybe_restore_wandb_run(self):
         """Resuming an existing wandb run restores its experiment group and
@@ -398,9 +404,30 @@ class TrainManager:
             if threading.current_thread() is threading.main_thread()
             else None
         )
+        budget_timer = None
+        if self.max_hours is not None:
+            # wall-clock budget: measured from process start (self._t0), so
+            # later folds inherit the remaining budget, not a fresh one
+            remaining = self.max_hours * 3600.0 - (time.monotonic() - self._t0)
+            if remaining <= 0:
+                logger.warning(
+                    "--max-hours budget exhausted before fold %d — skipping",
+                    fold_idx,
+                )
+                return
+            budget_timer = threading.Timer(
+                remaining,
+                lambda: trainer.request_stop(
+                    f"--max-hours {self.max_hours} budget reached"
+                ),
+            )
+            budget_timer.daemon = True
+            budget_timer.start()
         try:
             trainer.fit(train_loaders, val_loaders, profiler=self.profiler)
         finally:
+            if budget_timer is not None:
+                budget_timer.cancel()
             if prev_handlers:
                 for signum, handler in prev_handlers.items():
                     signal.signal(signum, handler)
@@ -427,6 +454,11 @@ def parse_args(argv=None):
     p.add_argument("--starting-fold", type=int, default=0)
     p.add_argument("--max-folds", type=int, default=1)
     p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--max-hours", type=float, default=None,
+                   help="wall-clock budget: when it expires the trainer "
+                        "finishes the iteration, checkpoints and exits 0 "
+                        "(graceful stop) — resume later with the same "
+                        "command; for bounded TPU reservations")
     p.add_argument("--checkpoint-keep", type=int, default=None,
                    help="keep only the newest N checkpoints (+ data "
                         "sidecars); default: keep all, like the reference")
@@ -522,6 +554,7 @@ def main(argv=None):
         profiler=profiler,
         wandb_project=args.wandb_project,
         wandb_entity=args.wandb_entity,
+        max_hours=args.max_hours,
     )
     manager()
 
