@@ -94,7 +94,17 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
     # volume (up to 2 GiB each) on the device-lock wait — the cap bounded
     # concurrent *parsing*, not resident volumes. Requests beyond the cap
     # now block before reading their body, so the excess bytes sit in
-    # kernel socket buffers instead of user memory.
+    # kernel socket buffers instead of user memory. Consequence: a client
+    # that trickle-reads its response holds its slot for the whole download
+    # (the response blob IS resident host memory, so it must count) — size
+    # max_inflight for the slowest reader you tolerate; each pinned slot
+    # holds only the response bytes (inputs/intermediates are dropped
+    # before the write starts).
+    if max_inflight < 1:
+        # BoundedSemaphore(0) would block every /correct forever with no
+        # diagnostic; there is deliberately no "unlimited" setting (the cap
+        # IS the host-memory bound)
+        raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
     ingest_slots = threading.BoundedSemaphore(max_inflight)
 
     class Handler(BaseHTTPRequestHandler):
@@ -122,6 +132,16 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
             self.wfile.write(blob)
 
         def do_GET(self):
+            if not self.server.request_began():
+                return self._json(
+                    503, {"error": "server shutting down"}, close=True
+                )
+            try:
+                self._do_GET()
+            finally:
+                self.server.request_finished()
+
+        def _do_GET(self):
             if self.path == "/healthz":
                 import jax
 
@@ -137,6 +157,18 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # in-flight accounting brackets the WHOLE request (parse,
+            # compute, response write): stop() drains on this count
+            if not self.server.request_began():
+                return self._json(
+                    503, {"error": "server shutting down"}, close=True
+                )
+            try:
+                self._do_POST()
+            finally:
+                self.server.request_finished()
+
+        def _do_POST(self):
             if self.path != "/correct":
                 return self._json(
                     404, {"error": f"unknown path {self.path}"}, close=True
@@ -168,6 +200,7 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
                 responded = False
                 try:
                     corrected = service.correct(volume)
+                    del volume  # the slot is held through the response
                     if self.headers.get("X-Response-Dtype") == "int16":
                         corrected = np.clip(
                             np.round(corrected), -32768, 32767
@@ -175,6 +208,9 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
                     buf = io.BytesIO()
                     np.save(buf, corrected)
                     blob = buf.getvalue()
+                    # a slow-reading client pins its slot for the download;
+                    # make sure it pins only the response bytes
+                    del corrected, buf
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.send_header("Content-Length", str(len(blob)))
@@ -194,14 +230,52 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
 
 
 class _DrainingHTTPServer(ThreadingHTTPServer):
-    # non-daemon handler threads + block_on_close: server_close() JOINS
-    # in-flight requests, so a graceful shutdown (SIGTERM -> stop()) finishes
-    # the responses already streaming instead of truncating them when the
-    # process exits (ThreadingHTTPServer defaults to daemon threads, which
-    # die mid-write). The per-connection timeout (Handler.timeout) bounds
-    # how long a wedged client can hold the drain.
-    daemon_threads = False
-    block_on_close = True
+    """Graceful drain by explicit in-flight REQUEST accounting.
+
+    Joining every connection thread (non-daemon threads + ``block_on_close``)
+    also joins idle keep-alive clients parked in ``readline()`` — a graceful
+    stop then blocks up to the 300 s connection timeout per idle socket.
+    Handler threads therefore stay daemons, and ``stop()`` instead waits for
+    the count of requests actually being PROCESSED (parse→compute→response
+    write, bracketed by :meth:`request_began`/:meth:`request_finished`) to
+    reach zero — in-flight responses finish, idle connections don't hold the
+    drain, and requests arriving during the drain get 503 + close.
+    """
+
+    daemon_threads = True
+    block_on_close = False
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._inflight = 0
+        self._draining = False
+        self._inflight_cv = threading.Condition()
+
+    def request_began(self) -> bool:
+        """Count a request in; False once draining (handler answers 503)."""
+        with self._inflight_cv:
+            if self._draining:
+                return False
+            self._inflight += 1
+            return True
+
+    def request_finished(self):
+        with self._inflight_cv:
+            self._inflight -= 1
+            self._inflight_cv.notify_all()
+
+    def drain(self, timeout: float) -> int:
+        """Refuse new requests, wait for in-flight ones; returns the number
+        still running at the deadline (0 = clean drain)."""
+        deadline = time.monotonic() + timeout
+        with self._inflight_cv:
+            self._draining = True
+            while self._inflight > 0:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return self._inflight
+                self._inflight_cv.wait(left)
+        return 0
 
 
 class CorrectionServer:
@@ -210,6 +284,8 @@ class CorrectionServer:
     def __init__(self, corrector, host: str = "127.0.0.1", port: int = 0,
                  warmup_shape: Optional[Tuple[int, ...]] = None,
                  max_inflight: int = 4):
+        if max_inflight < 1:  # fail before the (expensive) warmup compile
+            raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
         self.service = CorrectionService(corrector, warmup_shape)
         self.httpd = _DrainingHTTPServer(
             (host, port), _make_handler(self.service, max_inflight=max_inflight)
@@ -231,43 +307,58 @@ class CorrectionServer:
             logger.info("Serving on http://%s:%d", *self.address)
             self.httpd.serve_forever()
 
-    def serve_until_signaled(self, signums=None):
+    def serve_until_signaled(self, signums=None, drain_timeout: float = 600.0):
         """Foreground serving with graceful shutdown: blocks until SIGTERM/
         SIGINT, then drains in-flight requests (:class:`_DrainingHTTPServer`)
         and returns — so an orchestrator's stop never truncates a response
-        mid-write. Calling ``shutdown()`` from a signal handler would
-        deadlock (the handler suspends the very thread running
-        ``serve_forever``), so the loop runs on the background thread and
-        the main thread waits on an Event the handler sets. Main-thread
-        only (CPython ``signal.signal`` restriction)."""
+        mid-write. A SECOND signal escalates (KeyboardInterrupt) for drains
+        wedged on a client, matching train.py / correct_scans.py. Calling
+        ``shutdown()`` from a signal handler would deadlock (the handler
+        suspends the very thread running ``serve_forever``), so the loop runs
+        on the background thread and the main thread waits on an Event the
+        handler sets. Main-thread only (CPython ``signal.signal``
+        restriction)."""
         import signal as _signal
+
+        from contrast_gan_3d_tpu.utils.signals import install_graceful_stop
 
         signums = signums or (_signal.SIGTERM, _signal.SIGINT)
         stop_evt = threading.Event()
-        previous = {}
 
-        def _handler(signum, frame):
+        def _on_stop(name):
             logger.warning(
-                "%s received — draining in-flight requests and shutting down",
-                _signal.Signals(signum).name,
+                "%s received — draining in-flight requests and shutting "
+                "down (send again to abort the drain)", name,
             )
             stop_evt.set()
 
-        for signum in signums:
-            previous[signum] = _signal.signal(signum, _handler)
+        previous = install_graceful_stop(_on_stop, stop_evt.is_set, signums)
+        if previous is None:
+            raise RuntimeError(
+                "serve_until_signaled needs the main thread (signal.signal); "
+                "use start(background=True) + stop() when embedding"
+            )
         try:
             self.start(background=True)
             # timed wait loop: an untimed Event.wait can park the main
             # thread in a C lock where pending signal handlers don't run
             while not stop_evt.wait(timeout=1.0):
                 pass
-            self.stop()
+            self.stop(drain_timeout=drain_timeout)
         finally:
             for signum, handler in previous.items():
                 _signal.signal(signum, handler)
 
-    def stop(self):
-        self.httpd.shutdown()
+    def stop(self, drain_timeout: float = 600.0):
+        self.httpd.shutdown()  # stop accepting new connections
+        # finish requests already processing (responses mid-write included);
+        # keep-alive clients submitting NEW requests now get 503 + close
+        left = self.httpd.drain(drain_timeout)
+        if left:
+            logger.warning(
+                "drain timed out after %.0f s with %d request(s) still in "
+                "flight — their connections will be cut", drain_timeout, left,
+            )
         # shutdown() only stops serve_forever; the LISTENING socket stays
         # bound (confirmed EADDRINUSE on rebind) until server_close()
         self.httpd.server_close()

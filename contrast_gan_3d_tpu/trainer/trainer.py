@@ -256,8 +256,11 @@ class Trainer:
         resumes exactly where it stopped (TPU pods are routinely preempted;
         the reference has no analogue: a killed run loses everything since
         its last periodic checkpoint, reference ``trainer/Trainer.py:230``).
-        No-op if checkpointing is disabled (``checkpoint_every=None``) —
-        matching the end-of-fit semantics."""
+        With checkpointing disabled (``checkpoint_every=None`` or no
+        ``checkpoint_dir``) the loop still exits at the boundary — Ctrl-C
+        must stop an ad-hoc run — but nothing is persisted; the break path
+        warns loudly so an orchestrator log shows the progress was
+        discarded."""
         if not self._stop_event.is_set():
             logger.warning(
                 "Graceful stop requested%s — finishing current iteration, "
@@ -319,10 +322,17 @@ class Trainer:
         t_last, it_last = time.perf_counter(), start
         for iteration in range(start, self.cfg.train_iterations):
             if self._stop_due(iteration):
-                logger.warning(
-                    "Stopping at iteration %d (graceful stop); the final "
-                    "checkpoint + data sidecars follow", iteration,
-                )
+                if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
+                    logger.warning(
+                        "Stopping at iteration %d (graceful stop); the final "
+                        "checkpoint + data sidecars follow", iteration,
+                    )
+                else:
+                    logger.warning(
+                        "Stopping at iteration %d (graceful stop) with "
+                        "checkpointing DISABLED — progress since iteration %d "
+                        "is discarded", iteration, start,
+                    )
                 break
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
             images_due = (
@@ -540,20 +550,13 @@ def install_preemption_handler(trainer: Trainer, signums=(signal.SIGTERM, signal
     handlers are per-process — schedulers signal every worker on preemption;
     a host stopping alone would leave peers blocked in collectives.
 
-    Must be called from the main thread (CPython restricts ``signal.signal``).
     Returns ``{signum: previous_handler}`` so callers can restore (tests,
-    nested runs)."""
-    previous = {}
+    nested runs), or ``None`` when called off the main thread (where
+    ``signal.signal`` is unavailable and nothing is installed)."""
+    from contrast_gan_3d_tpu.utils.signals import install_graceful_stop
 
-    def _handler(signum, frame):
-        if trainer.stop_requested:  # second signal: escalate
-            signal.signal(signum, previous[signum])
-            raise KeyboardInterrupt(
-                f"{signal.Signals(signum).name} received twice — aborting "
-                "without waiting for the graceful stop"
-            )
-        trainer.request_stop(reason=signal.Signals(signum).name)
-
-    for signum in signums:
-        previous[signum] = signal.signal(signum, _handler)
-    return previous
+    return install_graceful_stop(
+        lambda name: trainer.request_stop(reason=name),
+        lambda: trainer.stop_requested,
+        signums,
+    )

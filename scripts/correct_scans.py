@@ -69,22 +69,13 @@ def main():
         corrector.shard_over(data_mesh())
     # graceful interrupt for long cohort jobs: first SIGTERM/Ctrl-C finishes
     # the in-flight volume(s) and exits 0 with completed outputs intact, a
-    # second one aborts (signal.signal is main-thread-only; embedded runs skip)
-    import signal
+    # second one aborts (no-op when embedded off the main thread)
     import threading
 
+    from contrast_gan_3d_tpu.utils.signals import install_graceful_stop
+
     stop = threading.Event()
-
-    def _sig(signum, frame):
-        if stop.is_set():
-            raise KeyboardInterrupt(
-                f"{signal.Signals(signum).name} received twice — aborting"
-            )
-        stop.set()
-
-    if threading.current_thread() is threading.main_thread():
-        for signum in (signal.SIGTERM, signal.SIGINT):
-            signal.signal(signum, _sig)
+    install_graceful_stop(lambda name: stop.set(), stop.is_set)
 
     done = correct_patients(
         corrector, args.out_dir, args.scans, suffix=f".{args.output_format}",

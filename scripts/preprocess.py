@@ -84,6 +84,11 @@ def main():
     if out_spacing is not None and len(out_spacing) == 1:
         out_spacing = out_spacing[0]
     h5_chunks = tuple(args.h5_chunks) if args.h5_chunks else None
+    if h5_chunks and args.format != "h5" and args.out_dir.suffix != ".h5":
+        # npy patients have no chunking — a silent no-op here would ship a
+        # corpus the user believes is slice-read-optimized when it isn't
+        p.error("--h5-chunks needs --format h5 or a .h5 corpus out_dir "
+                "(.npy patients are not chunked)")
 
     scans = sorted(args.root.glob(args.glob))
     logger.info("Found %d scans under %s", len(scans), args.root)

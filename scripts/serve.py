@@ -47,12 +47,16 @@ def main():
     p.add_argument("--warmup-shape", type=int, nargs=3, default=None,
                    help="pre-compile for this volume shape (e.g. 512 512 400)")
     p.add_argument("--max-inflight", type=int, default=4,
-                   help="max concurrent requests holding decoded volumes in "
-                        "host memory; excess requests queue before reading "
-                        "their body (default 4)")
+                   help="max concurrent requests holding volume bytes in "
+                        "host memory (slot held through the response write); "
+                        "excess requests queue before reading their body "
+                        "(default 4, min 1 — there is no 'unlimited')")
     args = p.parse_args()
     if len(args.patch) not in (2, 3):
         p.error("--patch takes W H D (3D) or W H (2D)")
+    if args.max_inflight < 1:
+        p.error("--max-inflight must be >= 1 (the cap IS the host-memory "
+                "bound; 0 would block every request forever)")
 
     import jax.numpy as jnp
 

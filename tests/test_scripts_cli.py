@@ -299,3 +299,15 @@ def test_serve_cli(tmp_path, rng, monkeypatch):
         np.testing.assert_allclose(out, want, atol=1e-4)
     finally:
         srv.stop()
+
+
+def test_preprocess_cli_h5_chunks_requires_h5_output(tmp_path, rng, monkeypatch):
+    """--h5-chunks with the default npy format is a usage error, not a
+    silent no-op: the user would believe the corpus is slice-read-optimized
+    while .npy patients carry no chunking at all."""
+    _raw_patient(tmp_path, rng)
+    with pytest.raises(SystemExit):
+        _run(
+            monkeypatch, "preprocess", tmp_path, tmp_path / "out",
+            "--h5-chunks", "16", "16", "1", "2",
+        )

@@ -208,9 +208,9 @@ def test_artifact_input_saturates_not_wraps(tmp_path, rng):
 
 
 def test_stop_drains_inflight_requests(rng):
-    """stop() must finish responses already streaming (non-daemon handler
-    threads + block_on_close): a client whose request is mid-compute when
-    the server stops still receives its full corrected volume."""
+    """stop() must finish responses already streaming (explicit in-flight
+    request drain): a client whose request is mid-compute when the server
+    stops still receives its full corrected volume."""
     import time
 
     class SlowCorrector:
@@ -263,3 +263,66 @@ def test_serve_until_signaled_returns_on_sigterm(rng):
     srv2 = CorrectionServer(corrector, host=host, port=port)
     srv2.start()
     srv2.stop()
+
+
+def test_max_inflight_zero_is_rejected():
+    """BoundedSemaphore(0) would block every /correct forever with no
+    diagnostic; the cap IS the host-memory bound, so there is no
+    'unlimited' setting to spell as 0."""
+
+    class Dummy:
+        def __call__(self, v):
+            return np.asarray(v, np.float32)
+
+    with pytest.raises(ValueError, match="max_inflight"):
+        CorrectionServer(Dummy(), max_inflight=0)
+
+
+def test_idle_keepalive_connection_does_not_block_stop():
+    """Graceful drain waits on in-flight REQUESTS, not connection threads:
+    an HTTP/1.1 client that finished its request and parks its keep-alive
+    connection open must not hold stop() for the 300 s connection timeout
+    (joining every non-daemon handler thread did exactly that)."""
+    import socket
+    import time
+
+    class Dummy:
+        def __call__(self, v):
+            return np.asarray(v, np.float32)
+
+    srv = CorrectionServer(Dummy())
+    srv.start()
+    host, port = srv.address
+    sock = socket.create_connection((host, port), timeout=10)
+    try:
+        sock.sendall(b"GET /healthz HTTP/1.1\r\nHost: x\r\n\r\n")
+        # read the full response; the connection then idles in readline()
+        buf = b""
+        while b"}" not in buf:
+            buf += sock.recv(4096)
+        assert b"200" in buf
+        t0 = time.perf_counter()
+        srv.stop()
+        assert time.perf_counter() - t0 < 30, "stop() waited on an idle conn"
+    finally:
+        sock.close()
+
+
+def test_requests_during_drain_get_503():
+    """Once draining, keep-alive clients submitting NEW requests are turned
+    away (503 + close) instead of racing the daemon-thread teardown."""
+
+    class Dummy:
+        def __call__(self, v):
+            return np.asarray(v, np.float32)
+
+    srv = CorrectionServer(Dummy())
+    srv.start()
+    try:
+        assert srv.httpd.drain(0.1) == 0  # nothing in flight
+        assert srv.httpd.request_began() is False  # draining: refused
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(_url(srv) + "/healthz", timeout=10)
+        assert exc_info.value.code == 503
+    finally:
+        srv.stop()

@@ -324,3 +324,41 @@ def test_train_cli_max_hours_budget_stops_gracefully(tmp_path, rng, monkeypatch)
     )
     assert ckpts, "no checkpoint written at the budget stop"
     assert int(ckpts[-1].stem) < 100000  # stopped on budget, not the horizon
+
+
+def test_max_hours_exhausted_skips_fold_side_effect_free(tmp_path, rng, monkeypatch):
+    """An already-exhausted budget skips the fold BEFORE any fold state
+    exists: no loaders/trainer/checkpoint dir, and the process signal
+    handlers are untouched (the early return used to fire after
+    install_preemption_handler + wandb.init, leaking stale handlers and an
+    unfinished wandb run that the next fold's init would merge into)."""
+    import signal as sig
+    import time as time_mod
+
+    import train as train_cli
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    splits_path = tmp_path / "splits.pkl"
+    with open(splits_path, "wb") as fd:
+        pickle.dump({"train": [fold], "test": [fold]}, fd)
+    conf_path = tmp_path / "conf.py"
+    conf_path.write_text(
+        OVERRIDE.replace("train_iterations=2", "train_iterations=100000")
+    )
+
+    class ExhaustedManager(train_cli.TrainManager):
+        def run_fold(self, *a, **k):
+            self._t0 = time_mod.monotonic() - self.max_hours * 3600.0 - 1.0
+            return super().run_fold(*a, **k)
+
+    monkeypatch.setattr(train_cli, "TrainManager", ExhaustedManager)
+    before = {s: sig.getsignal(s) for s in (sig.SIGTERM, sig.SIGINT)}
+    train_cli.main([
+        "--conf", str(conf_path),
+        "--cval-splits", str(splits_path),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+        "--max-hours", "1.0",
+    ])  # returns promptly: the fold is skipped, not trained
+    for s, h in before.items():
+        assert sig.getsignal(s) is h, f"leaked handler for {s}"
+    assert not (tmp_path / "ckpts" / "cli_smoke-fold0").exists()

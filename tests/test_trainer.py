@@ -422,3 +422,30 @@ def test_preemption_handler_sigterm_graceful_then_escalates(tmp_path, rng):
     finally:
         for signum, handler in prev.items():
             sig.signal(signum, handler)
+
+
+def test_graceful_stop_without_checkpointing_breaks_and_warns(tmp_path, rng, caplog):
+    """With checkpointing disabled a requested stop still breaks the loop
+    (Ctrl-C must stop an ad-hoc run) but the break path states loudly that
+    progress is discarded — an orchestrator reading exit 0 plus the normal
+    'checkpoint follows' message would believe a checkpoint existed."""
+    from contrast_gan_3d_tpu.trainer import trainer as trainer_mod
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, prefetch=2,
+        to_device=False,
+    )
+    holder = {}
+    log = _ActAtStepLogger(1, lambda: holder["t"].request_stop("test"))
+    trainer = _build_trainer(tmp_path, log, ckpt_dir=None, iterations=40)
+    holder["t"] = trainer
+    trainer_mod.logger.addHandler(caplog.handler)
+    try:
+        state = trainer.fit(loaders)
+    finally:
+        trainer_mod.logger.removeHandler(caplog.handler)
+    assert 1 <= int(state.step) < 40  # the stop still breaks the loop
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("DISABLED" in m and "discarded" in m for m in msgs), msgs
+    assert not any("checkpoint + data sidecars follow" in m for m in msgs)

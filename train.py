@@ -225,8 +225,38 @@ class TrainManager:
                 f"{len(self.train_folds)} folds available"
             )
 
+    def _budget_exhausted(self, fold_idx: int) -> bool:
+        """True when the --max-hours wall-clock budget has already run out.
+
+        Checked at the very top of run_fold, BEFORE any fold state exists
+        (wandb run, signal handlers, loaders), so skipping is side-effect
+        free. Under multi-process runs the decision is host 0's, broadcast
+        to everyone: per-host clocks are skewed by seconds, and hosts
+        disagreeing near the boundary would leave the ones that entered
+        fit() deadlocked in the first iteration's collectives.
+        """
+        remaining = self.max_hours * 3600.0 - (time.monotonic() - self._t0)
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            remaining = float(
+                multihost_utils.broadcast_one_to_all(_np.float32(remaining))
+            )
+        if remaining <= 0:
+            logger.warning(
+                "--max-hours budget exhausted before fold %d — skipping",
+                fold_idx,
+            )
+            return True
+        return False
+
     def run_fold(self, fold_idx: int, train_fold: FoldType, val_fold: FoldType):
         cfg = self.config
+        if self.max_hours is not None and self._budget_exhausted(fold_idx):
+            return
         # an explicit run id names one run; with several folds the fold index
         # must still distinguish them, or every fold resumes/overwrites the
         # same checkpoint dir and wandb run
@@ -397,24 +427,19 @@ class TrainManager:
         )
 
         # preemption tolerance: SIGTERM/SIGINT -> finish the iteration,
-        # checkpoint, exit 0 (signal.signal is main-thread-only; in-process
-        # embeddings — tests, notebooks driving main() off-thread — skip it)
-        prev_handlers = (
-            install_preemption_handler(trainer)
-            if threading.current_thread() is threading.main_thread()
-            else None
-        )
+        # checkpoint, exit 0 (no-op off the main thread — tests/notebooks
+        # driving main() off-thread get None back and nothing to restore)
+        prev_handlers = install_preemption_handler(trainer)
         budget_timer = None
         if self.max_hours is not None:
             # wall-clock budget: measured from process start (self._t0), so
-            # later folds inherit the remaining budget, not a fresh one
+            # later folds inherit the remaining budget, not a fresh one.
+            # Exhaustion BEFORE the fold was decided collectively at the top
+            # of run_fold; if the budget ran out since (negative remaining),
+            # the timer fires immediately. Timer skew across hosts is fine:
+            # request_stop feeds the all-gathered _stop_due decision, so
+            # every host still breaks at the same iteration boundary.
             remaining = self.max_hours * 3600.0 - (time.monotonic() - self._t0)
-            if remaining <= 0:
-                logger.warning(
-                    "--max-hours budget exhausted before fold %d — skipping",
-                    fold_idx,
-                )
-                return
             budget_timer = threading.Timer(
                 remaining,
                 lambda: trainer.request_stop(
