@@ -344,13 +344,30 @@ class CorrectionServer:
             # thread in a C lock where pending signal handlers don't run
             while not stop_evt.wait(timeout=1.0):
                 pass
-            self.stop(drain_timeout=drain_timeout)
+            try:
+                self.stop(drain_timeout=drain_timeout)
+            except KeyboardInterrupt:
+                # second signal escalated out of a wedged drain: the process
+                # may not exit (an embedder can catch this), so still release
+                # the port and reap the serve thread before propagating
+                self.httpd.server_close()
+                if self._thread is not None:
+                    self._thread.join(timeout=10)
+                    self._thread = None
+                raise
         finally:
             for signum, handler in previous.items():
                 _signal.signal(signum, handler)
 
     def stop(self, drain_timeout: float = 600.0):
-        self.httpd.shutdown()  # stop accepting new connections
+        self.httpd.shutdown()  # stop the serve_forever accept loop
+        # Close the LISTENING socket before the drain, not after: shutdown()
+        # only stops the accept loop, so a brand-new TCP connection made
+        # mid-drain would otherwise sit in the accept backlog unserviced for
+        # up to drain_timeout before being reset. Closing the listener makes
+        # new connections fail fast (refused/reset); in-flight requests keep
+        # their own per-connection sockets and are unaffected.
+        self.httpd.server_close()
         # finish requests already processing (responses mid-write included);
         # keep-alive clients submitting NEW requests now get 503 + close
         left = self.httpd.drain(drain_timeout)
@@ -359,9 +376,6 @@ class CorrectionServer:
                 "drain timed out after %.0f s with %d request(s) still in "
                 "flight — their connections will be cut", drain_timeout, left,
             )
-        # shutdown() only stops serve_forever; the LISTENING socket stays
-        # bound (confirmed EADDRINUSE on rebind) until server_close()
-        self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None

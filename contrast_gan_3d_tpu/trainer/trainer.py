@@ -262,10 +262,18 @@ class Trainer:
         warns loudly so an orchestrator log shows the progress was
         discarded."""
         if not self._stop_event.is_set():
+            # the first line an operator sees must match what will actually
+            # happen: with checkpointing disabled nothing is persisted
+            will_checkpoint = (
+                self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None
+            )
             logger.warning(
                 "Graceful stop requested%s — finishing current iteration, "
-                "then checkpointing and exiting",
+                "then %s",
                 f" ({reason})" if reason else "",
+                "checkpointing and exiting" if will_checkpoint
+                else "exiting WITHOUT a checkpoint (checkpointing disabled; "
+                     "progress since the last save is discarded)",
             )
             self._stop_event.set()
 

@@ -326,3 +326,49 @@ def test_requests_during_drain_get_503():
         assert exc_info.value.code == 503
     finally:
         srv.stop()
+
+
+def test_new_connections_refused_fast_mid_drain():
+    """A BRAND-NEW TCP connection made while stop() is draining must fail
+    fast: stop() closes the listening socket before the drain, so the
+    connection is refused immediately instead of sitting unserviced in the
+    accept backlog until the drain finishes (previously up to
+    drain_timeout=600 s)."""
+    import socket
+    import time
+
+    release = threading.Event()
+
+    class Gated:
+        def __call__(self, v):
+            release.wait(timeout=30)
+            return np.asarray(v, np.float32)
+
+    srv = CorrectionServer(Gated())
+    srv.start()
+    host, port = srv.address
+    vol = np.zeros((4, 4, 4), np.int16)
+    client = threading.Thread(target=lambda: correct_remote(_url(srv), vol))
+    client.start()
+    # wait until the request is actually in flight (inside Gated.__call__)
+    deadline = time.monotonic() + 10
+    while srv.httpd._inflight == 0 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert srv.httpd._inflight == 1
+    stopper = threading.Thread(target=srv.stop)
+    stopper.start()
+    # wait for stop() to enter the drain (listener closed, _draining set)
+    deadline = time.monotonic() + 10
+    while not srv.httpd._draining and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert srv.httpd._draining
+    t0 = time.monotonic()
+    with pytest.raises(OSError):  # ECONNREFUSED / reset — NOT a hang
+        socket.create_connection((host, port), timeout=5.0).close()
+    assert time.monotonic() - t0 < 2.0  # refused fast, drain still running
+    assert stopper.is_alive()  # the in-flight request is still draining
+    release.set()  # let the gated request finish; drain completes
+    stopper.join(timeout=30)
+    assert not stopper.is_alive()
+    client.join(timeout=30)
+    assert not client.is_alive()

@@ -449,3 +449,8 @@ def test_graceful_stop_without_checkpointing_breaks_and_warns(tmp_path, rng, cap
     msgs = [r.getMessage() for r in caplog.records]
     assert any("DISABLED" in m and "discarded" in m for m in msgs), msgs
     assert not any("checkpoint + data sidecars follow" in m for m in msgs)
+    # the FIRST line an operator sees (request_stop itself) must not claim
+    # a checkpoint will be written when checkpointing is disabled
+    first = next(m for m in msgs if "Graceful stop requested" in m)
+    assert "WITHOUT a checkpoint" in first, first
+    assert "then checkpointing" not in first, first
