@@ -3,13 +3,19 @@
 North-star (BASELINE.md): correct a 512x512x400 CCTA volume on one TPU chip
 in < 2 s. The default run prints, in order:
 
-1. ``train_patches_per_sec_128c_wc`` — full WGAN train step throughput at the
-   reference 6 OPT + 3 LOW + 3 HIGH 128^3 batch (BENCH_GP=1 for WGAN-GP).
-2. ``train_patches_per_sec_128c_wc_batch96`` — the saturated large-batch
+0. ``device_dispatch_probe`` — diagnostic, not a benchmark: tunnel health
+   at start (see startup robustness below).
+1. ``train_patches_per_sec_128c_wc`` — full WGAN train step throughput at
+   the reference 6 OPT + 3 LOW + 3 HIGH 128^3 batch (weight-clip mode).
+2. ``train_patches_per_sec_128c_gp`` — the same step in WGAN-GP mode
+   (BASELINE.md's "WGAN-GP full step" row).
+3. ``train_patches_per_sec_128c_wc_batch96`` — the saturated large-batch
    point (48+48; the step's ~103 patches/s roofline, PERF.md batch sweep).
-3. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
+4. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
+   reference 256+128+128 slice batch (BASELINE.md's 2D row).
+5. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
    sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
-4. ``full_volume_correction_latency_512x512x400`` (headline) — the default
+6. ``full_volume_correction_latency_512x512x400`` (headline) — the default
    25% overlap (100 forwards). This is the production setting: 25%-overlap
    Gaussian blending is strictly richer aggregation than the reference's
    non-overlapping uniform tiles, and the end-to-end quality study
@@ -21,10 +27,22 @@ Since the block-space ("packed") corrector landed, BOTH overlap settings
 beat the < 2 s target on the v5e bench chip (0.616 s @ 25%, 1.540 s @ 50%
 at the default batch 24 with remainder batches).
 
+Metric lines are emitted the moment each is measured (flushed), so a run
+killed partway still records everything it completed.
+
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
 it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
-BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_SPLIT, BENCH_REMAT,
-BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB.
+BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_2D, BENCH_SPLIT, BENCH_REMAT,
+BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB, BENCH_WATCHDOG, BENCH_PROBE_TIMEOUT.
+
+Startup robustness (the round-1/round-2 bench records were both lost to
+tunnel trouble, not code): before any compile, a tiny matmul dispatch is
+timed under its own watchdog — a DEAD tunnel (no answer at all) exits 3
+fast with a diagnostic, while a DEGRADED one (answers, slowly — observed:
+0.45 s healthy vs 123 s degraded for the same probe) scales the first-metric
+watchdog deadline by the measured slowdown instead of killing a run that is
+legitimately progressing. The probe time itself is printed as a JSON line so
+even a run that dies later recorded evidence of tunnel health.
 """
 
 import json
@@ -41,29 +59,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 
 def _warm(fn):
-    """Compile + warm up with one retry (the axon remote-compile tunnel
-    occasionally 500s transiently)."""
-    for attempt in (0, 1):
+    """Compile + warm up with retries and backoff (the axon remote-compile
+    tunnel occasionally 500s transiently, and a degraded tunnel can drop the
+    first long compile)."""
+    backoffs = (20, 60)
+    for attempt in range(len(backoffs) + 1):
         try:
             fn()
             return
-        except Exception:
-            if attempt:
+        except Exception as e:
+            if attempt == len(backoffs):
                 raise
-            time.sleep(20)
+            print(
+                f"bench warmup attempt {attempt + 1} failed ({type(e).__name__}"
+                f": {e}); retrying in {backoffs[attempt]}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(backoffs[attempt])
 
 
 def bench_train(n_opt: int | None = None, n_sub: int | None = None,
-                tag_suffix: str = ""):
+                tag_suffix: str = "", use_gp: bool | None = None,
+                is_2d: bool | None = None):
     """3D 128^3 patches/sec/chip for the full WGAN train step (BASELINE.md
     secondary metric; reference batch 6 OPT + 3 LOW + 3 HIGH, host-side
     augmentation overlapped — the device step is augmentation-free).
     ``n_opt``/``n_sub`` override the batch mix (the default run also reports
-    the saturated large-batch point — PERF.md batch-scaling sweep)."""
+    the saturated large-batch point — PERF.md batch-scaling sweep).
+    ``use_gp``/``is_2d`` default to the BENCH_GP/BENCH_2D env flags; the
+    default run passes them explicitly to emit the WGAN-GP and conf_2D-family
+    lines BASELINE.md names."""
     from contrast_gan_3d_tpu.data.augment import AugmentConfig
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
@@ -72,10 +103,12 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
         StepConfig, build_train_steps, init_state,
     )
 
-    use_gp = os.environ.get("BENCH_GP") == "1"
+    if use_gp is None:
+        use_gp = os.environ.get("BENCH_GP") == "1"
     reps = int(os.environ.get("BENCH_REPS", "3"))
     remat = os.environ.get("BENCH_REMAT") == "1"
-    is_2d = os.environ.get("BENCH_2D") == "1"
+    if is_2d is None:
+        is_2d = os.environ.get("BENCH_2D") == "1"
     if is_2d:
         # conf_2D family (reference conf_2D.py): 128^2 patches, batch
         # 256 OPT + 128 LOW + 128 HIGH, 6 resnet blocks
@@ -207,17 +240,75 @@ def bench_inference(overlap: float):
     _FIRST_METRIC.set()
 
 
-def _start_watchdog():
-    """Fail fast when the device never responds. The axon tunnel can wedge
-    (jax.devices()/first dispatch hangs in iowait forever); without a bound
-    the bench records NOTHING and gives no reason. If the FIRST metric line
-    hasn't printed within BENCH_WATCHDOG seconds (default 900 — cold
-    full-volume compiles take minutes, a healthy startup always beats
-    this), print a diagnostic and exit 3. Once any metric is out the run is
-    progressing and the watchdog stands down. BENCH_WATCHDOG=0 disables."""
+def _dispatch_probe() -> float:
+    """Time one trivial device dispatch before arming the main watchdog.
+
+    Distinguishes the two tunnel failure modes seen in rounds 1-2:
+    - DEAD (jax.devices()/dispatch never answers, 100% iowait): the probe's
+      own timer fires -> diagnostic + exit 3 within BENCH_PROBE_TIMEOUT
+      (default 300 s) instead of hanging forever recording nothing.
+    - DEGRADED (answers, but ~100x slow — a 0.45 s probe took 123 s on the
+      round-2 capture attempt): returns the measured time so the caller can
+      scale the first-metric deadline instead of exiting on a run that is
+      legitimately (slowly) progressing.
+    """
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    done = threading.Event()
+
+    def _fire():
+        if not done.is_set():
+            print(
+                f"bench probe: a 256x256 matmul got no answer within "
+                f"{probe_timeout:.0f}s — device/tunnel DEAD (not a perf "
+                "regression; probe with a 60s jax.devices() and retry)",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    timer = threading.Timer(probe_timeout, _fire)
+    timer.daemon = True
+    timer.start()
+    t0 = time.perf_counter()
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    float(jnp.sum(x @ x))  # forces compile + transfer through the tunnel
+    dt = time.perf_counter() - t0
+    done.set()
+    timer.cancel()
+    # recorded as a JSON line: a run that dies later still carries evidence
+    # of tunnel health at start (NOT a benchmark metric — diagnostic only)
+    print(json.dumps({
+        "metric": "device_dispatch_probe", "value": round(dt, 3), "unit": "s",
+        "vs_baseline": None,
+    }), flush=True)
+    return dt
+
+
+# above this, the tunnel is considered degraded and the watchdog deadline
+# scales by probe/_HEALTHY_PROBE_S (healthy observed: <1 s incl. compile)
+_HEALTHY_PROBE_S = 10.0
+
+
+def _start_watchdog(probe_s: float = 0.0):
+    """Fail fast when the device stops responding after a healthy probe. If
+    the FIRST metric line hasn't printed within BENCH_WATCHDOG seconds
+    (default 900 — cold full-volume compiles take minutes, a healthy startup
+    always beats this), print a diagnostic and exit 3. A degraded-tunnel
+    probe (``probe_s`` over ``_HEALTHY_PROBE_S``) scales the deadline
+    proportionally — a 123 s probe means compiles run ~100x slow, and 900 s
+    would kill a run that is still progressing (exactly how the round-2
+    record was lost). Once any metric is out the run is progressing and the
+    watchdog stands down. BENCH_WATCHDOG=0 disables."""
     timeout = float(os.environ.get("BENCH_WATCHDOG", "900"))
     if timeout <= 0:
         return
+    scale = max(1.0, probe_s / _HEALTHY_PROBE_S)
+    if scale > 1.0:
+        print(
+            f"bench: tunnel degraded (probe {probe_s:.1f}s) — watchdog "
+            f"deadline scaled x{scale:.1f} to {timeout * scale:.0f}s",
+            file=sys.stderr, flush=True,
+        )
+    timeout *= scale
 
     def _fire():
         if not _FIRST_METRIC.is_set():
@@ -236,17 +327,22 @@ def _start_watchdog():
 def main():
     mode = os.environ.get("BENCH_MODE", "all")
     default_overlap = float(os.environ.get("BENCH_OVERLAP", "0.25"))
-    _start_watchdog()
+    _start_watchdog(_dispatch_probe())
     if mode == "train":
         return bench_train()
     if mode == "infer":
         return bench_inference(default_overlap)
     bench_train()
     if os.environ.get("BENCH_2D") != "1":
+        # the BASELINE.md-named "WGAN-GP full step" metric — the default run
+        # must capture it, not leave it behind a manual BENCH_GP=1
+        bench_train(use_gp=True)
         # the large-batch point the step saturates at (PERF.md batch-scaling
         # sweep: ~103 patches/s by 48+48) — what data-parallel pods feeding
         # >=24 local patches per chip actually get
         bench_train(n_opt=48, n_sub=48, tag_suffix="_batch96")
+        # the conf_2D family line (BASELINE.md's 2D row), reference batch mix
+        bench_train(use_gp=False, is_2d=True)
     if default_overlap != 0.5:
         bench_inference(0.5)
     bench_inference(default_overlap)

@@ -52,7 +52,7 @@ def _build_and_load_locked() -> Optional[ctypes.CDLL]:
         # the cache key must include the host ISA: the build uses
         # -march=native, so a .so built on an AVX-512 node and loaded from a
         # shared $HOME on a non-AVX-512 node would SIGILL the whole process
-        tag = hashlib.sha1(src + _cpu_isa_tag().encode()).hexdigest()[:12]
+        tag = hashlib.sha1(src + cpu_isa_tag().encode()).hexdigest()[:12]
         # per-user cache (0700): a world-writable shared dir such as
         # /tmp/cgan3d_native would let another local user pre-plant a
         # hostops_<tag>.so that CDLL then executes in our process
@@ -124,7 +124,7 @@ def _build_and_load_locked() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
-def _cpu_isa_tag() -> str:
+def cpu_isa_tag() -> str:
     """Host CPU feature fingerprint (the 'flags' line on linux; platform
     string elsewhere) — part of the build-cache key because of -march=native."""
     try:

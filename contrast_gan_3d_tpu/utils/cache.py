@@ -1,0 +1,46 @@
+"""Per-machine/per-platform scoping for the XLA compilation cache.
+
+One cache directory shared across machines poisons runs: XLA:CPU entries
+are AOT-compiled against the *compiling* host's CPU feature set, and
+loading them on a host with different features logs cpu_aot_loader errors
+("Compile machine features ... doesn't match ... could lead to execution
+errors such as SIGILL") on every hit — and can actually SIGILL. The native
+hostops build cache learned the same lesson (its key includes the host ISA
+because of ``-march=native``, ``native/__init__.py``); the XLA cache is
+scoped the same way here: one subdirectory per (platform config, CPU
+feature fingerprint).
+
+The platform component is read from config/env WITHOUT initializing jax
+backends — ``jax.default_backend()`` would trigger backend init, which on a
+wedged device tunnel hangs before any caller-side watchdog is armed. It
+distinguishes CPU-forced runs (``jax_platforms=cpu`` dryruns/tests) from
+default (chip) runs on the same host; entries for different platforms on
+the same machine are additionally distinguished by XLA's own cache keys.
+"""
+
+import os
+
+import jax
+
+from contrast_gan_3d_tpu.native import cpu_isa_tag
+
+DEFAULT_BASE = "/tmp/jax_cache"
+
+
+def compilation_cache_dir(base: str = DEFAULT_BASE) -> str:
+    plat = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS")
+        or "default"
+    )
+    plat = str(plat).replace(",", "+")
+    return os.path.join(base, f"{plat}-{cpu_isa_tag()}")
+
+
+def setup_compilation_cache(base: str = DEFAULT_BASE) -> str:
+    """Point jax's persistent compilation cache at the machine/platform
+    scoped directory and return it."""
+    path = compilation_cache_dir(base)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path

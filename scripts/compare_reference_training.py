@@ -38,7 +38,8 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 REF = Path("/root/reference/contrast_gan_3D")
 
@@ -84,6 +85,7 @@ def main():
     lr, betas, clip = (1e-4, (0.0, 0.9), None) if args.gp else (LR, BETAS, CLIP)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        setup_compilation_cache()  # re-scope: platform changed
 
     import types
     from functools import partial

@@ -14,7 +14,8 @@ import argparse
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
 from contrast_gan_3d_tpu.eval.utils import correct_patients

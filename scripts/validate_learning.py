@@ -24,7 +24,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 
 def synth_patient(rng, shape, vessel_hu):

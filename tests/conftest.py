@@ -22,7 +22,8 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: repeated test runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -20,7 +20,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 
 def main():

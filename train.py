@@ -20,7 +20,8 @@ from typing import List, Optional
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
 from contrast_gan_3d_tpu import config as paths
 from contrast_gan_3d_tpu.alias import FoldType, ScanType
@@ -61,6 +62,7 @@ class JaxProfiler:
         wait: int = 0,
         warmup: int = 0,
         repeat: int = 1,
+        memory: bool = True,
     ):
         assert active > 0
         self.logdir = str(logdir)
@@ -69,6 +71,7 @@ class JaxProfiler:
         self.wait = wait
         self.warmup = warmup
         self.repeat = repeat
+        self.memory = memory
         self._count = 0
         self._cycles_done = 0
         self._active = False
@@ -119,6 +122,20 @@ class JaxProfiler:
         jax.profiler.stop_trace()
         self._active = False
         logger.info("Profiler trace written to %s", self.logdir)
+        if self.memory:
+            # memory view of each trace cycle (the reference profiler's
+            # profile_memory/record_shapes analogue, reference train.py:44-47):
+            # live-buffer shape table always, pprof heap profile when the
+            # backend survives it (utils/memory.py gates the plugin abort)
+            from contrast_gan_3d_tpu.utils.memory import write_memory_snapshot
+
+            try:
+                paths_written = write_memory_snapshot(
+                    self.logdir, f"step{self._count}"
+                )
+                logger.info("Memory snapshot: %s", ", ".join(paths_written))
+            except Exception as e:  # never let reporting kill a train run
+                logger.warning("Memory snapshot failed: %s", e)
 
     def stop(self):
         if self._active:
@@ -131,7 +148,9 @@ def effective_logger(logger_kind: str, process_index: int, process_count: int) -
     file sinks would be N copies of the same curves (and per-host FileLogger
     dirs under a shared checkpoint root would collide). Console/noop loggers
     are per-host by design and pass through."""
-    if process_count > 1 and process_index != 0 and logger_kind in ("wandb", "file"):
+    if process_count > 1 and process_index != 0 and logger_kind in (
+        "wandb", "tensorboard", "file",
+    ):
         return "none"
     return logger_kind
 
@@ -487,7 +506,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-keep", type=int, default=None,
                    help="keep only the newest N checkpoints (+ data "
                         "sidecars); default: keep all, like the reference")
-    p.add_argument("--logger", choices=["wandb", "file", "console", "none"], default=None)
+    p.add_argument(
+        "--logger",
+        choices=["wandb", "tensorboard", "file", "console", "none"],
+        default=None,
+    )
     p.add_argument("--dp-devices", type=int, default=None,
                    help="data-parallel over N devices (0 = all)")
     p.add_argument("--sp-devices", type=int, default=None,
