@@ -184,6 +184,21 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         )
         file_cls = FileLogger2D if cfg.is_2d else FileLogger
         logger_interface = MultiThreadedLogger(file_cls(scaler, out_dir, rng=rng))
+    elif cfg.logger == "tensorboard":
+        # live local backend (tensorboardX): curves + image summaries in the
+        # same logdir family as the XProf traces
+        from contrast_gan_3d_tpu import config as paths
+        from contrast_gan_3d_tpu.trainer.logger import (
+            TensorBoardLogger, TensorBoardLogger2D,
+        )
+
+        out_dir = (
+            Path(checkpoint_dir) / "tb"
+            if checkpoint_dir
+            else paths.LOGS_DIR / cfg.name / "tb"
+        )
+        tb_cls = TensorBoardLogger2D if cfg.is_2d else TensorBoardLogger
+        logger_interface = MultiThreadedLogger(tb_cls(scaler, out_dir, rng=rng))
     elif cfg.logger == "console" or (cfg.logger == "wandb" and not HAS_WANDB):
         logger_interface = ConsoleLogger()
     elif cfg.logger == "none":
@@ -192,7 +207,8 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         # a typo ("Wandb", "files") must not silently disable all logging
         # for a 10k-iteration run
         raise ValueError(
-            f"unknown logger {cfg.logger!r}: expected wandb | file | console | none"
+            f"unknown logger {cfg.logger!r}: expected wandb | tensorboard | "
+            "file | console | none"
         )
 
     return BuiltExperiment(

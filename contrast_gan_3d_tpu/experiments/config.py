@@ -123,8 +123,9 @@ class ExperimentConfig:
     # data-dependent gathers); "device" = jitted warp inside the train step
     augment_backend: str = "host"
 
-    # logging backend: wandb | file (JSONL scalars + PNG grids on disk —
-    # offline/air-gapped runs) | console | none
+    # logging backend: wandb | tensorboard (live local backend — curves +
+    # image summaries via tensorboardX) | file (JSONL scalars + PNG grids on
+    # disk — offline/air-gapped runs) | console | none
     logger: str = "console"
 
     # parallelism: shard batches over a data mesh of this many devices

@@ -312,6 +312,75 @@ class FileLogger2D(FileLogger):
         )
 
 
+class TensorBoardLogger(LoggerInterface):
+    """TensorBoard experiment logging via ``tensorboardX.SummaryWriter``:
+    scalars as ``<stage>/<key>`` curves, the axial-slice figure grids as
+    image summaries. The LIVE-backend counterpart of :class:`WandbLogger`
+    (reference capability: trainer/logger/WandbLogger.py:38-132) for
+    environments without the wandb service — TPU pods universally have
+    TensorBoard (the XProf traces from --profiler-dir land in the same
+    logdir, so curves and profiles share one UI)."""
+
+    def __init__(
+        self,
+        scaler: Scaler,
+        out_dir,
+        max_slices: int = 64,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        from tensorboardX import SummaryWriter  # baked into the image
+
+        self.scaler = scaler
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        # a resumed run APPENDS a new event file in the same dir — readers
+        # merge them on the shared step axis, keeping the x-axis monotonic
+        self.writer = SummaryWriter(logdir=str(self.out_dir))
+        self.max_slices = max_slices
+        self.rng = rng or np.random.default_rng()
+        self._lock = threading.Lock()  # image threads may interleave
+
+    def log_scalars(self, scalars, step, stage="train"):
+        with self._lock:
+            for k, v in scalars.items():
+                self.writer.add_scalar(f"{stage}/{k}", float(v), int(step))
+            self.writer.flush()
+
+    def _figs(self, sample, reconstruction, attenuation, masks, names, step, stage):
+        return _render_sample_figs(
+            self.scaler, sample, reconstruction, attenuation, masks, names,
+            step, stage, self.max_slices, self.rng,
+        )
+
+    def log_images(
+        self, sample, reconstruction, attenuation, masks, names, step, stage="train"
+    ):
+        from contrast_gan_3d_tpu.utils import visualization as viz
+
+        for tag, fig in self._figs(
+            sample, reconstruction, attenuation, masks, names, step, stage
+        ):
+            with self._lock:
+                self.writer.add_figure(f"{stage}/{tag}", fig, int(step), close=False)
+            viz.close(fig)
+        with self._lock:
+            self.writer.flush()
+
+    def end_hook(self):
+        with self._lock:
+            self.writer.close()
+
+
+class TensorBoardLogger2D(TensorBoardLogger):
+    """2D variant: the batch renders as one slice grid (cf. WandbLogger2D)."""
+
+    def _figs(self, sample, reconstruction, attenuation, masks, names, step, stage):
+        return _render_batch_figs(
+            self.scaler, sample, reconstruction, attenuation, step, stage,
+            self.max_slices, self.rng,
+        )
+
+
 class MultiThreadedLogger(LoggerInterface):
     """Wrap a logger; image logging (host fetch + matplotlib render + upload)
     runs on a named daemon thread per event, joined at ``end_hook``."""

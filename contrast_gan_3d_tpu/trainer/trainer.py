@@ -68,6 +68,53 @@ def _due(iteration: int, every: Optional[int], skip_zero: bool = True) -> bool:
     return iteration % every == 0
 
 
+class TimeBudget:
+    """Per-phase wall-clock attribution for the train loop.
+
+    The reference's stall point is known (``next(loader)`` in its hot loop,
+    reference trainer/Trainer.py:218-241); under async XLA dispatch ours is
+    not observable from one number — wall time accrues at whichever phase
+    blocks first (host data wait, the log-boundary scalar sync that drains
+    the device queue, preview rendering, validation, checkpoint I/O, or raw
+    Python dispatch). Each phase is timed with ``perf_counter`` deltas
+    (~100 ns each — noise at 100+ ms steps); fractions are logged as
+    ``tb/<phase>_s`` scalars at every log boundary and summarized at the
+    end of fit, so a sustained-throughput shortfall names its line item
+    instead of hiding in the average (PERF.md round-3 gap study).
+    """
+
+    PHASES = ("data_wait", "dispatch", "sync_log", "images", "validation",
+              "checkpoint", "other")
+
+    def __init__(self):
+        self.total: Dict[str, float] = {p: 0.0 for p in self.PHASES}
+        self._window: Dict[str, float] = {p: 0.0 for p in self.PHASES}
+        self._t = time.perf_counter()
+
+    def mark(self, phase: str):
+        """Charge the time since the previous mark to ``phase``."""
+        now = time.perf_counter()
+        dt = now - self._t
+        self._t = now
+        self.total[phase] += dt
+        self._window[phase] += dt
+
+    def window_scalars(self) -> Dict[str, float]:
+        """Per-phase seconds since the previous log boundary (resets)."""
+        out = {f"tb/{k}_s": round(v, 4) for k, v in self._window.items() if v}
+        self._window = {p: 0.0 for p in self.PHASES}
+        return out
+
+    def summary(self) -> str:
+        tot = sum(self.total.values()) or 1e-9
+        parts = [
+            f"{k} {v:.1f}s ({100 * v / tot:.1f}%)"
+            for k, v in sorted(self.total.items(), key=lambda kv: -kv[1])
+            if v > 0.005
+        ]
+        return f"time budget over {tot:.1f}s: " + ", ".join(parts)
+
+
 class Trainer:
     """Orchestrates jitted WGAN training with validation + checkpointing."""
 
@@ -328,7 +375,9 @@ class Trainer:
         if profiler is not None and hasattr(profiler, "begin"):
             profiler.begin()  # covers a schedule whose iteration 0 is active
         t_last, it_last = time.perf_counter(), start
+        budget = self.time_budget = TimeBudget()
         for iteration in range(start, self.cfg.train_iterations):
+            budget.mark("other")  # loop bookkeeping + stop sync
             if self._stop_due(iteration):
                 if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
                     logger.warning(
@@ -343,6 +392,7 @@ class Trainer:
                     )
                 break
             patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+            budget.mark("data_wait")
             images_due = (
                 _due(iteration, self.cfg.log_images_every, skip_zero=False)
                 and self._can_log_images()
@@ -356,6 +406,7 @@ class Trainer:
                     impl=jax.random.key_impl(self.state.rng),
                 )
             metrics, (subopt, mask, names) = self.train_step(patches, iteration)
+            budget.mark("dispatch")
 
             if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
@@ -369,16 +420,20 @@ class Trainer:
                         (iteration - it_last) * n_patches / max(now - t_last, 1e-9)
                     )
                 t_last, it_last = now, iteration
+                host.update(budget.window_scalars())
                 self.logger_interface.log_scalars(host, iteration, "train")
+                budget.mark("sync_log")
             if images_due and metrics:
                 # metrics empty = no program ran this iteration; there is no
                 # "batch the step trained on" to render (and rng_before was
                 # never consumed, so a preview would show the NEXT step's
                 # augmentation)
                 self._log_train_images(subopt, mask, names, iteration, rng_before)
+                budget.mark("images")
 
             if val_loaders and _due(iteration, self.cfg.val_every):
                 self.validate(val_loaders, iteration)
+                budget.mark("validation")
             if self.cfg.checkpoint_dir and _due(iteration, self.cfg.checkpoint_every):
                 # the model state is replicated -> process 0 writes it once;
                 # the data-stream sidecar is PER-HOST (disjoint fold shards)
@@ -389,9 +444,12 @@ class Trainer:
                         meta=self._ckpt_meta,
                     )
                 self._data_state(train_loaders, "save", self.iteration)
+                budget.mark("checkpoint")
             if profiler is not None:
                 profiler.step()
 
+        budget.mark("other")
+        logger.info(budget.summary())
         if profiler is not None:
             profiler.stop()
         if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:

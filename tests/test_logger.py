@@ -156,3 +156,80 @@ def test_wandb_logger_survives_missing_run(monkeypatch):
     assert mine.logged and mine.logged[0]["iteration"] == 5
     assert not fake_wandb.run.logged
     assert mine.metrics  # step metric defined against the explicit run
+
+
+def _tb_acc(path):
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(path), size_guidance={"scalars": 0, "images": 0})
+    acc.Reload()
+    return acc
+
+
+def test_tensorboard_logger_scalars_and_images(tmp_path, rng):
+    """Live TensorBoard backend (tensorboardX): real event files a
+    TensorBoard UI loads — scalars as <stage>/<key> curves, the axial-slice
+    grids as image summaries (reference capability:
+    trainer/logger/WandbLogger.py:38-132, local live backend)."""
+    from contrast_gan_3d_tpu.trainer.logger import TensorBoardLogger
+
+    lg = TensorBoardLogger(
+        FactorZeroCenterScaler(), tmp_path / "tb", max_slices=4, rng=rng
+    )
+    lg.log_scalars({"D": -0.5, "G": np.float32(1.25)}, step=10)
+    lg.log_scalars({"D": -0.25}, step=20)
+    lg.log_scalars({"sim": -0.9}, step=20, stage="validation")
+    sample = rng.normal(0, 0.3, (2, 8, 8, 6)).astype(np.float32)
+    mask = (rng.random((2, 8, 8, 6)) < 0.05).astype(np.float32)
+    lg.log_images(sample, sample, sample, mask, ["a", "b"], step=42)
+    lg.end_hook()
+
+    acc = _tb_acc(tmp_path / "tb")
+    tags = acc.Tags()
+    assert {"train/D", "train/G", "validation/sim"} <= set(tags["scalars"])
+    d = acc.Scalars("train/D")
+    assert [(e.step, e.value) for e in d] == [(10, -0.5), (20, -0.25)]
+    assert {"train/sample", "train/reconstruction", "train/attenuation"} <= set(
+        tags["images"]
+    )
+    img = acc.Images("train/sample")[0]
+    assert img.step == 42 and len(img.encoded_image_string) > 100
+
+
+def test_tensorboard_logger_2d_and_resume_appends(tmp_path, rng):
+    """2D variant renders the batch as one grid; a fresh logger on the same
+    dir (resume) appends events that merge on the shared step axis."""
+    from contrast_gan_3d_tpu.trainer.logger import TensorBoardLogger2D
+
+    out = tmp_path / "tb"
+    lg = TensorBoardLogger2D(FactorZeroCenterScaler(), out, max_slices=4, rng=rng)
+    batch = rng.normal(0, 0.3, (5, 8, 8)).astype(np.float32)
+    lg.log_scalars({"D": 1.0}, 1)
+    lg.log_images(batch, batch, None, None, None, step=7)
+    lg.end_hook()
+    lg2 = TensorBoardLogger2D(FactorZeroCenterScaler(), out, max_slices=4, rng=rng)
+    lg2.log_scalars({"D": 2.0}, 2)
+    lg2.end_hook()
+
+    acc = _tb_acc(out)
+    d = acc.Scalars("train/D")
+    assert [(e.step, e.value) for e in d] == [(1, 1.0), (2, 2.0)]
+    assert "train/sample" in acc.Tags()["images"]
+
+
+def test_builder_wires_tensorboard_logger(tmp_path):
+    from dataclasses import replace
+
+    from contrast_gan_3d_tpu.experiments import load_config
+    from contrast_gan_3d_tpu.experiments.builder import build
+    from contrast_gan_3d_tpu.trainer.logger import TensorBoardLogger
+
+    cfg = replace(load_config("basic_3d"), logger="tensorboard")
+    built = build(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    assert isinstance(built.logger_interface, MultiThreadedLogger)
+    assert isinstance(built.logger_interface.inner, TensorBoardLogger)
+    assert built.logger_interface.logs_images is True
+    built.logger_interface.end_hook()
+    assert (tmp_path / "ck" / "tb").is_dir()

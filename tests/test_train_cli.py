@@ -4,6 +4,8 @@ TrainManager per-fold orchestration)."""
 import pickle
 import sys
 
+import numpy as np
+
 import pytest
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))  # repo root (train.py lives there)
@@ -362,3 +364,55 @@ def test_max_hours_exhausted_skips_fold_side_effect_free(tmp_path, rng, monkeypa
     for s, h in before.items():
         assert sig.getsignal(s) is h, f"leaked handler for {s}"
     assert not (tmp_path / "ckpts" / "cli_smoke-fold0").exists()
+
+
+TB_OVERRIDE = OVERRIDE.replace('logger="none"', 'logger="tensorboard"').replace(
+    "log_images_every=None", "log_images_every=2"
+)
+
+
+@pytest.mark.slow
+def test_train_cli_tensorboard_live(tmp_path, rng):
+    """The LIVE TensorBoard logging path end-to-end: production CLI ->
+    tensorboardX event files -> read back with the real tensorboard reader.
+    Unlike the wandb path (wandb isn't installable in this image), nothing
+    here is faked — the exact bytes a TensorBoard UI would load are written
+    and parsed (reference capability: live experiment logging,
+    reference train.py:184-203 / trainer/logger/WandbLogger.py)."""
+    import train as train_cli
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=1)
+    splits_path = tmp_path / "splits.pkl"
+    with open(splits_path, "wb") as fd:
+        pickle.dump({"train": [fold], "test": [fold]}, fd)
+    conf_path = tmp_path / "conf.py"
+    conf_path.write_text(TB_OVERRIDE)
+
+    train_cli.main([
+        "--conf", str(conf_path),
+        "--cval-splits", str(splits_path),
+        "--checkpoint-root", str(tmp_path / "ckpts"),
+    ])
+
+    tb_dir = tmp_path / "ckpts" / "cli_smoke-fold0" / "tb"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events, f"no event files in {tb_dir}"
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tb_dir), size_guidance={"scalars": 0, "images": 0})
+    acc.Reload()
+    tags = acc.Tags()
+    # the WGAN scalar curves (critic loss logged every iteration) + the
+    # per-phase time budget scalars
+    assert "train/D" in tags["scalars"], tags["scalars"]
+    d_vals = acc.Scalars("train/D")
+    assert len(d_vals) >= 2 and all(np.isfinite(e.value) for e in d_vals)
+    assert any(t.startswith("train/tb/") for t in tags["scalars"])
+    # the axial-slice image grids (sample/reconstruction/attenuation at the
+    # log_images_every boundary)
+    assert any(t.startswith("train/") for t in tags["images"]), tags["images"]
+    img = acc.Images(tags["images"][0])[0]
+    assert img.width > 0 and img.height > 0 and len(img.encoded_image_string) > 100
