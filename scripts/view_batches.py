@@ -32,6 +32,12 @@ def main():
     p.add_argument("--patch-size", type=int, nargs="+", default=(128, 128, 128))
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--augment", action="store_true")
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="open a scrollable BatchViewer window per batch (needs a "
+             "display — the reference notebooks/view_batches.py GUI flow) "
+             "instead of writing PNG grids",
+    )
     args = p.parse_args()
     args.out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -52,6 +58,14 @@ def main():
         if args.augment:
             data, seg = augment_batch(data, seg, jax.random.key(0), AugmentConfig())
             data, seg = np.asarray(data), np.asarray(seg)
+        if args.interactive:
+            from contrast_gan_3d_tpu.utils.batch_viewer import view_batch
+
+            view_batch(
+                data, seg,
+                titles=[f"{st.name} {batch['name'][0]}", "centerline mask"],
+            )
+            continue
         fig = viz.plot_axial_slices(
             data[0], mask=seg[0], max_slices=16,
             title=f"{st.name} {batch['name'][0]}",
