@@ -134,9 +134,9 @@ class CCTAContrastCorrector:
             # re-cast the volume per op)
             self._correct_2d = jax.jit(self._correct_2d)
         elif packed:
-            # (pallas_proj stays off: with the slab-based packed reflect pad
-            # the XLA f2->f4 projection is the faster end-to-end path —
-            # 76.7 vs 88.1 ms/batch-8 forward, PERF.md)
+            # (the XLA f2->f4 projection is the measured-fastest end-to-end
+            # path — the Pallas projection variant lost the A/B at batch 8
+            # AND batch 24 and was removed; PERF.md "Pallas findings")
             gen_p = generator.clone(
                 layout="packed", packed_input=True, packed_output=True
             )

@@ -122,12 +122,6 @@ class ResnetGenerator(nn.Module):
     # the corrector keeps the whole volume packed and skips the per-patch
     # s2d transpose
     packed_input: bool = False
-    # with layout="packed", inference only: run the projection conv (the
-    # forward's hottest op) as the Pallas block kernel on an f=4 repack —
-    # XLA's conv lowering re-reads the full input once per tap (27x537 MB at
-    # 128^3/batch 8, measured 73.5 ms) while the kernel streams it 3x and
-    # runs at ~88 TFLOPS (~11 ms; PERF.md). TPU only; ignored when train=True
-    pallas_proj: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -267,62 +261,31 @@ class ResnetGenerator(nn.Module):
                 name=f"up_{i - 1}",
             )(xp, train)
 
-        # final upsample + projection. Fast inference path (pallas_proj):
-        # up_0 emits the f=4 layout DIRECTLY (packed_tconv3d_f4 — no repack
-        # transpose) and the reflect-padded 7^3 projection runs as the
-        # Pallas block kernel. Standard path: f2 tconv + f2->f4 block conv.
-        use_pallas = self.pallas_proj and not train
+        # final upsample + projection: f2 tconv + f2->f4 block conv. (A
+        # Pallas projection variant — f4-direct tconv + block_conv3x3x3 —
+        # was measured SLOWER end-to-end at both batch 8 (88.1 vs 76.7 ms)
+        # and the production batch 24 (199.0 vs 156.0 ms): the kernel itself
+        # runs at ~88 TFLOPS but the f4-direct tconv's (K*f)^3/k^3 FLOP
+        # inflation outweighs it; PERF.md "Pallas findings". The kernel
+        # stays in ops/pallas_conv.py as library code with its probes.)
         ob = tuple(d // 4 for d in dims)
-        if use_pallas:
-            from contrast_gan_3d_tpu.ops.packed import (
-                packed_tconv3d_f4, transform_kernel_packed,
-            )
-            from contrast_gan_3d_tpu.ops.pallas_conv import block_conv3x3x3
-
-            xp = PS(
-                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt,
-                name="up_0", f_view=64,
-                conv_fn=lambda v, k, b: packed_tconv3d_f4(
-                    v, k, b, stride=2, convention=self.tconv_placement
-                ),
-            )(xp, train)
-            # reflect pad in f4 space (L=1 block per side, offset o4=1 ->
-            # a 3^3 VALID block conv with channels 64*c0 -> 64)
-            xp, o4 = reflect_pad_packed(xp, 4, 3)
-
-            def proj_fn(v, k, b_):
-                wp = transform_kernel_packed(k, 4, 4, 1, (o4, o4, o4))
-                # relabel taps so the kernel's grid axis rides the leading
-                # spatial dim: w_ref[outer=ky, sublane=kz, refs=kx] — the
-                # packed tensor feeds the kernel in its NATIVE layout
-                wt = jnp.transpose(wp, (1, 2, 0, 3, 4)).astype(v.dtype)
-                out = block_conv3x3x3(v, wt).astype(v.dtype)
-                if b_ is not None:
-                    out = out + jnp.tile(b_.astype(out.dtype), 64)
-                return out
-
-            yp = PS(
-                1, 7, c0, norm=False, use_bias=True, dtype=dt,
-                name="last_conv", f_view=64, activation="tanh", conv_fn=proj_fn,
-            )(xp, train)
-        else:
-            # up_0: dense transpose conv keeping the s=2-packed output
-            # (which IS the f2 space-to-depth layout of the full-res tensor)
-            xp = PS(
-                c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt,
-                name="up_0", f_view=8,
-                conv_fn=lambda v, k, b: packed_tconv3d(
-                    v, k, b, stride=2, convention=self.tconv_placement
-                ),
-            )(xp, train)
-            xp, o2 = reflect_pad_packed(xp, 2, 3)
-            yp = PS(
-                1, 7, c0, norm=False, use_bias=True, dtype=dt,
-                name="last_conv", f_view=64, activation="tanh",
-                conv_fn=lambda v, k, b: packed_conv3d(
-                    v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
-                ),
-            )(xp, train)
+        # up_0: dense transpose conv keeping the s=2-packed output
+        # (which IS the f2 space-to-depth layout of the full-res tensor)
+        xp = PS(
+            c0, 3, c0 * 2, conv_name="ConvTranspose_0", dtype=dt,
+            name="up_0", f_view=8,
+            conv_fn=lambda v, k, b: packed_tconv3d(
+                v, k, b, stride=2, convention=self.tconv_placement
+            ),
+        )(xp, train)
+        xp, o2 = reflect_pad_packed(xp, 2, 3)
+        yp = PS(
+            1, 7, c0, norm=False, use_bias=True, dtype=dt,
+            name="last_conv", f_view=64, activation="tanh",
+            conv_fn=lambda v, k, b: packed_conv3d(
+                v, k, b, f_in=2, f_out=4, stride=1, o=(o2, o2, o2), out_blocks=ob
+            ),
+        )(xp, train)
         if self.packed_output:
             return yp
         return depth_to_space(yp, 4)

@@ -20,9 +20,12 @@ MEASURED RESULTS:
 The kernel consumes ANY (B, A, B2, C3, Ci) layout: grid rides A, in-kernel
 outer slices ride B2, sublane slices C3 — permute the WEIGHTS (e.g.
 ``jnp.transpose(w, (1, 2, 0, 3, 4))`` pairs (A,B2,C3)=(kx,ky,kz)) instead of
-transposing data. Used by ``ResnetGenerator(pallas_proj=True)`` (an
-inference option; the XLA f2->f4 path stays the packed default — see
-PERF.md for the end-to-end A/B).
+transposing data. LIBRARY CODE, not in the production path: the generator's
+Pallas projection variant built on this kernel lost the end-to-end A/B at
+batch 8 (88.1 vs 76.7 ms) and at the production batch 24 (199.0 vs
+156.0 ms) — the f4-direct tconv FLOP inflation outweighs the kernel's
+~88 TFLOPS — and was removed (PERF.md "Pallas findings"). The kernel and
+its probes stay for future shapes where a 3^3 block conv dominates.
 
 Layout contract: operands are pre-transposed so z is the leading spatial dim
 and the channel dim sits in lanes: x (B, Zi, Xi, Yi, Ci); w (3, 3, 3, Ci,

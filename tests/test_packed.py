@@ -288,25 +288,6 @@ def test_packed_corrector_unaligned_dims():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_packed_generator_pallas_proj():
-    """pallas_proj (inference-only Pallas projection) equals the direct
-    forward (kernel exercised via the TPU interpreter on CPU)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
-
-    gen_d = ResnetGenerator()
-    gen_p = ResnetGenerator(layout="packed", pallas_proj=True)
-    x = jnp.asarray(
-        np.random.default_rng(7).standard_normal((1, 16, 16, 16, 1)), jnp.float32
-    )
-    variables = gen_d.init(jax.random.key(0), x, train=False)
-    ref = gen_d.apply(variables, x, train=False)
-    with pltpu.force_tpu_interpret_mode():
-        got = gen_p.apply(variables, x, train=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
-
-
 @pytest.mark.parametrize("convention", ["same", "torch"])
 def test_packed_tconv_f4(convention):
     """packed_tconv3d_f4 (f=4 output, no repack) == d2s_tconv3d + s2d(4)."""
