@@ -357,6 +357,26 @@ class Trainer:
         return False
 
     # ------------------------------------------------------------------
+    def _flush_oldest_log(self):
+        """Fetch + emit the oldest enqueued log boundary (lagged logging —
+        see the enqueue site in fit). ``patches_per_sec`` is measured
+        between fetch COMPLETIONS: the fetch of boundary j only waits for
+        step j to finish, so consecutive completion times bracket exactly
+        one window of finished device work — a device-truth sustained
+        number with no pipeline stall."""
+        e = self._pending_logs.pop(0)
+        host = {k: float(jax.device_get(v)) for k, v in e["metrics"].items()}
+        now = time.perf_counter()
+        last_it, last_t = self._last_fetch
+        if e["iteration"] > last_it:
+            host["patches_per_sec"] = (
+                (e["iteration"] - last_it) * e["n_patches"]
+                / max(now - last_t, 1e-9)
+            )
+        self._last_fetch = (e["iteration"], now)
+        host.update(e["tb"])
+        self.logger_interface.log_scalars(host, e["iteration"], "train")
+
     def fit(
         self,
         train_loaders: Dict[int, Iterable],
@@ -374,7 +394,8 @@ class Trainer:
         logger.info("Training from iteration %d to %d", start, self.cfg.train_iterations)
         if profiler is not None and hasattr(profiler, "begin"):
             profiler.begin()  # covers a schedule whose iteration 0 is active
-        t_last, it_last = time.perf_counter(), start
+        self._pending_logs = []
+        self._last_fetch = (start, time.perf_counter())
         budget = self.time_budget = TimeBudget()
         for iteration in range(start, self.cfg.train_iterations):
             budget.mark("other")  # loop bookkeeping + stop sync
@@ -409,19 +430,25 @@ class Trainer:
             budget.mark("dispatch")
 
             if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
-                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-                # sustained throughput since the previous log point (the
-                # scalar fetch above synced the device, so the wall interval
-                # covers data, compute, validation and checkpoint time)
-                now = time.perf_counter()
-                if iteration > it_last:
-                    n_patches = sum(p["data"].shape[0] for p in patches.values())
-                    host["patches_per_sec"] = (
-                        (iteration - it_last) * n_patches / max(now - t_last, 1e-9)
-                    )
-                t_last, it_last = now, iteration
-                host.update(budget.window_scalars())
-                self.logger_interface.log_scalars(host, iteration, "train")
+                # LAGGED scalar logging: a device_get of THIS iteration's
+                # metrics would drain the whole async dispatch queue (the
+                # round-3 gap study measured that drain at up to half the
+                # wall clock per log window, PERF.md). Instead this
+                # boundary's metric refs are enqueued and the PREVIOUS
+                # boundary's are fetched — that work is a full log window
+                # old, so the fetch returns without stalling the pipeline
+                # unless the device is genuinely >1 window behind (in which
+                # case the wait is the true throughput signal).
+                self._pending_logs.append({
+                    "iteration": iteration,
+                    "metrics": metrics,
+                    "n_patches": sum(
+                        p["data"].shape[0] for p in patches.values()
+                    ),
+                    "tb": budget.window_scalars(),
+                })
+                while len(self._pending_logs) > 1:
+                    self._flush_oldest_log()
                 budget.mark("sync_log")
             if images_due and metrics:
                 # metrics empty = no program ran this iteration; there is no
@@ -449,6 +476,9 @@ class Trainer:
                 profiler.step()
 
         budget.mark("other")
+        while self._pending_logs:  # drain the lagged log queue
+            self._flush_oldest_log()
+        budget.mark("sync_log")
         logger.info(budget.summary())
         if profiler is not None:
             profiler.stop()
