@@ -11,11 +11,14 @@ in < 2 s. The default run prints, in order:
    (BASELINE.md's "WGAN-GP full step" row).
 3. ``train_patches_per_sec_128c_wc_batch96`` — the saturated large-batch
    point (48+48; the step's ~103 patches/s roofline, PERF.md batch sweep).
-4. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
+4. ``train_patches_per_sec_128c_wc_cycle5`` — the FUSED 4-critic+1-combined
+   schedule cycle as one program (schedule-effective sustained-training
+   rate; BENCH_MODE=cycle / BENCH_CYCLE=K for other lengths).
+5. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
    reference 256+128+128 slice batch (BASELINE.md's 2D row).
-5. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
+6. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
    sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
-6. ``full_volume_correction_latency_512x512x400`` (headline) — the default
+7. ``full_volume_correction_latency_512x512x400`` (headline) — the default
    25% overlap (100 forwards). This is the production setting: 25%-overlap
    Gaussian blending is strictly richer aggregation than the reference's
    non-overlapping uniform tiles, and the end-to-end quality study
@@ -178,6 +181,66 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
     _FIRST_METRIC.set()
 
 
+def bench_cycle(k: int):
+    """Schedule-effective patches/s for the FUSED K-iteration cycle program
+    (steps.build_cycle_step): the reference 4-critic+1-combined cycle as ONE
+    dispatch. Directly measures what sustained training gets per host round
+    trip (BENCH_CYCLE=K; the per-step metrics above measure one program per
+    iteration)."""
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig  # noqa: F401
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import (
+        StepConfig, build_cycle_step, build_train_steps, init_state,
+        schedule_branches,
+    )
+
+    patch = (128, 128, 128)
+    n_opt = int(os.environ.get("BENCH_OPT", "6"))
+    n_sub = int(os.environ.get("BENCH_SUB", "6"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    use_gp = os.environ.get("BENCH_GP") == "1"
+    device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
+    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
+    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
+    tx = make_optimizer()
+    cfg = StepConfig(
+        weight_clip=None if use_gp else 0.01,
+        augment=AugmentConfig() if device_aug else None,  # host-warp default
+        dtype=jnp.bfloat16,
+    )
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
+    steps = build_train_steps(gen, critic, tx, tx, cfg)
+    pattern = schedule_branches(1, 5, 0, k)
+    cycle = build_cycle_step(steps, pattern)
+
+    rng = np.random.default_rng(0)
+    opt = jnp.asarray(rng.integers(-1024, 1500, (k, n_opt, *patch), dtype=np.int16))
+    sub = jnp.asarray(rng.integers(-1024, 1500, (k, n_sub, *patch), dtype=np.int16))
+    msk = jnp.asarray((rng.random((k, n_sub, *patch)) < 0.001).astype(np.int16))
+    holder = {"state": state}
+
+    def run_one():
+        holder["state"], m = cycle(holder["state"], opt, sub, msk)
+        float(m["D"])
+
+    _warm(run_one)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_one()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    print(json.dumps({
+        "metric": f"train_patches_per_sec_128c_{'gp' if use_gp else 'wc'}_cycle{k}",
+        "value": round(k * (n_opt + n_sub) / sec, 2),
+        "unit": "patches/s/chip (schedule-effective)",
+        "vs_baseline": None,
+    }), flush=True)
+    _FIRST_METRIC.set()
+
+
 def bench_inference(overlap: float):
     """Full-volume sliding-window correction latency at ``overlap``."""
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
@@ -332,6 +395,8 @@ def main():
         return bench_train()
     if mode == "infer":
         return bench_inference(default_overlap)
+    if mode == "cycle":
+        return bench_cycle(int(os.environ.get("BENCH_CYCLE", "5")))
     bench_train()
     if os.environ.get("BENCH_2D") != "1":
         # the BASELINE.md-named "WGAN-GP full step" metric — the default run
@@ -341,6 +406,10 @@ def main():
         # sweep: ~103 patches/s by 48+48) — what data-parallel pods feeding
         # >=24 local patches per chip actually get
         bench_train(n_opt=48, n_sub=48, tag_suffix="_batch96")
+        # the fused 4-critic+1-combined schedule cycle as ONE program — the
+        # sustained-training number (round 3: 101.3 vs 83.7 patches/s
+        # schedule-effective dispatched per-iteration)
+        bench_cycle(5)
         # the conf_2D family line (BASELINE.md's 2D row), reference batch mix
         bench_train(use_gp=False, is_2d=True)
     if default_overlap != 0.5:

@@ -165,6 +165,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         checkpoint_every=cfg.checkpoint_every,
         checkpoint_keep=cfg.checkpoint_keep,
         checkpoint_dir=checkpoint_dir,
+        cycle_length=cfg.cycle_length,
     )
 
     rng = np.random.default_rng(seed)

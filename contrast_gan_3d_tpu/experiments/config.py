@@ -128,6 +128,11 @@ class ExperimentConfig:
     # disk — offline/air-gapped runs) | console | none
     logger: str = "console"
 
+    # fused schedule cycles: compile K consecutive schedule iterations as
+    # one XLA program (K host round-trips -> 1; identical math). Cadences
+    # (log/val/checkpoint) round to cycle boundaries. 1 = per-iteration.
+    cycle_length: int = 1
+
     # parallelism: shard batches over a data mesh of this many devices
     # (None -> single device; 0 -> all local devices)
     dp_devices: Optional[int] = None

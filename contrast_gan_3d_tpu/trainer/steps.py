@@ -61,10 +61,15 @@ def _sharded_jit(
 
     from contrast_gan_3d_tpu.parallel.mesh import replicate, shard_batch
 
+    from contrast_gan_3d_tpu.parallel.mesh import batch_spec
+
     kinds = {
         "r": replicate(mesh),
         "b": shard_batch(mesh, batch_axis),
         "v": NamedSharding(mesh, P(batch_axis)),
+        # cycle-stacked batches (K, B, ...): leading cycle axis unsharded,
+        # batch (+ space) axes as in 'b'
+        "c": NamedSharding(mesh, P(None, *batch_spec(mesh, batch_axis))),
     }
     out_kw = {}
     if out_kinds is not None:
@@ -424,6 +429,83 @@ def build_train_steps(
     return TrainSteps(
         critic_step, combined_step, generator_only_step, critic_phase, generator_phase
     )
+
+
+def schedule_branches(
+    critic_every: Optional[int],
+    generator_every: Optional[int],
+    start: int,
+    length: int,
+) -> tuple:
+    """Branch name per iteration for iterations ``[start, start+length)`` —
+    the same decision ``Trainer.train_step`` makes per iteration (critic due
+    iff ``i % critic_every == 0``, iteration 0 included; ``None`` = never)."""
+    def due(i, every):
+        return every is not None and i % every == 0
+
+    out = []
+    for i in range(start, start + length):
+        c, g = due(i, critic_every), due(i, generator_every)
+        out.append(
+            "combined" if c and g else "critic" if c else "generator" if g
+            else "none"
+        )
+    return tuple(out)
+
+
+def build_cycle_step(
+    steps: TrainSteps,
+    pattern: tuple,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_axis: str = "data",
+):
+    """ONE compiled program running ``len(pattern)`` schedule iterations.
+
+    The per-iteration programs already exist (``TrainSteps``); tracing them
+    inside an outer jit inlines them, so the cycle is their exact
+    composition — same math, same rng/step advancement — with host
+    round-trips cut from K dispatches to 1. That matters wherever dispatch
+    latency is non-trivial: high-latency links (the round-3 gap study
+    measured the per-dispatch cost dominating a degraded tunnel) and fast
+    steps on healthy hosts; it also hands XLA the whole cycle for
+    cross-iteration scheduling. Batches arrive stacked on a leading cycle
+    axis ``(K, B, ...)``; under a mesh the batch axis stays data-sharded
+    ('c' kind) and the state replicated.
+
+    Metrics: the last value per key across the cycle, except ``D`` which is
+    the MEAN critic loss over the cycle's critic updates (a cycle spans
+    several critic steps — the mean is the honest scalar for that window).
+
+    The reference has no analogue (its eager loop pays Python+CUDA-launch
+    per iteration, reference trainer/Trainer.py:218-241); this is the
+    TPU-native "compile the schedule, not just the step" shape.
+    """
+    _jit = _sharded_jit(mesh, batch_axis, "rccc", out_kinds="rr")
+
+    @_jit
+    def cycle_step(state: GANTrainState, opt_c, subopt_c, mask_c):
+        metrics = {}
+        d_losses = []
+        for k, branch in enumerate(pattern):
+            o, s, m = opt_c[k], subopt_c[k], mask_c[k]
+            if branch == "combined":
+                state, mt = steps.combined_step(state, o, s, m)
+                metrics.update(mt)
+                d_losses.append(mt["D"])
+            elif branch == "critic":
+                state, mt = steps.critic_step(state, o, s, m)
+                metrics.update(mt)
+                d_losses.append(mt["D"])
+            elif branch == "generator":
+                state, mt = steps.generator_only_step(state, o, s, m)
+                metrics.update(mt)
+            else:  # "none": advance the step counter only (Trainer parity)
+                state = state.replace(step=state.step + 1)
+        if d_losses:
+            metrics["D"] = sum(d_losses) / len(d_losses)
+        return state, metrics
+
+    return cycle_step
 
 
 def _wcast(w, x):

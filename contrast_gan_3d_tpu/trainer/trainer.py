@@ -18,7 +18,7 @@ import signal
 import threading
 import time
 from dataclasses import dataclass
-from typing import Dict, Iterable, Optional
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import numpy as np
@@ -58,6 +58,12 @@ class TrainerConfig:
     # multi-process runs agree on graceful stops every N iterations (hosts
     # receive preemption signals at different wall times; see _stop_due)
     stop_sync_every: int = 10
+    # fused schedule cycles: compile K consecutive schedule iterations as
+    # ONE program (steps.build_cycle_step) — K host round-trips become 1.
+    # Identical math (the per-iteration programs inline); log/image/val/
+    # checkpoint/stop cadences round to cycle boundaries, so they should be
+    # multiples of K (warned otherwise). 1 = per-iteration dispatch.
+    cycle_length: int = 1
 
 
 def _due(iteration: int, every: Optional[int], skip_zero: bool = True) -> bool:
@@ -168,6 +174,27 @@ class Trainer:
         self.steps = build_train_steps(
             generator, critic, gen_tx, critic_tx, step_config, mesh=mesh
         )
+        # fused schedule cycles (cycle_length > 1): one compiled program per
+        # branch pattern, built lazily and cached (the tail cycle of a run
+        # whose horizon K doesn't divide gets its own shorter pattern)
+        self._cycle_cache: Dict[tuple, Any] = {}
+        if trainer_config.cycle_length > 1:
+            k = trainer_config.cycle_length
+            off = [
+                n for n, every in (
+                    ("log_every", trainer_config.log_every),
+                    ("log_images_every", trainer_config.log_images_every),
+                    ("val_every", trainer_config.val_every),
+                    ("checkpoint_every", trainer_config.checkpoint_every),
+                    ("stop_sync_every", trainer_config.stop_sync_every),
+                ) if every is not None and every % k
+            ]
+            if off:
+                logger.warning(
+                    "cycle_length=%d: cadence(s) %s are not multiples of the "
+                    "cycle — they fire only at cycle boundaries that happen "
+                    "to divide them", k, ", ".join(off),
+                )
         self.val_opt_step, self.val_subopt_step = build_val_steps(
             generator, critic, step_config, mesh=mesh
         )
@@ -293,6 +320,34 @@ class Trainer:
             metrics = {}
         return metrics, (subopt, mask, names)
 
+    def train_step_cycle(self, patches_list: List[Dict[int, Dict]], iteration: int):
+        """``len(patches_list)`` schedule iterations as ONE dispatch
+        (``steps.build_cycle_step``): the per-iteration batches stack on a
+        leading cycle axis and the branch pattern for iterations
+        ``[iteration, iteration+K)`` selects a cached compiled cycle.
+        Returns the cycle's metrics and the FIRST iteration's batch (whose
+        pre-cycle rng is exactly what the image preview re-derives)."""
+        from contrast_gan_3d_tpu.trainer.steps import (
+            build_cycle_step, schedule_branches,
+        )
+        import jax.numpy as jnp
+
+        assembled = [self._assemble(p) for p in patches_list]
+        opt_c = jnp.stack([a[0] for a in assembled])
+        subopt_c = jnp.stack([a[1] for a in assembled])
+        mask_c = jnp.stack([a[2] for a in assembled])
+        pattern = schedule_branches(
+            self.cfg.train_critic_every, self.cfg.train_generator_every,
+            iteration, len(patches_list),
+        )
+        cycle = self._cycle_cache.get(pattern)
+        if cycle is None:
+            cycle = self._cycle_cache[pattern] = build_cycle_step(
+                self.steps, pattern, mesh=self.mesh
+            )
+        self.state, metrics = cycle(self.state, opt_c, subopt_c, mask_c)
+        return dict(metrics), (assembled[0][1], assembled[0][2], assembled[0][3])
+
     # ------------------------------------------------------------------
     def request_stop(self, reason: str = "") -> None:
         """Ask :meth:`fit` to exit at the next iteration boundary.
@@ -397,7 +452,16 @@ class Trainer:
         self._pending_logs = []
         self._last_fetch = (start, time.perf_counter())
         budget = self.time_budget = TimeBudget()
-        for iteration in range(start, self.cfg.train_iterations):
+        K = max(1, int(self.cfg.cycle_length))
+        iteration = start
+        while iteration < self.cfg.train_iterations:
+            # cycle boundaries stay on multiples of K regardless of the
+            # resume point: a run resumed mid-cycle gets one short first
+            # cycle (else every later boundary would miss the %-based
+            # log/val/checkpoint cadences); the horizon tail is short too
+            k_len = min(
+                K - (iteration % K), self.cfg.train_iterations - iteration
+            )
             budget.mark("other")  # loop bookkeeping + stop sync
             if self._stop_due(iteration):
                 if self.cfg.checkpoint_dir and self.cfg.checkpoint_every is not None:
@@ -412,7 +476,14 @@ class Trainer:
                         "is discarded", iteration, start,
                     )
                 break
-            patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+            if K == 1:
+                patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+            else:
+                patches_list = [
+                    {st.value: next(train_loaders[st.value]) for st in ScanType}
+                    for _ in range(k_len)
+                ]
+                patches = patches_list[0]  # per-iteration batch size source
             budget.mark("data_wait")
             images_due = (
                 _due(iteration, self.cfg.log_images_every, skip_zero=False)
@@ -421,12 +492,19 @@ class Trainer:
             rng_before = None
             if images_due and self._preview_step is not None:
                 # the step donates (and advances) state.rng — keep a copy so
-                # the preview can re-derive this step's augmentation
+                # the preview can re-derive this step's augmentation (in
+                # cycle mode the preview batch IS the cycle's first, whose
+                # augmentation this pre-cycle rng derives)
                 rng_before = jax.random.wrap_key_data(
                     jax.device_get(jax.random.key_data(self.state.rng)),
                     impl=jax.random.key_impl(self.state.rng),
                 )
-            metrics, (subopt, mask, names) = self.train_step(patches, iteration)
+            if K == 1:
+                metrics, (subopt, mask, names) = self.train_step(patches, iteration)
+            else:
+                metrics, (subopt, mask, names) = self.train_step_cycle(
+                    patches_list, iteration
+                )
             budget.mark("dispatch")
 
             if metrics and _due(iteration, self.cfg.log_every, skip_zero=False):
@@ -474,6 +552,7 @@ class Trainer:
                 budget.mark("checkpoint")
             if profiler is not None:
                 profiler.step()
+            iteration += k_len
 
         budget.mark("other")
         while self._pending_logs:  # drain the lagged log queue

@@ -506,6 +506,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-keep", type=int, default=None,
                    help="keep only the newest N checkpoints (+ data "
                         "sidecars); default: keep all, like the reference")
+    p.add_argument("--cycle-length", type=int, default=None,
+                   help="fuse K consecutive schedule iterations into one "
+                        "compiled program (K host round-trips -> 1; same "
+                        "math; cadences round to cycle boundaries). E.g. 5 "
+                        "fuses the reference 4-critic+1-combined cycle")
     p.add_argument(
         "--logger",
         choices=["wandb", "tensorboard", "file", "console", "none"],
@@ -564,6 +569,8 @@ def main(argv=None):
         overrides["train_iterations"] = args.iterations
     if args.checkpoint_keep is not None:
         overrides["checkpoint_keep"] = args.checkpoint_keep
+    if args.cycle_length is not None:
+        overrides["cycle_length"] = args.cycle_length
     if args.logger is not None:
         overrides["logger"] = args.logger
     if args.dp_devices is not None:
