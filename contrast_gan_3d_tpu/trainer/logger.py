@@ -321,6 +321,8 @@ class TensorBoardLogger(LoggerInterface):
     TensorBoard (the XProf traces from --profiler-dir land in the same
     logdir, so curves and profiles share one UI)."""
 
+    _SEQ = 0  # per-process writer counter (see filename_suffix below)
+
     def __init__(
         self,
         scaler: Scaler,
@@ -328,14 +330,24 @@ class TensorBoardLogger(LoggerInterface):
         max_slices: int = 64,
         rng: Optional[np.random.Generator] = None,
     ):
+        import os
+
         from tensorboardX import SummaryWriter  # baked into the image
 
         self.scaler = scaler
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         # a resumed run APPENDS a new event file in the same dir — readers
-        # merge them on the shared step axis, keeping the x-axis monotonic
-        self.writer = SummaryWriter(logdir=str(self.out_dir))
+        # merge them on the shared step axis, keeping the x-axis monotonic.
+        # filename_suffix makes the file unique per writer INSTANCE:
+        # tensorboardX names files by second-resolution timestamp + hostname
+        # only, so two writers in the same dir within one second (fast
+        # restart, tests) silently OVERWRITE each other without it.
+        TensorBoardLogger._SEQ += 1
+        self.writer = SummaryWriter(
+            logdir=str(self.out_dir),
+            filename_suffix=f".{os.getpid()}.{TensorBoardLogger._SEQ}",
+        )
         self.max_slices = max_slices
         self.rng = rng or np.random.default_rng()
         self._lock = threading.Lock()  # image threads may interleave

@@ -213,10 +213,32 @@ def test_tensorboard_logger_2d_and_resume_appends(tmp_path, rng):
     lg2.log_scalars({"D": 2.0}, 2)
     lg2.end_hook()
 
-    acc = _tb_acc(out)
-    d = acc.Scalars("train/D")
-    assert [(e.step, e.value) for e in d] == [(1, 1.0), (2, 2.0)]
-    assert "train/sample" in acc.Tags()["images"]
+    # read the event FILES directly: EventAccumulator's out-of-order purge
+    # can drop the second writer's events when both files land in the same
+    # wall-clock second — the claim under test is that both files carry
+    # their events on a shared step axis (what the TensorBoard UI merges)
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+    from tensorboard.util import tensor_util
+
+    scalars, images = [], []
+    for f in sorted(out.glob("events.out.tfevents.*")):
+        for ev in EventFileLoader(str(f)).Load():
+            for v in getattr(ev.summary, "value", []):
+                # tensorboardX writes tensor protos (the accumulator's
+                # data_compat migrates them; raw reads decode here)
+                if v.tag == "train/D":
+                    val = (
+                        float(tensor_util.make_ndarray(v.tensor))
+                        if v.WhichOneof("value") == "tensor"
+                        else v.simple_value
+                    )
+                    scalars.append((ev.step, val))
+                if v.tag == "train/sample":
+                    images.append(ev.step)
+    assert sorted(scalars) == [(1, 1.0), (2, 2.0)]
+    assert images == [7]
 
 
 def test_builder_wires_tensorboard_logger(tmp_path):
