@@ -68,6 +68,9 @@ def main():
     p.add_argument("--shape", type=int, nargs=3, default=(32, 32, 32))
     p.add_argument("--patch", type=int, nargs=3, default=(16, 16, 16))
     p.add_argument("--gp", action="store_true", help="gradient-penalty mode")
+    p.add_argument("--cycle-length", type=int, default=1,
+                   help="fuse K schedule iterations per dispatch "
+                        "(steps.build_cycle_step; log cadence should divide)")
     p.add_argument(
         "--family", choices=["3d", "2d"], default="3d",
         help="2d = conf_2D-family: 2D patches/models, per-slice correction",
@@ -126,6 +129,7 @@ def main():
         milestones=(),
         num_workers=(2, 1),
         logger="console",
+        cycle_length=args.cycle_length,
         **({"seed": args.seed} if args.seed is not None else {}),
     )
     built = build(cfg, checkpoint_dir=str(tmp / "ckpt"))
