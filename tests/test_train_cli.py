@@ -278,6 +278,8 @@ def test_effective_logger_multihost_single_sink():
 
     assert effective_logger("wandb", 0, 4) == "wandb"
     assert effective_logger("wandb", 3, 4) == "none"
+    assert effective_logger("tensorboard", 0, 4) == "tensorboard"
+    assert effective_logger("tensorboard", 2, 4) == "none"
     assert effective_logger("file", 1, 2) == "none"
     assert effective_logger("console", 1, 2) == "console"
     assert effective_logger("none", 1, 2) == "none"
