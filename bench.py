@@ -181,7 +181,7 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
     _FIRST_METRIC.set()
 
 
-def bench_cycle(k: int, use_gp: bool | None = None):
+def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
     """Schedule-effective patches/s for the FUSED K-iteration cycle program
     (steps.build_cycle_step): the reference 4-critic+1-combined cycle as ONE
     dispatch. Directly measures what sustained training gets per host round
@@ -196,15 +196,25 @@ def bench_cycle(k: int, use_gp: bool | None = None):
         schedule_branches,
     )
 
-    patch = (128, 128, 128)
-    n_opt = int(os.environ.get("BENCH_OPT", "6"))
-    n_sub = int(os.environ.get("BENCH_SUB", "6"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     if use_gp is None:
         use_gp = os.environ.get("BENCH_GP") == "1"
+    if is_2d is None:
+        is_2d = os.environ.get("BENCH_2D") == "1"
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
-    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
+    patch = (128, 128, 128)
+    n_opt = int(os.environ.get("BENCH_OPT", "6"))
+    n_sub = int(os.environ.get("BENCH_SUB", "6"))
+    if is_2d:
+        # conf_2D family (cf. bench_train): 128^2 slices, 256+256 mix
+        patch = (128, 128)
+        n_opt = int(os.environ.get("BENCH_OPT", "256"))
+        n_sub = int(os.environ.get("BENCH_SUB", "256"))
+        gen = ResnetGenerator(n_resnet_blocks=6, ndim=2, dtype=jnp.bfloat16)
+        critic = PatchGANDiscriminator(ndim=2, dtype=jnp.bfloat16)
+    else:
+        gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
+        critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
     tx = make_optimizer()
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
@@ -233,10 +243,11 @@ def bench_cycle(k: int, use_gp: bool | None = None):
         run_one()
         times.append(time.perf_counter() - t0)
     sec = min(times)
+    tag = "128sq" if is_2d else "128c"
     print(json.dumps({
-        "metric": f"train_patches_per_sec_128c_{'gp' if use_gp else 'wc'}_cycle{k}",
+        "metric": f"train_patches_per_sec_{tag}_{'gp' if use_gp else 'wc'}_cycle{k}",
         "value": round(k * (n_opt + n_sub) / sec, 2),
-        "unit": "patches/s/chip (schedule-effective)",
+        "unit": ("slices" if is_2d else "patches") + "/s/chip (schedule-effective)",
         "vs_baseline": None,
     }), flush=True)
     _FIRST_METRIC.set()
