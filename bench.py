@@ -41,10 +41,10 @@ BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB, BENCH_WATCHDOG, BENCH_PROBE_TIMEOUT.
 Startup robustness (the round-1/round-2 bench records were both lost to
 tunnel trouble, not code): before any compile, a tiny matmul dispatch is
 timed under its own watchdog — a DEAD tunnel (no answer at all) exits 3
-fast with a diagnostic, while a DEGRADED one (answers, slowly — observed:
-0.45 s healthy vs 123 s degraded for the same probe) scales the first-metric
-watchdog deadline by the measured slowdown instead of killing a run that is
-legitimately progressing. The probe time itself is printed as a JSON line so
+fast with a diagnostic, while a DEGRADED one (answers, slowly — healthy
+probes observed 0.45-2.5 s across rounds vs 84-174 s degraded) scales the
+first-metric watchdog deadline by the measured slowdown instead of killing
+a run that is legitimately progressing. The probe time itself is printed as a JSON line so
 even a run that dies later recorded evidence of tunnel health.
 """
 
@@ -87,31 +87,15 @@ def _warm(fn):
             time.sleep(backoffs[attempt])
 
 
-def bench_train(n_opt: int | None = None, n_sub: int | None = None,
-                tag_suffix: str = "", use_gp: bool | None = None,
-                is_2d: bool | None = None):
-    """3D 128^3 patches/sec/chip for the full WGAN train step (BASELINE.md
-    secondary metric; reference batch 6 OPT + 3 LOW + 3 HIGH, host-side
-    augmentation overlapped — the device step is augmentation-free).
-    ``n_opt``/``n_sub`` override the batch mix (the default run also reports
-    the saturated large-batch point — PERF.md batch-scaling sweep).
-    ``use_gp``/``is_2d`` default to the BENCH_GP/BENCH_2D env flags; the
-    default run passes them explicitly to emit the WGAN-GP and conf_2D-family
-    lines BASELINE.md names."""
-    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+def _train_setup(is_2d: bool, n_opt: int | None, n_sub: int | None):
+    """Shared model/batch-mix construction for bench_train AND bench_cycle
+    (one source of truth: a drift here would make the cycle metric measure a
+    different model than the per-step baseline it is compared against).
+    Honors BENCH_OPT/BENCH_SUB, BENCH_REMAT and (3D) BENCH_LAYOUT."""
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
-    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
-    from contrast_gan_3d_tpu.trainer.steps import (
-        StepConfig, build_train_steps, init_state,
-    )
 
-    if use_gp is None:
-        use_gp = os.environ.get("BENCH_GP") == "1"
-    reps = int(os.environ.get("BENCH_REPS", "3"))
     remat = os.environ.get("BENCH_REMAT") == "1"
-    if is_2d is None:
-        is_2d = os.environ.get("BENCH_2D") == "1"
     if is_2d:
         # conf_2D family (reference conf_2D.py): 128^2 patches, batch
         # 256 OPT + 128 LOW + 128 HIGH, 6 resnet blocks
@@ -132,6 +116,32 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
         # (packed supports remat: nn.remat-wrapped stages, grads verified equal)
         gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat, layout=t_layout)
         critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
+    return patch, n_opt, n_sub, gen, critic
+
+
+def bench_train(n_opt: int | None = None, n_sub: int | None = None,
+                tag_suffix: str = "", use_gp: bool | None = None,
+                is_2d: bool | None = None):
+    """3D 128^3 patches/sec/chip for the full WGAN train step (BASELINE.md
+    secondary metric; reference batch 6 OPT + 3 LOW + 3 HIGH, host-side
+    augmentation overlapped — the device step is augmentation-free).
+    ``n_opt``/``n_sub`` override the batch mix (the default run also reports
+    the saturated large-batch point — PERF.md batch-scaling sweep).
+    ``use_gp``/``is_2d`` default to the BENCH_GP/BENCH_2D env flags; the
+    default run passes them explicitly to emit the WGAN-GP and conf_2D-family
+    lines BASELINE.md names."""
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import (
+        StepConfig, build_train_steps, init_state,
+    )
+
+    if use_gp is None:
+        use_gp = os.environ.get("BENCH_GP") == "1"
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if is_2d is None:
+        is_2d = os.environ.get("BENCH_2D") == "1"
+    patch, n_opt, n_sub, gen, critic = _train_setup(is_2d, n_opt, n_sub)
     tx = make_optimizer()
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     cfg = StepConfig(
@@ -187,9 +197,7 @@ def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
     dispatch. Directly measures what sustained training gets per host round
     trip (BENCH_CYCLE=K; the per-step metrics above measure one program per
     iteration)."""
-    from contrast_gan_3d_tpu.data.augment import AugmentConfig  # noqa: F401
-    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
-    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.data.augment import AugmentConfig
     from contrast_gan_3d_tpu.trainer.optim import make_optimizer
     from contrast_gan_3d_tpu.trainer.steps import (
         StepConfig, build_cycle_step, build_train_steps, init_state,
@@ -202,20 +210,7 @@ def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
     if is_2d is None:
         is_2d = os.environ.get("BENCH_2D") == "1"
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
-    patch = (128, 128, 128)
-    n_opt = int(os.environ.get("BENCH_OPT", "6"))
-    n_sub = int(os.environ.get("BENCH_SUB", "6"))
-    if is_2d:
-        # conf_2D family (cf. bench_train): 128^2 slices, 256+256 mix
-        patch = (128, 128)
-        n_opt = int(os.environ.get("BENCH_OPT", "256"))
-        n_sub = int(os.environ.get("BENCH_SUB", "256"))
-        gen = ResnetGenerator(n_resnet_blocks=6, ndim=2, dtype=jnp.bfloat16)
-        critic = PatchGANDiscriminator(ndim=2, dtype=jnp.bfloat16)
-    else:
-        gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
-        critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
-    tx = make_optimizer()
+    patch, n_opt, n_sub, gen, critic = _train_setup(is_2d, None, None)
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,  # host-warp default
@@ -322,13 +317,14 @@ def _dispatch_probe() -> float:
     - DEAD (jax.devices()/dispatch never answers, 100% iowait): the probe's
       own timer fires -> diagnostic + exit 3 within BENCH_PROBE_TIMEOUT
       (default 300 s) instead of hanging forever recording nothing.
-    - DEGRADED (answers, but ~100x slow — a 0.45 s probe took 123 s on the
-      round-2 capture attempt): returns the measured time so the caller can
-      scale the first-metric deadline instead of exiting on a run that is
+    - DEGRADED (answers, but slowly — a probe that healthy runs answer in
+      0.45-2.5 s took 123 s on the round-2 capture attempt and 84-174 s in
+      round 3): returns the measured time so the caller can scale the
+      first-metric deadline instead of exiting on a run that is
       legitimately (slowly) progressing.
     """
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
-    if float(os.environ.get("BENCH_WATCHDOG", "900")) <= 0:
+    if _watchdog_seconds() <= 0:
         probe_timeout = 0  # BENCH_WATCHDOG=0 means "no timeouts at all"
     done = threading.Event()
 
@@ -363,14 +359,28 @@ def _dispatch_probe() -> float:
     return dt
 
 
-# above this, the tunnel is considered degraded and the watchdog deadline
-# scales by probe/_HEALTHY_PROBE_S. Healthy probes measured on this rig:
-# 2.4-2.5 s (compile + one RTT), so the divisor is the actual healthy cost —
-# dividing by a padded constant would under-extend the deadline by exactly
-# that pad factor and kill legitimately slow-but-progressing runs. The
-# watchdog's job is only the healthy-probe-then-wedged case; heavily
-# degraded runs are protected by incremental metric emission instead.
-_HEALTHY_PROBE_S = 2.5
+# the watchdog deadline scales by probe/_HEALTHY_PROBE_S once the probe
+# exceeds _DEGRADED_AT. The divisor is the FASTEST healthy probe ever
+# observed (0.45 s round 2; 2.3-2.5 s round 3 with a cold remote-compile
+# cache) — dividing by a padded constant under-extends the deadline by
+# exactly the pad factor and kills legitimately slow-but-progressing runs,
+# the round-2 record-loss mode. Generous scaling is safe: the deadline's
+# only job is the healthy-probe-then-wedged case (scale 1), and heavily
+# degraded runs are protected by incremental metric emission regardless.
+_HEALTHY_PROBE_S = 0.45
+_DEGRADED_AT = 10.0  # below this, treat as healthy (scale 1)
+
+
+def _watchdog_seconds() -> float:
+    """BENCH_WATCHDOG parsed once, shared by the probe and the watchdog
+    (<=0 disables both); malformed values fall back to the default rather
+    than crashing before any diagnostic output."""
+    try:
+        return float(os.environ.get("BENCH_WATCHDOG", "900"))
+    except ValueError:
+        print("bench: malformed BENCH_WATCHDOG ignored (using 900)",
+              file=sys.stderr, flush=True)
+        return 900.0
 
 
 def _start_watchdog(probe_s: float = 0.0):
@@ -378,15 +388,17 @@ def _start_watchdog(probe_s: float = 0.0):
     the FIRST metric line hasn't printed within BENCH_WATCHDOG seconds
     (default 900 — cold full-volume compiles take minutes, a healthy startup
     always beats this), print a diagnostic and exit 3. A degraded-tunnel
-    probe (``probe_s`` over ``_HEALTHY_PROBE_S``) scales the deadline
+    probe (``probe_s`` over ``_DEGRADED_AT``) scales the deadline
     proportionally — a 123 s probe means compiles run ~100x slow, and 900 s
     would kill a run that is still progressing (exactly how the round-2
     record was lost). Once any metric is out the run is progressing and the
     watchdog stands down. BENCH_WATCHDOG=0 disables."""
-    timeout = float(os.environ.get("BENCH_WATCHDOG", "900"))
+    timeout = _watchdog_seconds()
     if timeout <= 0:
         return
-    scale = max(1.0, probe_s / _HEALTHY_PROBE_S)
+    scale = 1.0 if probe_s < _DEGRADED_AT else max(
+        1.0, probe_s / _HEALTHY_PROBE_S
+    )
     if scale > 1.0:
         print(
             f"bench: tunnel degraded (probe {probe_s:.1f}s) — watchdog "

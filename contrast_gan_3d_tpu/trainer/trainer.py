@@ -320,26 +320,36 @@ class Trainer:
             metrics = {}
         return metrics, (subopt, mask, names)
 
-    def train_step_cycle(self, patches_list: List[Dict[int, Dict]], iteration: int):
+    def _cycle_pattern(self, iteration: int, length: int) -> tuple:
+        """Branch pattern for iterations [iteration, iteration+length)."""
+        from contrast_gan_3d_tpu.trainer.steps import schedule_branches
+
+        return schedule_branches(
+            self.cfg.train_critic_every, self.cfg.train_generator_every,
+            iteration, length,
+        )
+
+    def train_step_cycle(
+        self,
+        patches_list: List[Dict[int, Dict]],
+        iteration: int,
+        pattern: Optional[tuple] = None,
+    ):
         """``len(patches_list)`` schedule iterations as ONE dispatch
         (``steps.build_cycle_step``): the per-iteration batches stack on a
         leading cycle axis and the branch pattern for iterations
         ``[iteration, iteration+K)`` selects a cached compiled cycle.
         Returns the cycle's metrics and the FIRST iteration's batch (whose
         pre-cycle rng is exactly what the image preview re-derives)."""
-        from contrast_gan_3d_tpu.trainer.steps import (
-            build_cycle_step, schedule_branches,
-        )
+        from contrast_gan_3d_tpu.trainer.steps import build_cycle_step
         import jax.numpy as jnp
 
         assembled = [self._assemble(p) for p in patches_list]
         opt_c = jnp.stack([a[0] for a in assembled])
         subopt_c = jnp.stack([a[1] for a in assembled])
         mask_c = jnp.stack([a[2] for a in assembled])
-        pattern = schedule_branches(
-            self.cfg.train_critic_every, self.cfg.train_generator_every,
-            iteration, len(patches_list),
-        )
+        if pattern is None:
+            pattern = self._cycle_pattern(iteration, len(patches_list))
         cycle = self._cycle_cache.get(pattern)
         if cycle is None:
             cycle = self._cycle_cache[pattern] = build_cycle_step(
@@ -488,7 +498,9 @@ class Trainer:
                 break
             if K == 1:
                 patches = {st.value: next(train_loaders[st.value]) for st in ScanType}
+                pattern = None
             else:
+                pattern = self._cycle_pattern(iteration, k_len)
                 patches_list = [
                     {st.value: next(train_loaders[st.value]) for st in ScanType}
                     for _ in range(k_len)
@@ -499,17 +511,12 @@ class Trainer:
                 _due(iteration, self.cfg.log_images_every, skip_zero=False)
                 and self._can_log_images()
             )
-            if images_due and K > 1:
+            if images_due and pattern is not None:
                 # the preview pairs the cycle's FIRST batch with the
                 # pre-cycle rng; a "none" first branch never consumes that
                 # rng, so the pairing would show augmentation the displayed
                 # batch never got — skip this cycle's preview instead
-                from contrast_gan_3d_tpu.trainer.steps import schedule_branches
-
-                images_due = schedule_branches(
-                    self.cfg.train_critic_every,
-                    self.cfg.train_generator_every, iteration, 1,
-                )[0] != "none"
+                images_due = pattern[0] != "none"
             rng_before = None
             if images_due and self._preview_step is not None:
                 # the step donates (and advances) state.rng — keep a copy so
@@ -524,7 +531,7 @@ class Trainer:
                 metrics, (subopt, mask, names) = self.train_step(patches, iteration)
             else:
                 metrics, (subopt, mask, names) = self.train_step_cycle(
-                    patches_list, iteration
+                    patches_list, iteration, pattern
                 )
             budget.mark("dispatch")
 

@@ -28,14 +28,21 @@ from contrast_gan_3d_tpu.native import cpu_isa_tag
 DEFAULT_BASE = "/tmp/jax_cache"
 
 
-def compilation_cache_dir(base: str = DEFAULT_BASE) -> str:
-    plat = (
+def _platform() -> str:
+    """The platform-config string WITHOUT initializing any backend (see the
+    module docstring) — shared by the cache-dir name and the CPU-persist
+    policy so the two can never disagree."""
+    return str(
         getattr(jax.config, "jax_platforms", None)
         or os.environ.get("JAX_PLATFORMS")
         or "default"
+    ).strip()
+
+
+def compilation_cache_dir(base: str = DEFAULT_BASE) -> str:
+    return os.path.join(
+        base, f"{_platform().replace(',', '+')}-{cpu_isa_tag()}"
     )
-    plat = str(plat).replace(",", "+")
-    return os.path.join(base, f"{plat}-{cpu_isa_tag()}")
 
 
 def setup_compilation_cache(
@@ -53,12 +60,7 @@ def setup_compilation_cache(
     keeps the cache on CPU — test/verify runs eat the (cosmetic,
     same-machine) error lines in exchange for skipping minutes of
     recompiles."""
-    plat = (
-        getattr(jax.config, "jax_platforms", None)
-        or os.environ.get("JAX_PLATFORMS")
-        or "default"
-    )
-    if not persist_on_cpu and str(plat).strip() == "cpu":
+    if not persist_on_cpu and _platform() == "cpu":
         return None
     path = compilation_cache_dir(base)
     os.makedirs(path, exist_ok=True)

@@ -163,8 +163,9 @@ def heap_profile_supported() -> bool:
 
 
 def dump_heap_profile(path) -> bool:
-    """Write the pprof-format device memory profile to ``path`` when the
-    backend supports it; returns whether a file was written."""
+    """Write the pprof-format device memory profile to ``path`` when heap
+    profiling is enabled (MEMPROF_HEAP=1/probe — see
+    :func:`heap_profile_supported`); returns whether a file was written."""
     if not heap_profile_supported():
         return False
     data = jax.profiler.device_memory_profile()
@@ -176,7 +177,7 @@ def dump_heap_profile(path) -> bool:
 def write_memory_snapshot(directory, tag: str) -> list:
     """The per-trace-cycle memory artifact set (JaxProfiler hook): a
     human-readable live-buffer table (always) + the pprof heap profile
-    (when the backend supports it). Returns the paths written."""
+    (MEMPROF_HEAP opt-in). Returns the paths written."""
     os.makedirs(directory, exist_ok=True)
     written = []
     txt = os.path.join(directory, f"memory_{tag}.txt")

@@ -272,3 +272,73 @@ def test_cycle_resume_realigns_boundaries(tmp_path, rng):
     assert int(state2.step) == 7
     # boundaries realigned to multiples of 2 -> log_every=2 fires at 4 and 6
     assert [s for _, s, _ in log2.scalars] == [4, 6]
+
+
+class _ImageRecorder(_Recorder):
+    logs_images = True
+
+    def __init__(self):
+        super().__init__()
+        self.images = []
+
+    def log_images(self, *a, **k):
+        self.images.append(a)
+
+
+@pytest.mark.slow
+def test_cycle_preview_skips_none_first_branch(tmp_path, rng):
+    """The preview pairs the cycle's first batch with the pre-cycle rng;
+    a cycle whose FIRST branch is 'none' never consumed that rng, so its
+    preview is skipped (critic_every=4, generator_every=3, K=2: cycle at
+    iteration 2 is ('none','generator') -> no images; cycle at 0 renders)."""
+    fold = make_dataset(tmp_path / "d", np.random.default_rng(7), n_per_label=2)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, np.random.default_rng(0),
+        num_threads=1, prefetch=2, to_device=False,
+    )
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    log = _ImageRecorder()
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None),
+        TrainerConfig(
+            train_iterations=4, train_critic_every=4, train_generator_every=3,
+            val_every=None, log_every=None, log_images_every=2,
+            checkpoint_every=None, cycle_length=2,
+        ),
+        jax.random.key(0), PATCH, logger_interface=log,
+    )
+    trainer.fit(loaders)
+    # iteration-0 cycle: ('combined','none') -> preview; iteration-2 cycle:
+    # ('none','generator') -> metrics non-empty BUT preview skipped
+    assert len(log.images) == 1
+
+
+def test_first_flush_omits_patches_per_sec(tmp_path):
+    """The first flushed boundary after a (re)start has no prior fetch
+    completion to bracket against — emitting patches_per_sec there would
+    span fit-entry..flush (one lag window longer than the patch window) and
+    understate throughput severalfold; later flushes emit it."""
+    import types
+
+    from contrast_gan_3d_tpu.trainer.trainer import Trainer
+
+    log = _Recorder()
+    t = types.SimpleNamespace(
+        _pending_logs=[
+            {"iteration": 10, "metrics": {"D": jnp.float32(1.0)},
+             "n_patches": 4, "tb": {}},
+            {"iteration": 20, "metrics": {"D": jnp.float32(2.0)},
+             "n_patches": 4, "tb": {}},
+        ],
+        _last_fetch=(0, None),  # resumed at 0; nothing fetched yet
+        logger_interface=log,
+    )
+    Trainer._flush_oldest_log(t)
+    Trainer._flush_oldest_log(t)
+    (first, second) = [sc for _, _, sc in log.scalars]
+    assert "patches_per_sec" not in first
+    assert second["patches_per_sec"] > 0

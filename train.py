@@ -125,8 +125,8 @@ class JaxProfiler:
         if self.memory:
             # memory view of each trace cycle (the reference profiler's
             # profile_memory/record_shapes analogue, reference train.py:44-47):
-            # live-buffer shape table always, pprof heap profile when the
-            # backend survives it (utils/memory.py gates the plugin abort)
+            # live-buffer shape table always; the pprof heap profile needs
+            # MEMPROF_HEAP=1 (this PJRT plugin aborts on it — utils/memory)
             from contrast_gan_3d_tpu.utils.memory import write_memory_snapshot
 
             try:
