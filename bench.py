@@ -14,11 +14,16 @@ in < 2 s. The default run prints, in order:
 4. ``train_patches_per_sec_128c_wc_cycle5`` — the FUSED 4-critic+1-combined
    schedule cycle as one program (schedule-effective sustained-training
    rate; BENCH_MODE=cycle / BENCH_CYCLE=K for other lengths).
-5. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
+5. ``train_patches_per_sec_128c_gp_cycle5`` — the same fused cycle in
+   WGAN-GP mode (symmetric coverage of BASELINE.md's named GP step).
+6. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
    reference 256+128+128 slice batch (BASELINE.md's 2D row).
-6. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
+7. ``inference_volumes_per_sec`` — sustained cohort throughput through the
+   overlapped-I/O streaming path (BASELINE.md's volumes/sec/chip row;
+   BENCH_MODE=stream / BENCH_STREAM_N for the cohort size).
+8. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
    sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
-7. ``full_volume_correction_latency_512x512x400`` (headline) — the default
+9. ``full_volume_correction_latency_512x512x400`` (headline) — the default
    25% overlap (100 forwards). This is the production setting: 25%-overlap
    Gaussian blending is strictly richer aggregation than the reference's
    non-overlapping uniform tiles, and the end-to-end quality study
@@ -33,10 +38,21 @@ at the default batch 24 with remainder batches).
 Metric lines are emitted the moment each is measured (flushed), so a run
 killed partway still records everything it completed.
 
+``BENCH_SMOKE=1`` shrinks every benchmark to tiny shapes and 1-block
+models so the COMPLETE default sequence (probe, every train/cycle/2D line,
+both inference lines) executes in seconds on CPU. The numbers are
+meaningless in smoke mode; the point is that every code path ``main()``
+can reach is executable — ``tests/test_bench_smoke.py`` runs it on every
+suite run, so a refactor that breaks the one file the driver executes
+verbatim fails CI instead of erasing the round's bench record (the
+round-3 failure mode: an untested late refactor left an undefined name in
+``bench_cycle`` and the driver's run crashed before the headline metric).
+
 ``vs_baseline`` on the latency lines is speedup vs the 2 s target (>1 beats
-it). Env knobs: BENCH_MODE=train|infer (single metric), BENCH_OVERLAP,
-BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_2D, BENCH_SPLIT, BENCH_REMAT,
-BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB, BENCH_WATCHDOG, BENCH_PROBE_TIMEOUT.
+it). Env knobs: BENCH_MODE=train|infer|cycle|stream (single metric),
+BENCH_OVERLAP, BENCH_BATCH, BENCH_REPS, BENCH_GP, BENCH_2D, BENCH_SPLIT,
+BENCH_REMAT, BENCH_DEVICE_AUG, BENCH_OPT/BENCH_SUB, BENCH_STREAM_N,
+BENCH_WATCHDOG, BENCH_PROBE_TIMEOUT, BENCH_SMOKE (below).
 
 Startup robustness (the round-1/round-2 bench records were both lost to
 tunnel trouble, not code): before any compile, a tiny matmul dispatch is
@@ -63,8 +79,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+from contrast_gan_3d_tpu.utils.logging_utils import project_logs_to_stderr
 
 setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
+# stdout is the machine-parsed metric stream — INFO logs go to stderr
+project_logs_to_stderr()
 
 
 def _warm(fn):
@@ -87,6 +106,15 @@ def _warm(fn):
             time.sleep(backoffs[attempt])
 
 
+def _SMOKE_GEN_KW(smoke: bool) -> dict:
+    """Tiny-model overrides for BENCH_SMOKE (compile-time, not realism)."""
+    return {"n_resnet_blocks": 1, "init_channels_out": 4} if smoke else {}
+
+
+def _SMOKE_CRITIC_KW(smoke: bool) -> dict:
+    return {"init_channels_out": 4, "discriminator_depth": 2} if smoke else {}
+
+
 def _train_setup(is_2d: bool, n_opt: int | None, n_sub: int | None):
     """Shared model/batch-mix construction for bench_train AND bench_cycle
     (one source of truth: a drift here would make the cycle metric measure a
@@ -96,26 +124,35 @@ def _train_setup(is_2d: bool, n_opt: int | None, n_sub: int | None):
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
 
     remat = os.environ.get("BENCH_REMAT") == "1"
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
     if is_2d:
         # conf_2D family (reference conf_2D.py): 128^2 patches, batch
         # 256 OPT + 128 LOW + 128 HIGH, 6 resnet blocks
-        patch = (128, 128)
-        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "256"))
-        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "256"))
+        patch = (32, 32) if smoke else (128, 128)
+        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "2" if smoke else "256"))
+        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "2" if smoke else "256"))
         gen = ResnetGenerator(
-            n_resnet_blocks=6, ndim=2, dtype=jnp.bfloat16, remat=remat
+            n_resnet_blocks=1 if smoke else 6, ndim=2, dtype=jnp.bfloat16,
+            remat=remat, **({"init_channels_out": 4} if smoke else {}),
         )
-        critic = PatchGANDiscriminator(ndim=2, dtype=jnp.bfloat16, remat=remat)
+        critic = PatchGANDiscriminator(
+            ndim=2, dtype=jnp.bfloat16, remat=remat, **_SMOKE_CRITIC_KW(smoke)
+        )
     else:
-        patch = (128, 128, 128)
-        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "6"))
-        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "6"))
+        patch = (16, 16, 16) if smoke else (128, 128, 128)
+        n_opt = n_opt or int(os.environ.get("BENCH_OPT", "2" if smoke else "6"))
+        n_sub = n_sub or int(os.environ.get("BENCH_SUB", "2" if smoke else "6"))
         # production default (experiments/builder.py): the block-space
         # layout — 46.2 vs 20.9 patches/s; BENCH_LAYOUT=direct to compare
         t_layout = os.environ.get("BENCH_LAYOUT", "packed")
         # (packed supports remat: nn.remat-wrapped stages, grads verified equal)
-        gen = ResnetGenerator(dtype=jnp.bfloat16, remat=remat, layout=t_layout)
-        critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
+        gen = ResnetGenerator(
+            dtype=jnp.bfloat16, remat=remat, layout=t_layout,
+            **_SMOKE_GEN_KW(smoke)
+        )
+        critic = PatchGANDiscriminator(
+            dtype=jnp.bfloat16, remat=remat, **_SMOKE_CRITIC_KW(smoke)
+        )
     return patch, n_opt, n_sub, gen, critic
 
 
@@ -211,6 +248,7 @@ def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
         is_2d = os.environ.get("BENCH_2D") == "1"
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     patch, n_opt, n_sub, gen, critic = _train_setup(is_2d, None, None)
+    tx = make_optimizer()
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,  # host-warp default
@@ -253,15 +291,18 @@ def bench_inference(overlap: float):
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
     from contrast_gan_3d_tpu.ops.sliding_window import make_volume_corrector
 
-    shape = (512, 512, 400)
-    patch = (128, 128, 128)
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    shape = (48, 48, 32) if smoke else (512, 512, 400)
+    patch = (16, 16, 16) if smoke else (128, 128, 128)
     packed_bench = os.environ.get("BENCH_LAYOUT", "packed") == "packed"
     # packed fits batch 24 (fastest — sweep in PERF.md); direct OOMs above 8
-    batch = int(os.environ.get("BENCH_BATCH", "24" if packed_bench else "8"))
+    batch = int(os.environ.get(
+        "BENCH_BATCH", "2" if smoke else ("24" if packed_bench else "8")
+    ))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # flagship generator, bf16 compute / f32 params (MXU-native)
-    gen = ResnetGenerator(dtype=jnp.bfloat16)
+    gen = ResnetGenerator(dtype=jnp.bfloat16, **_SMOKE_GEN_KW(smoke))
     x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
     variables = gen.init(jax.random.key(0), x0, train=False)
 
@@ -306,6 +347,77 @@ def bench_inference(overlap: float):
         "value": round(latency, 4),
         "unit": "s",
         "vs_baseline": round(target / latency, 3),
+    }), flush=True)
+    _FIRST_METRIC.set()
+
+
+def bench_streaming():
+    """Sustained inference throughput (BASELINE.md's "CCTA volumes/sec/chip"
+    row): stream BENCH_STREAM_N (default 10) synthetic 512x512x400 volumes
+    through ``eval.utils.correct_patients`` with overlapped I/O — a loader
+    thread reads + device_puts the next scan while the chip corrects the
+    current one and a writer thread encodes + writes the previous result
+    (the TPU-native answer to the reference's mp.Pool fan-out,
+    reference eval/utils.py:27-39). Measures the PIPELINE, not one volume:
+    disk decode/encode and H2D/D2H must hide behind compute, so sustained
+    volumes/s should approach 1/latency of the single-volume headline.
+    ``vs_baseline`` is vs the 0.5 volumes/s the 2 s north-star implies.
+    I/O format is uncompressed .nii in a temp dir (compression policy is
+    orthogonal to the pipeline being measured)."""
+    import shutil
+    import tempfile
+
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.eval.utils import correct_patients
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    shape = (48, 48, 32) if smoke else (512, 512, 400)
+    patch = (16, 16, 16) if smoke else (128, 128, 128)
+    n_vols = int(os.environ.get("BENCH_STREAM_N", "3" if smoke else "10"))
+    overlap = float(os.environ.get("BENCH_OVERLAP", "0.25"))
+
+    gen = ResnetGenerator(dtype=jnp.bfloat16, **_SMOKE_GEN_KW(smoke))
+    x0 = jnp.zeros((1, *patch, 1), jnp.bfloat16)
+    variables = gen.init(jax.random.key(0), x0, train=False)
+    corrector = CCTAContrastCorrector(
+        gen, variables["params"],
+        generator_stats=variables.get("batch_stats"),
+        inference_patch_size=patch, overlap=overlap, dtype=jnp.bfloat16,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        rng = np.random.default_rng(0)
+        spacing = np.ones(3, np.float64)
+        origin = np.zeros(3, np.float64)
+        paths = []
+        for i in range(n_vols):
+            vol = rng.integers(-1024, 1500, shape, dtype=np.int16)
+            p = os.path.join(tmp, f"vol{i:03d}.nii")
+            io_utils.write_nifti(vol, p, spacing=spacing, origin=origin)
+            paths.append(p)
+        outdir = os.path.join(tmp, "out")
+
+        # warm: compile the sliding-window program once (same shape for the
+        # whole cohort, so the timed region never compiles)
+        _warm(lambda: float(np.asarray(corrector(
+            jnp.asarray(rng.integers(-1024, 1500, shape, dtype=np.int16))
+        ))[0, 0, 0]))
+
+        t0 = time.perf_counter()
+        out = correct_patients(corrector, outdir, paths, suffix=".nii")
+        elapsed = time.perf_counter() - t0
+        assert len(out) == n_vols
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "inference_volumes_per_sec",
+        "value": round(n_vols / elapsed, 4),
+        "unit": "volumes/s/chip (512x512x400, sustained, overlapped I/O)",
+        "vs_baseline": round((n_vols / elapsed) / 0.5, 3),
     }), flush=True)
     _FIRST_METRIC.set()
 
@@ -431,6 +543,8 @@ def main():
         return bench_inference(default_overlap)
     if mode == "cycle":
         return bench_cycle(int(os.environ.get("BENCH_CYCLE", "5")))
+    if mode == "stream":
+        return bench_streaming()
     # the default sequence pins every mode EXPLICITLY — env-resolved flags
     # here would let BENCH_GP=1 print the GP line twice and drop the wc
     # baseline the output contract names (BENCH_GP affects the single-metric
@@ -446,10 +560,16 @@ def main():
         bench_train(n_opt=48, n_sub=48, tag_suffix="_batch96", use_gp=False)
         # the fused 4-critic+1-combined schedule cycle as ONE program — the
         # sustained-training number (round 3: 101.3 vs 83.7 patches/s
-        # schedule-effective dispatched per-iteration)
+        # schedule-effective dispatched per-iteration) — in BOTH critic modes
+        # (BASELINE.md names the WGAN-GP step; round 3 only benched wc)
         bench_cycle(5, use_gp=False)
+        bench_cycle(5, use_gp=True)
         # the conf_2D family line (BASELINE.md's 2D row), reference batch mix
         bench_train(use_gp=False, is_2d=True)
+    # sustained cohort throughput with overlapped I/O (BASELINE.md
+    # volumes/sec/chip row) — before the latency lines so the headline
+    # stays LAST
+    bench_streaming()
     if default_overlap != 0.5:
         bench_inference(0.5)
     bench_inference(default_overlap)
