@@ -31,6 +31,40 @@ from contrast_gan_3d_tpu.trainer.logger import (
 from contrast_gan_3d_tpu.trainer.optim import make_optimizer
 from contrast_gan_3d_tpu.trainer.steps import StepConfig
 from contrast_gan_3d_tpu.trainer.trainer import TrainerConfig
+from contrast_gan_3d_tpu.utils.logging_utils import create_logger
+
+logger = create_logger(name=__name__)
+
+
+def resolve_cycle_length(cfg: ExperimentConfig) -> int:
+    """Resolve ``cfg.cycle_length`` (None = auto) to a concrete K.
+
+    Auto picks the schedule period ``train_generator_every`` — fusing the
+    reference 4-critic+1-combined cycle into ONE compiled program (measured
+    +21%% schedule-effective on-chip, PERF.md) — when every host-visible
+    cadence is a multiple of it, so log/val/checkpoint/stop semantics are
+    exactly the per-iteration ones (cadences fire at cycle boundaries that
+    ARE their due iterations). Any cadence that doesn't divide falls back
+    to per-iteration dispatch rather than silently shifting its firing
+    points. Explicit ints are honored as-is."""
+    if cfg.cycle_length is not None:
+        return max(1, int(cfg.cycle_length))
+    k = int(cfg.train_generator_every or 0)
+    if k <= 1:
+        return 1
+    # (train_critic_every needn't divide: critic/generator branching happens
+    # INSIDE the cycle pattern, per iteration — schedule_branches)
+    cadences = (
+        cfg.log_every, cfg.log_images_every, cfg.validate_every,
+        cfg.checkpoint_every, TrainerConfig.stop_sync_every,
+    )
+    if any(c is not None and c % k for c in cadences):
+        return 1
+    logger.info(
+        "cycle_length auto: fusing %d-iteration schedule cycles into one "
+        "program (every cadence divides; pass cycle_length=1 to disable)", k,
+    )
+    return k
 
 
 @dataclass
@@ -165,7 +199,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         checkpoint_every=cfg.checkpoint_every,
         checkpoint_keep=cfg.checkpoint_keep,
         checkpoint_dir=checkpoint_dir,
-        cycle_length=cfg.cycle_length,
+        cycle_length=resolve_cycle_length(cfg),
     )
 
     rng = np.random.default_rng(seed)

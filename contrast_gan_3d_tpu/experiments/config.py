@@ -129,9 +129,14 @@ class ExperimentConfig:
     logger: str = "console"
 
     # fused schedule cycles: compile K consecutive schedule iterations as
-    # one XLA program (K host round-trips -> 1; identical math). Cadences
-    # (log/val/checkpoint) round to cycle boundaries. 1 = per-iteration.
-    cycle_length: int = 1
+    # one XLA program (K host round-trips -> 1; identical math — locked by
+    # tests/test_cycle.py). Cadences (log/val/checkpoint) round to cycle
+    # boundaries. None = AUTO (production default): pick the schedule
+    # period ``train_generator_every`` when every cadence divides it —
+    # true for all reference presets (log 100 / val 400 / ckpt 1000 are
+    # x5) — else fall back to per-iteration dispatch. 1 = force
+    # per-iteration; explicit K>1 forces that length.
+    cycle_length: Optional[int] = None
 
     # parallelism: shard batches over a data mesh of this many devices
     # (None -> single device; 0 -> all local devices)

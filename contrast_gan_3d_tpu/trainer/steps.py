@@ -475,6 +475,9 @@ def build_cycle_step(
     Metrics: the last value per key across the cycle, except ``D`` which is
     the MEAN critic loss over the cycle's critic updates (a cycle spans
     several critic steps — the mean is the honest scalar for that window).
+    Image previews at cycle boundaries pair the cycle's FIRST batch with
+    POST-cycle params (up to K-1 updates of drift vs the 1-update skew of
+    per-iteration mode — see ``Trainer._log_train_images``).
 
     The reference has no analogue (its eager loop pays Python+CUDA-launch
     per iteration, reference trainer/Trainer.py:218-241); this is the

@@ -17,7 +17,7 @@ import itertools
 import signal
 import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Any, Dict, Iterable, List, Optional
 
 import jax
@@ -142,6 +142,19 @@ class Trainer:
     ):
         self.generator = generator
         self.critic = critic
+        if split_combined and trainer_config.cycle_length > 1:
+            # the cycle program inlines the FUSED combined step
+            # (steps.build_cycle_step) — exactly the high-peak-HBM program
+            # split_combined exists to avoid. Fall back to per-iteration
+            # dispatch (which honors the split phases) instead of silently
+            # compiling the fused graph and risking the OOM.
+            logger.warning(
+                "split_combined=True: cycle_length=%d ignored — fused "
+                "schedule cycles inline the combined step the split mode "
+                "avoids; dispatching per-iteration",
+                trainer_config.cycle_length,
+            )
+            trainer_config = dc_replace(trainer_config, cycle_length=1)
         self.cfg = trainer_config
         self.step_cfg = step_config
         self.logger_interface = logger_interface or NoopLogger()
@@ -684,7 +697,17 @@ class Trainer:
         """Render the batch the step actually trained on (reference
         Trainer.py:187-203). Host-augmented batches arrive pre-augmented;
         with on-device augmentation the preview step re-derives the step's
-        augmentation from ``rng_before`` (the PRNG key the step consumed)."""
+        augmentation from ``rng_before`` (the PRNG key the step consumed).
+
+        Cycle-mode drift (cycle_length K > 1): the caller passes the
+        cycle's FIRST batch and pre-cycle rng but renders with POST-cycle
+        params, so the reconstruction comes from a generator up to K-1
+        updates newer than the one that trained on that batch. The
+        per-iteration path has the same params/batch skew of exactly one
+        update (the reference logs pre-update activations mid-step instead);
+        K merely widens it — preview images are a qualitative monitor, not
+        a training artifact, so the cycle keeps its single fused program
+        rather than returning an extra pre-update forward per boundary."""
         n = len(names) if names else np.asarray(mask).shape[0]
         if self._preview_step is not None and rng_before is not None:
             sample_s, sample_hat, atten, mask_s = self._preview_step(

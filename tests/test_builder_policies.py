@@ -138,3 +138,39 @@ def test_unknown_logger_is_rejected():
 
     with pytest.raises(ValueError, match="unknown logger"):
         build(replace(load_config("basic_3d"), logger="Wandb"))
+
+
+def test_cycle_length_auto_picks_schedule_period():
+    """Production default (VERDICT r3 #3): every reference preset's cadences
+    divide the 5-iteration schedule, so auto fuses cycles."""
+    built = build(load_config("basic_3d"))
+    assert built.trainer_config.cycle_length == 5
+
+
+def test_cycle_length_auto_falls_back_on_non_dividing_cadence():
+    cfg = replace(load_config("basic_3d"), log_every=7)
+    assert build(cfg).trainer_config.cycle_length == 1
+
+
+def test_cycle_length_explicit_overrides_auto():
+    cfg = replace(load_config("basic_3d"), cycle_length=1)
+    assert build(cfg).trainer_config.cycle_length == 1
+    cfg = replace(load_config("basic_3d"), cycle_length=3)
+    assert build(cfg).trainer_config.cycle_length == 3
+
+
+def test_cycle_length_auto_every_preset_resolves():
+    """Auto must never pick a K any preset's cadences don't divide."""
+    from contrast_gan_3d_tpu.experiments import PRESETS
+    from contrast_gan_3d_tpu.experiments.builder import resolve_cycle_length
+    from contrast_gan_3d_tpu.trainer.trainer import TrainerConfig
+
+    for name in PRESETS:
+        cfg = load_config(name)
+        k = resolve_cycle_length(cfg)
+        assert k >= 1
+        if k > 1:
+            for c in (cfg.log_every, cfg.log_images_every,
+                      cfg.validate_every, cfg.checkpoint_every,
+                      TrainerConfig.stop_sync_every):
+                assert c is None or c % k == 0, (name, c, k)

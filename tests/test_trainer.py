@@ -467,3 +467,27 @@ def test_graceful_stop_without_checkpointing_breaks_and_warns(tmp_path, rng, cap
     first = next(m for m in msgs if "Graceful stop requested" in m)
     assert "WITHOUT a checkpoint" in first, first
     assert "then checkpointing" not in first, first
+
+
+def test_split_combined_forces_per_iteration_dispatch(caplog):
+    """ADVICE r3: cycle programs inline the fused combined step — the exact
+    graph split_combined exists to avoid. The Trainer must fall back to
+    per-iteration dispatch (warned), not silently compile the fused cycle."""
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    cfg = TrainerConfig(train_iterations=4, cycle_length=5)
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None), cfg,
+        jax.random.key(0), PATCH, split_combined=True,
+    )
+    assert trainer.cfg.cycle_length == 1
+    assert cfg.cycle_length == 5  # caller's config object untouched
+    # without the split request the cycle length stands
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None), cfg,
+        jax.random.key(0), PATCH,
+    )
+    assert trainer.cfg.cycle_length == 5
