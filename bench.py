@@ -556,8 +556,11 @@ def main():
         bench_train(use_gp=True)
         # the large-batch point the step saturates at (PERF.md batch-scaling
         # sweep: ~103 patches/s by 48+48) — what data-parallel pods feeding
-        # >=24 local patches per chip actually get
-        bench_train(n_opt=48, n_sub=48, tag_suffix="_batch96", use_gp=False)
+        # >=24 local patches per chip actually get (smoke: same call path,
+        # small batch — 96 patches of CPU math would dominate the suite)
+        smoke = os.environ.get("BENCH_SMOKE") == "1"
+        big = 4 if smoke else 48
+        bench_train(n_opt=big, n_sub=big, tag_suffix="_batch96", use_gp=False)
         # the fused 4-critic+1-combined schedule cycle as ONE program — the
         # sustained-training number (round 3: 101.3 vs 83.7 patches/s
         # schedule-effective dispatched per-iteration) — in BOTH critic modes

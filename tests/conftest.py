@@ -30,3 +30,47 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# The smoke contract (VERDICT r3 #6): `pytest -m smoke` is the <2-minute
+# subset that MUST run before any snapshot-bound commit — it executes every
+# driver-run entry file (bench.py via BENCH_SMOKE, __graft_entry__.py,
+# train.py, each scripts/ CLI) plus one fast test per subsystem. Curated
+# here (single source of truth) instead of scattered decorators.
+# File-only entries mark the whole file; func entries ignore parametrization.
+_SMOKE = {
+    # driver-executed entry files
+    "test_bench_smoke.py::test_default_sequence_emits_full_contract",
+    "test_bench_smoke.py::test_mode_cycle",
+    "test_graft_entry.py",        # entry() + dryrun_multichip
+    "test_scripts_cli.py",        # every scripts/ CLI main() in-process
+    "test_train_cli.py::test_train_cli_end_to_end",
+    # one per subsystem
+    "test_io.py::test_mhd_roundtrip",
+    "test_geometry.py::test_world_to_image_roundtrip",
+    "test_models.py::test_generator_param_count_matches_reference",
+    "test_losses.py::test_wasserstein_loss",
+    "test_scaler.py::test_zero_center_shift_value",
+    "test_hdf5.py::test_standalone_roundtrip",
+    "test_pipeline.py::test_prefetch_loader_lifecycle",
+    "test_host_augment.py::test_identity_affine_roundtrip",
+    "test_native.py::test_crop_pad_from_memmap",
+    "test_checkpoint.py::test_save_load_roundtrip",
+    "test_trainer.py::test_split_combined_forces_per_iteration_dispatch",
+    "test_sliding_window.py::test_grid_starts_cover_every_voxel",
+    "test_eval_metrics.py::test_collect_patient_voxels",
+    "test_serving.py::test_healthz_and_roundtrip",
+    "test_parallel.py::test_data_parallel_step_matches_single_device[packed]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    smoke_files = {e for e in _SMOKE if "::" not in e}
+    smoke_funcs = {e for e in _SMOKE if "::" in e}
+    for item in items:
+        fname = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        exact = fname + "::" + item.name
+        base = fname + "::" + item.name.split("[", 1)[0]
+        if fname in smoke_files or base in smoke_funcs or exact in smoke_funcs:
+            item.add_marker(pytest.mark.smoke)

@@ -13,8 +13,6 @@ import json
 import pathlib
 import sys
 
-import pytest
-
 ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
@@ -38,7 +36,6 @@ def _run_main(monkeypatch, capsys, **env):
     return metrics
 
 
-@pytest.mark.smoke
 def test_default_sequence_emits_full_contract(monkeypatch, capsys):
     """The default run must emit the probe + all 7 metric lines, in order,
     with the headline LAST (the driver reports the last line as the round's
@@ -61,7 +58,6 @@ def test_default_sequence_emits_full_contract(monkeypatch, capsys):
     assert metrics[1]["vs_baseline"] is None
 
 
-@pytest.mark.smoke
 def test_mode_cycle(monkeypatch, capsys):
     """BENCH_MODE=cycle — the exact path round 3 committed broken."""
     metrics = _run_main(monkeypatch, capsys, BENCH_MODE="cycle",
@@ -69,7 +65,6 @@ def test_mode_cycle(monkeypatch, capsys):
     assert metrics[-1]["metric"] == "train_patches_per_sec_128c_wc_cycle2"
 
 
-@pytest.mark.smoke
 def test_mode_train_gp_and_infer(monkeypatch, capsys):
     metrics = _run_main(monkeypatch, capsys, BENCH_MODE="train", BENCH_GP="1")
     assert metrics[-1]["metric"] == "train_patches_per_sec_128c_gp"
@@ -80,7 +75,6 @@ def test_mode_train_gp_and_infer(monkeypatch, capsys):
     )
 
 
-@pytest.mark.smoke
 def test_mode_2d(monkeypatch, capsys):
     """BENCH_2D=1 default sequence: 2D line plus both inference lines only
     (the 3D train variants are skipped by contract)."""
