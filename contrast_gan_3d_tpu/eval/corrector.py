@@ -61,6 +61,9 @@ class CCTAContrastCorrector:
         # argument as the 25-vs-50%-overlap study, PERF.md) but not
         # bit-identical to the unpadded grid.
         self.z_bucket = int(z_bucket)
+        # distinct (W, H, z_eff) shapes dispatched so far == compiled
+        # program count (the jitted window retraces per shape)
+        self.dispatched_shapes: set = set()
 
         variables = {"params": generator_params}
         if generator_stats:
@@ -272,6 +275,15 @@ class CCTAContrastCorrector:
     def __call__(self, volume) -> jax.Array:
         """Correct one (W, H, D) HU volume (int16/float); float32 HU out."""
         volume = jnp.asarray(volume)
+        # one XLA program per distinct dispatched (post-bucketing) shape:
+        # recorded so daemons/tests can observe compile growth on mixed
+        # cohorts (serving logs the policy at startup)
+        d = volume.shape[2]
+        z_eff = (
+            d + (self.z_bucket - d % self.z_bucket)
+            if self.z_bucket > 0 and d % self.z_bucket else d
+        )
+        self.dispatched_shapes.add((volume.shape[0], volume.shape[1], z_eff))
         # z_bucket applies to BOTH families (a warm daemon on a mixed-z
         # cohort otherwise recompiles per distinct extent). For 2D it is
         # exactly output-preserving: padded slices are corrected

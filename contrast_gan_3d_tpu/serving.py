@@ -49,6 +49,26 @@ class CorrectionService:
         self._n = 0
         self._total_s = 0.0
         self._max_s = 0.0
+        # compile policy, stated once at startup (the jitted window
+        # compiles per distinct volume shape; scripts/serve.py defaults
+        # --z-bucket 64 so a mixed-z cohort is bounded to a few programs)
+        zb = getattr(corrector, "z_bucket", 0)
+        if zb:
+            logger.info(
+                "z_bucket=%d: z extents pad up (edge values) to the next "
+                "multiple before correcting — bounds compiles on mixed-z "
+                "cohorts; 3D outputs are not bit-identical to the unpadded "
+                "blend grid (the padded extent changes the Gaussian patch "
+                "grid — negligible for trained attenuation fields, see "
+                "PERF.md overlap study)", zb,
+            )
+        else:
+            logger.warning(
+                "z_bucket=0: EVERY distinct z extent compiles its own XLA "
+                "program on first sight (bit-exact, but a mixed-z cohort "
+                "pays a multi-second compile each) — production daemons "
+                "should set z_bucket (scripts/serve.py defaults to 64)"
+            )
         if warmup_shape is not None:
             self.warmup(warmup_shape)
 
@@ -81,6 +101,13 @@ class CorrectionService:
                 "requests": n,
                 "mean_latency_s": round(self._total_s / n, 4) if n else None,
                 "max_latency_s": round(self._max_s, 4) if n else None,
+                # one compiled XLA program per distinct dispatched shape —
+                # growth here on a warm daemon means the z-bucket policy
+                # isn't bounding the cohort
+                "compiled_shapes": sorted(
+                    list(s) for s in
+                    getattr(self.corrector, "dispatched_shapes", ())
+                ),
             }
 
 
