@@ -76,6 +76,17 @@ def main():
         help="2d = conf_2D-family: 2D patches/models, per-slice correction",
     )
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("--workdir", type=Path, default=None,
+                   help="persist the study (cohort, checkpoint, held-out "
+                        "scans) here instead of a throwaway tempdir — lets "
+                        "scripts/eval_hu_shift.py run on the trained result")
+    p.add_argument("--eval-cohort", type=int, default=0,
+                   help="additionally write N held-out RAW LOW scans (+ "
+                        "centerline dirs), correct them with the trained "
+                        "generator, and emit original_list.json / "
+                        "corrected_list.json in eval_hu_shift.py's format "
+                        "(the reference notebook's original-vs-corrected "
+                        "study on the synthetic cohort)")
     p.add_argument("--p-centerline-3d", type=float, default=0.0,
                    help="fraction of train crops centered on centerline "
                         "points (guided 3D sampling A/B)")
@@ -96,7 +107,11 @@ def main():
     from contrast_gan_3d_tpu.trainer.trainer import Trainer
     from contrast_gan_3d_tpu.utils import seed_everything
 
-    tmp = Path(tempfile.mkdtemp(prefix="cgan3d_validate_"))
+    if args.workdir is not None:
+        tmp = Path(args.workdir)
+        tmp.mkdir(parents=True, exist_ok=True)
+    else:
+        tmp = Path(tempfile.mkdtemp(prefix="cgan3d_validate_"))
     rng = np.random.default_rng(0)
     fold = []
     vessel_by_label = {0: 400, -1: 250, 1: 550}
@@ -175,6 +190,54 @@ def main():
         summary[f"{tag}moved_toward_corridor"] = bool(
             abs(after - mid) < abs(before - mid)
         )
+    if args.eval_cohort > 0:
+        # held-out RAW cohort for the original-vs-corrected HU study
+        # (reference notebooks/eval_HU_distribution_shift.ipynb): LOW scans
+        # + an OPT anchor series, centerline dirs alongside, corrected LOW
+        # via the trained generator — lists in scripts/eval_hu_shift.py's
+        # [[scan, centerline_dir, myocardium|null], label] format
+        from contrast_gan_3d_tpu.utils import io_utils
+
+        raw_dir, corr_dir = tmp / "eval_raw", tmp / "eval_corrected"
+        raw_dir.mkdir(parents=True, exist_ok=True)
+        corr_dir.mkdir(parents=True, exist_ok=True)
+
+        def write_raw(name, vessel_hu):
+            vol, _, meta = synth_patient(rng, tuple(args.shape), vessel_hu)
+            scan = raw_dir / f"{name}.mhd"
+            io_utils.write_mhd(
+                vol.astype(np.int16), scan,
+                spacing=meta["spacing"], origin=meta["offset"],
+            )
+            pdir = raw_dir / name
+            pdir.mkdir(exist_ok=True)
+            np.savetxt(pdir / "vessel0.txt", meta["centerlines_world"])
+            ostia = meta["ostia_world"]
+            (pdir / "ostia.xml").write_text(
+                "<XMarkerList><ListSize>2</ListSize>"
+                + "".join(f"<pos>{x} {y} {z}</pos>" for x, y, z in ostia)
+                + "</XMarkerList>"
+            )
+            return vol, meta, scan, pdir
+
+        original, corrected_list = [], []
+        for i in range(args.eval_cohort):
+            vol, meta, scan, pdir = write_raw(f"low_{i}", 250)
+            original.append([[str(scan), str(pdir), None], -1])
+            corr = np.asarray(corrector(vol))
+            cpath = corr_dir / f"low_{i}.mhd"
+            corrector.save(corr, cpath, meta)
+            corrected_list.append([[str(cpath), str(pdir), None], -1])
+        for i in range(max(2, args.eval_cohort // 2)):
+            _, _, scan, pdir = write_raw(f"opt_{i}", 400)
+            original.append([[str(scan), str(pdir), None], 0])
+        (tmp / "original_list.json").write_text(json.dumps(original))
+        (tmp / "corrected_list.json").write_text(json.dumps(corrected_list))
+        summary["eval_lists"] = {
+            "original": str(tmp / "original_list.json"),
+            "corrected": str(tmp / "corrected_list.json"),
+        }
+
     print(json.dumps(summary))
     if args.out:
         args.out.write_text(json.dumps(summary, indent=2))

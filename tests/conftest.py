@@ -73,4 +73,5 @@ def pytest_collection_modifyitems(config, items):
         exact = fname + "::" + item.name
         base = fname + "::" + item.name.split("[", 1)[0]
         if fname in smoke_files or base in smoke_funcs or exact in smoke_funcs:
-            item.add_marker(pytest.mark.smoke)
+            if item.get_closest_marker("slow") is None:  # smoke is FAST
+                item.add_marker(pytest.mark.smoke)

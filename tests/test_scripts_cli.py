@@ -311,3 +311,37 @@ def test_preprocess_cli_h5_chunks_requires_h5_output(tmp_path, rng, monkeypatch)
             monkeypatch, "preprocess", tmp_path, tmp_path / "out",
             "--h5-chunks", "16", "16", "1", "2",
         )
+
+
+@pytest.mark.slow  # ~2 min cold (its toy models compile fresh programs)
+def test_validate_learning_cli_with_eval_cohort(monkeypatch, tmp_path):
+    """Smoke-scale run of the convergence study CLI with the persisted
+    workdir + held-out eval cohort, chained into eval_hu_shift (the
+    committed reports/synthetic_study artifact pipeline). Numbers are
+    meaningless at 4 iterations — this keeps the pipeline executable."""
+    wd = tmp_path / "study"
+    _run(
+        monkeypatch, "validate_learning",
+        "--iterations", "4", "--cycle-length", "2",
+        "--workdir", wd, "--eval-cohort", "1",
+        "--out", wd / "summary.json",
+    )
+    summary = json.loads((wd / "summary.json").read_text())
+    assert "centerline_mean_hu_after" in summary
+    assert (wd / "ckpt").exists()
+    original = json.loads((wd / "original_list.json").read_text())
+    assert any(label == -1 for _, label in original)  # held-out LOW
+    assert any(label == 0 for _, label in original)   # OPT anchor
+    _run(
+        monkeypatch, "eval_hu_shift",
+        wd / "original_list.json", wd / "hu_shift",
+        "--tag", "original", "--workers", "1",
+        "--series", f"corrected={wd / 'corrected_list.json'}",
+    )
+    for f in ("hu_shift_original.json", "hu_shift_corrected.json",
+              "hu_shift_compare.png"):
+        assert (wd / "hu_shift" / f).exists()
+    corrected = json.loads(
+        (wd / "hu_shift" / "hu_shift_corrected.json").read_text()
+    )
+    assert corrected  # non-empty per-ScanType summary
