@@ -345,3 +345,19 @@ def test_validate_learning_cli_with_eval_cohort(monkeypatch, tmp_path):
         (wd / "hu_shift" / "hu_shift_corrected.json").read_text()
     )
     assert corrected  # non-empty per-ScanType summary
+
+
+@pytest.mark.slow  # ~30 s: 5 programs trace+lower each run (not cacheable)
+def test_flops_accounting_cli_smoke(monkeypatch, capsys):
+    """Rot guard: the MFU-accounting probe (PERF.md round-4 table) stays
+    executable against the living step/model APIs (--smoke = tiny shapes;
+    the real run's numbers are committed in PERF.md)."""
+    _run(monkeypatch, "flops_accounting", "--smoke", "--json")
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {
+        "combined_wc_128c_b12", "critic_only_128c_b12",
+        "combined_gp_128c_b12", "combined_wc_128sq_b512",
+        "inference_fwd_packed_128c_b24",
+    }
+    for v in out.values():
+        assert v["flops"] > 0
