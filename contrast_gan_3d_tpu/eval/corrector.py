@@ -10,6 +10,7 @@ model variant batches axial slices through a single jitted apply instead of a
 per-slice python loop (reference :83-99).
 """
 
+import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -62,8 +63,10 @@ class CCTAContrastCorrector:
         # bit-identical to the unpadded grid.
         self.z_bucket = int(z_bucket)
         # distinct (W, H, z_eff) shapes dispatched so far == compiled
-        # program count (the jitted window retraces per shape)
+        # program count (the jitted window retraces per shape); read by
+        # serving /stats from other threads — guard with the lock
         self.dispatched_shapes: set = set()
+        self._shapes_lock = threading.Lock()
 
         variables = {"params": generator_params}
         if generator_stats:
@@ -275,23 +278,26 @@ class CCTAContrastCorrector:
     def __call__(self, volume) -> jax.Array:
         """Correct one (W, H, D) HU volume (int16/float); float32 HU out."""
         volume = jnp.asarray(volume)
-        # one XLA program per distinct dispatched (post-bucketing) shape:
-        # recorded so daemons/tests can observe compile growth on mixed
-        # cohorts (serving logs the policy at startup)
-        d = volume.shape[2]
-        z_eff = (
-            d + (self.z_bucket - d % self.z_bucket)
-            if self.z_bucket > 0 and d % self.z_bucket else d
-        )
-        self.dispatched_shapes.add((volume.shape[0], volume.shape[1], z_eff))
         # z_bucket applies to BOTH families (a warm daemon on a mixed-z
         # cohort otherwise recompiles per distinct extent). For 2D it is
         # exactly output-preserving: padded slices are corrected
         # independently and cropped away (in 3D it changes the blend grid —
-        # see the constructor note).
-        if self.z_bucket > 0 and volume.shape[2] % self.z_bucket:
-            d = volume.shape[2]
-            pad = self.z_bucket - d % self.z_bucket
+        # see the constructor note). ``pad`` is the single source of truth
+        # for both the dispatch-shape record and the actual padding.
+        d = volume.shape[2]
+        pad = (
+            self.z_bucket - d % self.z_bucket
+            if self.z_bucket > 0 and d % self.z_bucket else 0
+        )
+        # one XLA program per distinct dispatched (post-bucketing) shape:
+        # recorded so daemons/tests can observe compile growth on mixed
+        # cohorts (serving logs the policy at startup; /stats reads this
+        # from another thread — mutate only under the lock)
+        with self._shapes_lock:
+            self.dispatched_shapes.add(
+                (volume.shape[0], volume.shape[1], d + pad)
+            )
+        if pad:
             padded = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
             corrected = (
                 self._correct_2d(padded) if self.is_2d

@@ -105,10 +105,21 @@ class CorrectionService:
                 # growth here on a warm daemon means the z-bucket policy
                 # isn't bounding the cohort
                 "compiled_shapes": sorted(
-                    list(s) for s in
-                    getattr(self.corrector, "dispatched_shapes", ())
+                    list(s) for s in self._dispatched_shapes_snapshot()
                 ),
             }
+
+    def _dispatched_shapes_snapshot(self) -> set:
+        """Copy the corrector's shape record under ITS lock — /correct
+        threads mutate the set mid-request and iterating a live set raises."""
+        shapes = getattr(self.corrector, "dispatched_shapes", None)
+        if shapes is None:
+            return set()
+        lock = getattr(self.corrector, "_shapes_lock", None)
+        if lock is None:
+            return set(shapes)
+        with lock:
+            return set(shapes)
 
 
 def _make_handler(service: CorrectionService, max_inflight: int = 4):

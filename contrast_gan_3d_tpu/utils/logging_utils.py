@@ -32,7 +32,11 @@ def project_logs_to_stderr():
     for name, lg in logging.root.manager.loggerDict.items():
         if name.startswith(_PROJECT_PREFIX) and isinstance(lg, logging.Logger):
             for h in lg.handlers:
-                if isinstance(h, logging.StreamHandler):
+                # only console handlers aimed at stdout: FileHandler IS a
+                # StreamHandler subclass and must keep its file stream
+                if isinstance(h, logging.StreamHandler) and getattr(
+                    h, "stream", None
+                ) is sys.stdout:
                     h.setStream(sys.stderr)
 
 

@@ -68,10 +68,37 @@ _SMOKE = {
 def pytest_collection_modifyitems(config, items):
     smoke_files = {e for e in _SMOKE if "::" not in e}
     smoke_funcs = {e for e in _SMOKE if "::" in e}
+    consumed = set()
+    collected_files = set()
     for item in items:
         fname = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        collected_files.add(fname)
         exact = fname + "::" + item.name
         base = fname + "::" + item.name.split("[", 1)[0]
-        if fname in smoke_files or base in smoke_funcs or exact in smoke_funcs:
+        hit = None
+        if fname in smoke_files:
+            hit = fname
+        elif base in smoke_funcs:
+            hit = base
+        elif exact in smoke_funcs:
+            hit = exact
+        if hit is not None:
+            consumed.add(hit)
             if item.get_closest_marker("slow") is None:  # smoke is FAST
                 item.add_marker(pytest.mark.smoke)
+    # a renamed/deleted test must FAIL collection, not silently shrink the
+    # smoke contract (the round-3 failure mode: coverage quietly lost).
+    # Only entries whose FILE was collected are checked, so running a
+    # single test file never trips on the other files' entries; node-id
+    # invocations (`file.py::test_x`) collect partial files and skip the
+    # check entirely.
+    if any("::" in str(a) for a in config.args):
+        return
+    stale = [
+        e for e in _SMOKE
+        if e not in consumed and e.split("::", 1)[0] in collected_files
+    ]
+    if stale:
+        raise pytest.UsageError(
+            f"_SMOKE entries matched no collected test (renamed?): {stale}"
+        )

@@ -507,10 +507,13 @@ def parse_args(argv=None):
                    help="keep only the newest N checkpoints (+ data "
                         "sidecars); default: keep all, like the reference")
     p.add_argument("--cycle-length", type=int, default=None,
-                   help="fuse K consecutive schedule iterations into one "
-                        "compiled program (K host round-trips -> 1; same "
-                        "math; cadences round to cycle boundaries). E.g. 5 "
-                        "fuses the reference 4-critic+1-combined cycle")
+                   help="schedule iterations fused per compiled program. "
+                        "Omitted = AUTO (the production default): the "
+                        "schedule period (5 for every preset) whenever all "
+                        "log/val/checkpoint cadences divide it — the "
+                        "4-critic+1-combined cycle dispatches as ONE "
+                        "program (same math; K host round-trips -> 1). "
+                        "1 forces per-iteration dispatch; K>1 forces K")
     p.add_argument(
         "--logger",
         choices=["wandb", "tensorboard", "file", "console", "none"],
