@@ -491,3 +491,42 @@ def test_split_combined_forces_per_iteration_dispatch(caplog):
         jax.random.key(0), PATCH,
     )
     assert trainer.cfg.cycle_length == 5
+
+
+@pytest.mark.slow
+def test_fit_mesh_plus_cycle_end_to_end(tmp_path, rng):
+    """Fused cycles are the production DEFAULT (round 4) and meshes are the
+    scale-out path — the fit-level composition (stacked (K,B,...) batches
+    assembled from loader streams, put batch-sharded, one cycle program per
+    pattern) must run end-to-end, not just the steps-level dryrun."""
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+
+    fold = make_dataset(tmp_path / "data", rng, n_per_label=2)
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1}, rng, num_threads=1, prefetch=2,
+        to_device=False,
+    )
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    log = RecordingLogger()
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None),
+        TrainerConfig(
+            train_iterations=5, train_critic_every=1,
+            train_generator_every=2, val_every=None, log_every=1,
+            log_images_every=None, checkpoint_every=None,
+            cycle_length=2,  # 5 iterations -> cycles of 2, 2, then a 1-tail
+        ),
+        jax.random.key(0), PATCH, logger_interface=log,
+        mesh=data_mesh(2),
+    )
+    state = trainer.fit(loaders)
+    assert int(jax.device_get(state.step)) == 5
+    train_logs = [s for s in log.scalars if s[0] == "train"]
+    assert train_logs, "cycle boundaries must still log"
+    for _, _, scalars in train_logs:
+        for v in scalars.values():
+            assert np.isfinite(v)
