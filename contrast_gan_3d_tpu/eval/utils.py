@@ -49,6 +49,30 @@ def load_patient_or_scan(patient_path: PathLike):
     return np.asarray(scan_and_mask[..., 0]), meta
 
 
+_INT16_FETCH = None  # lazily-built jitted converter (ONE trace cache)
+
+
+def _device_int16(corrected_dev):
+    """Round + clip the corrected HU volume to int16 ON DEVICE before the
+    fetch. The saved file is int16 regardless (``corrector.save`` applies
+    exactly this round/clip host-side, so the bytes written are
+    bit-identical) — converting before D2H halves the fetched bytes per
+    volume (float32 420 MB -> int16 210 MB for 512x512x400), which matters
+    on PCIe and dominates on tunneled rigs."""
+    global _INT16_FETCH
+    if _INT16_FETCH is None:
+        import jax
+        import jax.numpy as jnp
+
+        info = np.iinfo(np.int16)
+        _INT16_FETCH = jax.jit(
+            lambda x: jnp.clip(
+                jnp.round(x), info.min, info.max
+            ).astype(jnp.int16)
+        )
+    return _INT16_FETCH(corrected_dev)
+
+
 def correct_patient(
     corrector: CCTAContrastCorrector,
     savedir: PathLike,
@@ -59,7 +83,7 @@ def correct_patient(
     (reference ``correct_patient``, eval/utils.py:9-24; ``suffix`` picks the
     output format — .mhd like the reference, .nii/.nii.gz or .h5)."""
     scan, meta = load_patient_or_scan(patient_path)
-    corrected = np.asarray(corrector(scan))
+    corrected = np.asarray(_device_int16(corrector(scan)))
     savepath = io_utils.with_image_suffix(
         Path(savedir) / io_utils.stem(patient_path), suffix
     )
@@ -172,7 +196,9 @@ def correct_patients(
                 break
             scan_dev, meta, p = item
             logger.info("Correcting %r", str(p))
-            corrected = corrector(scan_dev)  # async dispatch
+            # async dispatch; int16 conversion stays on device so the
+            # writer's fetch moves half the bytes (see _device_int16)
+            corrected = _device_int16(corrector(scan_dev))
             savepath = io_utils.with_image_suffix(
                 Path(savedir) / io_utils.stem(p), suffix
             )

@@ -237,3 +237,29 @@ def test_correct_patients_graceful_stop(tmp_path, rng, overlap_io):
     assert sorted(q.name for q in out_dir.glob("*.mhd")) == sorted(
         p.name for p in done
     )
+
+
+def test_device_int16_fetch_matches_host_conversion():
+    """The on-device round/clip that halves D2H bytes must be bit-identical
+    to corrector.save's host-side conversion (incl. half-even rounding and
+    clip extremes)."""
+    import jax.numpy as jnp
+
+    from contrast_gan_3d_tpu.eval.utils import _device_int16
+
+    x = np.array(
+        [0.5, 1.5, 2.5, -0.5, -1.5, 40000.0, -40000.0, 123.4, -123.6],
+        np.float32,
+    )
+    got = np.asarray(_device_int16(jnp.asarray(x)))
+    want = np.clip(
+        np.round(x), np.iinfo(np.int16).min, np.iinfo(np.int16).max
+    ).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+    # int16 input (already converted) round-trips unchanged through the
+    # host-side save conversion
+    np.testing.assert_array_equal(
+        np.clip(np.round(got), np.iinfo(np.int16).min,
+                np.iinfo(np.int16).max).astype(np.int16),
+        got,
+    )
