@@ -83,10 +83,18 @@ class CorrectionService:
             np.asarray(self.corrector(dummy))
         logger.info("Warmed up %s in %.1f s", shape, time.perf_counter() - t0)
 
-    def correct(self, volume: np.ndarray) -> np.ndarray:
+    def correct(self, volume: np.ndarray, int16: bool = False) -> np.ndarray:
+        """``int16=True`` rounds/clips ON DEVICE before the fetch — the
+        identical conversion the host would apply (eval.utils._device_int16,
+        parity-tested), at half the D2H bytes."""
+        from contrast_gan_3d_tpu.eval.utils import _device_int16
+
         t0 = time.perf_counter()
         with self._device_lock:
-            out = np.asarray(self.corrector(volume))
+            out = self.corrector(volume)
+            if int16:
+                out = _device_int16(out)
+            out = np.asarray(out)
         dt = time.perf_counter() - t0
         with self._stats_lock:
             self._n += 1
@@ -237,12 +245,11 @@ def _make_handler(service: CorrectionService, max_inflight: int = 4):
                 # -- compute (server errors -> 500) --------------------------
                 responded = False
                 try:
-                    corrected = service.correct(volume)
+                    corrected = service.correct(
+                        volume,
+                        int16=self.headers.get("X-Response-Dtype") == "int16",
+                    )
                     del volume  # the slot is held through the response
-                    if self.headers.get("X-Response-Dtype") == "int16":
-                        corrected = np.clip(
-                            np.round(corrected), -32768, 32767
-                        ).astype(np.int16)
                     buf = io.BytesIO()
                     np.save(buf, corrected)
                     blob = buf.getvalue()
