@@ -20,7 +20,13 @@ in < 2 s. The default run prints, in order:
    reference 256+128+128 slice batch (BASELINE.md's 2D row).
 7. ``inference_volumes_per_sec`` — sustained cohort throughput through the
    overlapped-I/O streaming path (BASELINE.md's volumes/sec/chip row;
-   BENCH_MODE=stream / BENCH_STREAM_N for the cohort size).
+   BENCH_MODE=stream / BENCH_STREAM_N for the cohort size). NOTE: on the
+   tunneled bench rig this line measures the TUNNEL, not the chip — each
+   volume moves 420 MB (210 H2D + 210 D2H, both int16) over a link
+   measured at 11-31 MB/s, so the pipeline period is the transfer time;
+   on a production host (PCIe) the same transfers cost ~55 ms and
+   sustained ≈ 1/headline-latency (~1.6 vol/s). Per-stage arithmetic in
+   PERF.md "Round-4 on-chip capture".
 8. ``full_volume_correction_latency_512x512x400_50ov`` — Gaussian-blended
    sliding window at the nnU-Net-style 50% overlap (294 generator forwards).
 9. ``full_volume_correction_latency_512x512x400`` (headline) — the default
