@@ -349,9 +349,17 @@ class CCTAContrastCorrector:
     def save(corrected: np.ndarray, out_path, meta: dict):
         out_path = Path(out_path)
         out_path.parent.mkdir(parents=True, exist_ok=True)
-        vol = np.clip(
-            np.round(corrected), np.iinfo(np.int16).min, np.iinfo(np.int16).max
-        ).astype(np.int16)
+        corrected = np.asarray(corrected)
+        if corrected.dtype == np.int16:
+            # already converted (eval.utils.device_int16 fetch) — the
+            # round/clip below would be a no-op at the cost of 2-3
+            # full-volume copies on the streaming writer thread
+            vol = corrected
+        else:
+            vol = np.clip(
+                np.round(corrected), np.iinfo(np.int16).min,
+                np.iinfo(np.int16).max,
+            ).astype(np.int16)
         io_utils.save_scan(
             vol, meta.get("offset"), meta.get("spacing"), out_path,
             direction=meta.get("direction"),

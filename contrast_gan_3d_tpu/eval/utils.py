@@ -52,7 +52,7 @@ def load_patient_or_scan(patient_path: PathLike):
 _INT16_FETCH = None  # lazily-built jitted converter (ONE trace cache)
 
 
-def _device_int16(corrected_dev):
+def device_int16(corrected_dev):
     """Round + clip the corrected HU volume to int16 ON DEVICE before the
     fetch. The saved file is int16 regardless (``corrector.save`` applies
     exactly this round/clip host-side, so the bytes written are
@@ -83,7 +83,7 @@ def correct_patient(
     (reference ``correct_patient``, eval/utils.py:9-24; ``suffix`` picks the
     output format — .mhd like the reference, .nii/.nii.gz or .h5)."""
     scan, meta = load_patient_or_scan(patient_path)
-    corrected = np.asarray(_device_int16(corrector(scan)))
+    corrected = np.asarray(device_int16(corrector(scan)))
     savepath = io_utils.with_image_suffix(
         Path(savedir) / io_utils.stem(patient_path), suffix
     )
@@ -197,8 +197,8 @@ def correct_patients(
             scan_dev, meta, p = item
             logger.info("Correcting %r", str(p))
             # async dispatch; int16 conversion stays on device so the
-            # writer's fetch moves half the bytes (see _device_int16)
-            corrected = _device_int16(corrector(scan_dev))
+            # writer's fetch moves half the bytes (see device_int16)
+            corrected = device_int16(corrector(scan_dev))
             savepath = io_utils.with_image_suffix(
                 Path(savedir) / io_utils.stem(p), suffix
             )

@@ -85,15 +85,15 @@ class CorrectionService:
 
     def correct(self, volume: np.ndarray, int16: bool = False) -> np.ndarray:
         """``int16=True`` rounds/clips ON DEVICE before the fetch — the
-        identical conversion the host would apply (eval.utils._device_int16,
+        identical conversion the host would apply (eval.utils.device_int16,
         parity-tested), at half the D2H bytes."""
-        from contrast_gan_3d_tpu.eval.utils import _device_int16
+        from contrast_gan_3d_tpu.eval.utils import device_int16
 
         t0 = time.perf_counter()
         with self._device_lock:
             out = self.corrector(volume)
             if int16:
-                out = _device_int16(out)
+                out = device_int16(out)
             out = np.asarray(out)
         dt = time.perf_counter() - t0
         with self._stats_lock:

@@ -98,6 +98,14 @@ def pytest_collection_modifyitems(config, items):
         e for e in _SMOKE
         if e not in consumed and e.split("::", 1)[0] in collected_files
     ]
+    # full-tree runs (no .py file named on the command line) additionally
+    # require every _SMOKE FILE to exist — a whole-file rename/delete must
+    # fail here too, not silently drop its subsystem from the contract
+    if not any(str(a).endswith(".py") for a in config.args):
+        stale += [
+            e for e in _SMOKE
+            if e.split("::", 1)[0] not in collected_files and e not in stale
+        ]
     if stale:
         raise pytest.UsageError(
             f"_SMOKE entries matched no collected test (renamed?): {stale}"

@@ -245,13 +245,13 @@ def test_device_int16_fetch_matches_host_conversion():
     clip extremes)."""
     import jax.numpy as jnp
 
-    from contrast_gan_3d_tpu.eval.utils import _device_int16
+    from contrast_gan_3d_tpu.eval.utils import device_int16
 
     x = np.array(
         [0.5, 1.5, 2.5, -0.5, -1.5, 40000.0, -40000.0, 123.4, -123.6],
         np.float32,
     )
-    got = np.asarray(_device_int16(jnp.asarray(x)))
+    got = np.asarray(device_int16(jnp.asarray(x)))
     want = np.clip(
         np.round(x), np.iinfo(np.int16).min, np.iinfo(np.int16).max
     ).astype(np.int16)
