@@ -255,3 +255,31 @@ def test_builder_wires_tensorboard_logger(tmp_path):
     assert built.logger_interface.logs_images is True
     built.logger_interface.end_hook()
     assert (tmp_path / "ck" / "tb").is_dir()
+
+
+def test_project_logs_to_stderr_retargets_and_spares_files(tmp_path):
+    """bench.py's stdout is a machine-parsed JSON stream: the redirect must
+    flip existing+future stdout handlers to stderr while leaving file
+    handlers (a StreamHandler subclass) untouched."""
+    import logging
+    import sys
+
+    from contrast_gan_3d_tpu.utils import logging_utils
+
+    lg = logging_utils.create_logger(name="contrast_gan_3d_tpu._t_stderr")
+    fh = logging.FileHandler(tmp_path / "side.log")
+    lg.addHandler(fh)
+    assert lg.handlers[0].stream is sys.stdout
+
+    old_default = logging_utils._DEFAULT_STREAM
+    try:
+        logging_utils.project_logs_to_stderr()
+        assert lg.handlers[0].stream is sys.stderr
+        assert fh.stream is not sys.stderr  # file handler untouched
+        lg2 = logging_utils.create_logger(
+            name="contrast_gan_3d_tpu._t_stderr_late"
+        )
+        assert lg2.handlers[0].stream is sys.stderr  # future loggers too
+    finally:
+        logging_utils._DEFAULT_STREAM = old_default
+        fh.close()
