@@ -77,6 +77,42 @@ def train_step_program(n_opt: int, n_sub: int, use_gp: bool,
     return compiled, run_once
 
 
+def cycle_program(n_opt: int, n_sub: int, k: int = 5,
+                  patch=(128, 128, 128)):
+    """Lower the PRODUCTION-DEFAULT fused schedule cycle AOT (the
+    4-critic+1-combined pattern experiments/builder.py auto-selects;
+    bench_cycle's exact construction) and return (compiled, run_once)."""
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import (
+        StepConfig, build_cycle_step, build_train_steps, init_state,
+        schedule_branches,
+    )
+    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
+    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
+    tx = make_optimizer()
+    cfg = StepConfig(weight_clip=0.01, dtype=jnp.bfloat16)
+    state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
+    steps = build_train_steps(gen, critic, tx, tx, cfg)
+    cycle = build_cycle_step(steps, schedule_branches(1, 5, 0, k))
+    opt_s = jax.ShapeDtypeStruct((k, n_opt, *patch), jnp.int16)
+    sub_s = jax.ShapeDtypeStruct((k, n_sub, *patch), jnp.int16)
+    msk_s = jax.ShapeDtypeStruct((k, n_sub, *patch), jnp.int16)
+    compiled = cycle.lower(state, opt_s, sub_s, msk_s).compile()
+
+    def run_once():
+        rng = np.random.default_rng(0)
+        opt = jnp.asarray(rng.integers(-1024, 1500, (k, n_opt, *patch), np.int16))
+        sub = jnp.asarray(rng.integers(-1024, 1500, (k, n_sub, *patch), np.int16))
+        msk = jnp.asarray((rng.random((k, n_sub, *patch)) < 0.001).astype(np.int16))
+        new_state, m = compiled(state, opt, sub, msk)
+        float(m["D"])
+        return new_state
+
+    return compiled, run_once
+
+
 def corrector_program(shape=(512, 512, 400), batch=24, overlap=0.25,
                       patch=(128, 128, 128)):
     """Lower the packed full-volume corrector AOT (bench_inference's exact
@@ -131,8 +167,10 @@ def main():
     p.add_argument("--skip-run", action="store_true",
                    help="AOT-only: no execution, no live-buffer tables "
                         "(fast; works without enough free HBM)")
-    p.add_argument("--programs", default="corrector,train,train_gp,train96",
-                   help="comma list from corrector,train,train_gp,train96")
+    p.add_argument(
+        "--programs", default="corrector,train,train_gp,train96,cycle5",
+        help="comma list from corrector,train,train_gp,train96,cycle5",
+    )
     p.add_argument("--tiny", action="store_true",
                    help="shrunk shapes (32^3 patches, tiny volume) — for "
                         "CPU smoke tests; the committed report uses defaults")
@@ -157,6 +195,9 @@ def main():
                      lambda: train_step_program(*nb, use_gp=True, patch=tp)),
         "train96": (f"WGAN-WC combined step 48+48 @{tp[0]}^3 (saturated)",
                     lambda: train_step_program(48, 48, use_gp=False, patch=tp)),
+        "cycle5": (f"WGAN-WC fused 5-iteration cycle {nb[0]}+{nb[1]} "
+                   f"@{tp[0]}^3 (production default)",
+                   lambda: cycle_program(*nb, patch=tp)),
     }
     wanted = [w.strip() for w in args.programs.split(",") if w.strip()]
 
