@@ -266,12 +266,16 @@ def test_project_logs_to_stderr_retargets_and_spares_files(tmp_path):
 
     from contrast_gan_3d_tpu.utils import logging_utils
 
+    # self-contained: an earlier test may already have flipped the default
+    # stream (test_bench_smoke imports bench.py, which calls the redirect)
+    old_default = logging_utils._DEFAULT_STREAM
+    logging_utils._DEFAULT_STREAM = sys.stdout
     lg = logging_utils.create_logger(name="contrast_gan_3d_tpu._t_stderr")
+    lg.handlers[0].setStream(sys.stdout)  # idempotent if freshly created
     fh = logging.FileHandler(tmp_path / "side.log")
     lg.addHandler(fh)
     assert lg.handlers[0].stream is sys.stdout
 
-    old_default = logging_utils._DEFAULT_STREAM
     try:
         logging_utils.project_logs_to_stderr()
         assert lg.handlers[0].stream is sys.stderr
