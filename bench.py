@@ -17,7 +17,9 @@ in < 2 s. The default run prints, in order:
 5. ``train_patches_per_sec_128c_gp_cycle5`` — the same fused cycle in
    WGAN-GP mode (symmetric coverage of BASELINE.md's named GP step).
 6. ``train_patches_per_sec_128sq_wc`` — the 2D conf_2D family at its
-   reference 256+128+128 slice batch (BASELINE.md's 2D row).
+   reference 256+128+128 slice batch (BASELINE.md's 2D row), plus
+   ``_batch4096`` — its saturated large-batch point (the 2D analogue of
+   the 3D ``_batch96`` line; round-4 sweep).
 7. ``inference_volumes_per_sec`` — sustained cohort throughput through the
    overlapped-I/O streaming path (BASELINE.md's volumes/sec/chip row;
    BENCH_MODE=stream / BENCH_STREAM_N for the cohort size). NOTE: on the
@@ -575,6 +577,11 @@ def main():
         bench_cycle(5, use_gp=True)
         # the conf_2D family line (BASELINE.md's 2D row), reference batch mix
         bench_train(use_gp=False, is_2d=True)
+        # ... and its saturated large-batch point (round-4 sweep: 10.3k ->
+        # 18.4k slices/s from b512 to b4096, flat/regressing beyond)
+        big2d = 4 if smoke else 2048
+        bench_train(n_opt=big2d, n_sub=big2d, tag_suffix="_batch4096",
+                    use_gp=False, is_2d=True)
     # sustained cohort throughput with overlapped I/O (BASELINE.md
     # volumes/sec/chip row) — before the latency lines so the headline
     # stays LAST

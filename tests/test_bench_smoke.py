@@ -49,6 +49,7 @@ def test_default_sequence_emits_full_contract(monkeypatch, capsys):
         "train_patches_per_sec_128c_wc_cycle5",
         "train_patches_per_sec_128c_gp_cycle5",
         "train_patches_per_sec_128sq_wc",
+        "train_patches_per_sec_128sq_wc_batch4096",
         "inference_volumes_per_sec",
         "full_volume_correction_latency_512x512x400_50ov",
         "full_volume_correction_latency_512x512x400",
