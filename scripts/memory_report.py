@@ -44,10 +44,11 @@ from contrast_gan_3d_tpu.utils.memory import (
 )
 
 
-def train_step_program(n_opt: int, n_sub: int, use_gp: bool,
-                       patch=(128, 128, 128)):
-    """Lower the production combined WGAN step AOT (bench_train's exact
-    construction, bench.py) and return (compiled, run_once)."""
+def _wgan_setup(use_gp: bool, patch):
+    """ONE source of truth for model/optimizer/state construction across the
+    step and cycle builders (bench.py's _train_setup rationale: a drift here
+    would make the cycle report measure a different model than the per-step
+    rows it is compared against)."""
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
     from contrast_gan_3d_tpu.models.generator import ResnetGenerator
     from contrast_gan_3d_tpu.trainer.optim import make_optimizer
@@ -60,6 +61,19 @@ def train_step_program(n_opt: int, n_sub: int, use_gp: bool,
     cfg = StepConfig(weight_clip=None if use_gp else 0.01, dtype=jnp.bfloat16)
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
+    return state, steps
+
+
+def _int16_batch(shape):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.integers(-1024, 1500, shape, np.int16))
+
+
+def train_step_program(n_opt: int, n_sub: int, use_gp: bool,
+                       patch=(128, 128, 128)):
+    """Lower the production combined WGAN step AOT (bench_train's exact
+    construction, bench.py) and return (compiled, run_once)."""
+    state, steps = _wgan_setup(use_gp, patch)
     opt_s = jax.ShapeDtypeStruct((n_opt, *patch), jnp.int16)
     sub_s = jax.ShapeDtypeStruct((n_sub, *patch), jnp.int16)
     msk_s = jax.ShapeDtypeStruct((n_sub, *patch), jnp.int16)
@@ -67,8 +81,8 @@ def train_step_program(n_opt: int, n_sub: int, use_gp: bool,
 
     def run_once():
         rng = np.random.default_rng(0)
-        opt = jnp.asarray(rng.integers(-1024, 1500, (n_opt, *patch), np.int16))
-        sub = jnp.asarray(rng.integers(-1024, 1500, (n_sub, *patch), np.int16))
+        opt = _int16_batch((n_opt, *patch))
+        sub = _int16_batch((n_sub, *patch))
         msk = jnp.asarray((rng.random((n_sub, *patch)) < 0.001).astype(np.int16))
         new_state, m = compiled(state, opt, sub, msk)
         float(m["D"])
@@ -82,19 +96,10 @@ def cycle_program(n_opt: int, n_sub: int, k: int = 5,
     """Lower the PRODUCTION-DEFAULT fused schedule cycle AOT (the
     4-critic+1-combined pattern experiments/builder.py auto-selects;
     bench_cycle's exact construction) and return (compiled, run_once)."""
-    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
-    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
-    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
     from contrast_gan_3d_tpu.trainer.steps import (
-        StepConfig, build_cycle_step, build_train_steps, init_state,
-        schedule_branches,
+        build_cycle_step, schedule_branches,
     )
-    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
-    tx = make_optimizer()
-    cfg = StepConfig(weight_clip=0.01, dtype=jnp.bfloat16)
-    state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
-    steps = build_train_steps(gen, critic, tx, tx, cfg)
+    state, steps = _wgan_setup(use_gp=False, patch=patch)
     cycle = build_cycle_step(steps, schedule_branches(1, 5, 0, k))
     opt_s = jax.ShapeDtypeStruct((k, n_opt, *patch), jnp.int16)
     sub_s = jax.ShapeDtypeStruct((k, n_sub, *patch), jnp.int16)
@@ -103,8 +108,8 @@ def cycle_program(n_opt: int, n_sub: int, k: int = 5,
 
     def run_once():
         rng = np.random.default_rng(0)
-        opt = jnp.asarray(rng.integers(-1024, 1500, (k, n_opt, *patch), np.int16))
-        sub = jnp.asarray(rng.integers(-1024, 1500, (k, n_sub, *patch), np.int16))
+        opt = _int16_batch((k, n_opt, *patch))
+        sub = _int16_batch((k, n_sub, *patch))
         msk = jnp.asarray((rng.random((k, n_sub, *patch)) < 0.001).astype(np.int16))
         new_state, m = compiled(state, opt, sub, msk)
         float(m["D"])

@@ -270,6 +270,17 @@ def test_project_logs_to_stderr_retargets_and_spares_files(tmp_path):
     # stream (test_bench_smoke imports bench.py, which calls the redirect)
     old_default = logging_utils._DEFAULT_STREAM
     logging_utils._DEFAULT_STREAM = sys.stdout
+    # snapshot every project handler currently on stdout so the finally
+    # block can undo the redirect's flips exactly
+    was_stdout = [
+        (h, h.stream)
+        for name, other in logging.root.manager.loggerDict.items()
+        if name.startswith("contrast_gan_3d_tpu")
+        and isinstance(other, logging.Logger)
+        for h in other.handlers
+        if type(h) is logging.StreamHandler
+        and getattr(h, "stream", None) is sys.stdout
+    ]
     lg = logging_utils.create_logger(name="contrast_gan_3d_tpu._t_stderr")
     lg.handlers[0].setStream(sys.stdout)  # idempotent if freshly created
     fh = logging.FileHandler(tmp_path / "side.log")
@@ -286,4 +297,9 @@ def test_project_logs_to_stderr_retargets_and_spares_files(tmp_path):
         assert lg2.handlers[0].stream is sys.stderr  # future loggers too
     finally:
         logging_utils._DEFAULT_STREAM = old_default
+        # undo the redirect's flips on OTHER pre-existing loggers too — a
+        # partial run must not leave them retargeted for later tests
+        # (commit e68eca5's ordering-dependency class)
+        for h, stream in was_stdout:
+            h.setStream(stream)
         fh.close()

@@ -106,7 +106,7 @@ def test_memory_report_script_cli(tmp_path):
     out = tmp_path / "mem.md"
     r = subprocess.run(
         [sys.executable, str(repo / "scripts" / "memory_report.py"),
-         "--programs", "train", "--tiny", "--out", str(out)],
+         "--programs", "train,cycle5", "--tiny", "--out", str(out)],
         capture_output=True, text=True, timeout=900,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
              "MEMPROF_HEAP": "0"},
@@ -114,5 +114,6 @@ def test_memory_report_script_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     text = out.read_text()
     assert "WGAN-WC combined step 2+2 @32^3" in text
+    assert "fused 5-iteration cycle" in text
     assert "arguments" in text and "program HBM" in text
     assert "live device buffers" in text  # the post-run table
