@@ -289,24 +289,28 @@ class CCTAContrastCorrector:
             self.z_bucket - d % self.z_bucket
             if self.z_bucket > 0 and d % self.z_bucket else 0
         )
-        # one XLA program per distinct dispatched (post-bucketing) shape:
-        # recorded so daemons/tests can observe compile growth on mixed
-        # cohorts (serving logs the policy at startup; /stats reads this
-        # from another thread — mutate only under the lock)
-        with self._shapes_lock:
-            self.dispatched_shapes.add(
-                (volume.shape[0], volume.shape[1], d + pad)
-            )
         if pad:
             padded = jnp.pad(volume, ((0, 0), (0, 0), (0, pad)), mode="edge")
             corrected = (
                 self._correct_2d(padded) if self.is_2d
                 else self.correct_volume(padded)
             )
-            return corrected[:, :, :d]
-        if self.is_2d:
-            return self._correct_2d(volume)
-        return self.correct_volume(volume)
+            corrected = corrected[:, :, :d]
+        elif self.is_2d:
+            corrected = self._correct_2d(volume)
+        else:
+            corrected = self.correct_volume(volume)
+        # one XLA program per distinct dispatched (post-bucketing) shape:
+        # recorded AFTER the dispatch returns, so a shape whose dispatch
+        # fails (e.g. OOM on an oversized volume) never inflates the
+        # compiled-program count serving /stats reports (daemons/tests
+        # observe compile growth on mixed cohorts; /stats reads this from
+        # another thread — mutate only under the lock)
+        with self._shapes_lock:
+            self.dispatched_shapes.add(
+                (volume.shape[0], volume.shape[1], d + pad)
+            )
+        return corrected
 
     # ------------------------------------------------------------------
     def shard_over(self, mesh, axis: Optional[str] = None) -> "CCTAContrastCorrector":

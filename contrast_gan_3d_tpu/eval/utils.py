@@ -50,6 +50,7 @@ def load_patient_or_scan(patient_path: PathLike):
 
 
 _INT16_FETCH = None  # lazily-built jitted converter (ONE trace cache)
+_INT16_FETCH_LOCK = threading.Lock()
 
 
 def device_int16(corrected_dev):
@@ -61,15 +62,19 @@ def device_int16(corrected_dev):
     on PCIe and dominates on tunneled rigs."""
     global _INT16_FETCH
     if _INT16_FETCH is None:
-        import jax
-        import jax.numpy as jnp
+        # double-checked: two threads racing the first call must not each
+        # build (and later re-trace) their own jitted converter
+        with _INT16_FETCH_LOCK:
+            if _INT16_FETCH is None:
+                import jax
+                import jax.numpy as jnp
 
-        info = np.iinfo(np.int16)
-        _INT16_FETCH = jax.jit(
-            lambda x: jnp.clip(
-                jnp.round(x), info.min, info.max
-            ).astype(jnp.int16)
-        )
+                info = np.iinfo(np.int16)
+                _INT16_FETCH = jax.jit(
+                    lambda x: jnp.clip(
+                        jnp.round(x), info.min, info.max
+                    ).astype(jnp.int16)
+                )
     return _INT16_FETCH(corrected_dev)
 
 

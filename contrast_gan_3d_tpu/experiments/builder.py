@@ -2,6 +2,7 @@
 optimizers, step/trainer configs, loaders, logger) — the analogue of the
 reference's ``TrainManager`` wiring (``train.py:124-209``)."""
 
+import dataclasses
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -36,7 +37,9 @@ from contrast_gan_3d_tpu.utils.logging_utils import create_logger
 logger = create_logger(name=__name__)
 
 
-def resolve_cycle_length(cfg: ExperimentConfig) -> int:
+def resolve_cycle_length(
+    cfg: ExperimentConfig, stop_sync_every: Optional[int] = None
+) -> int:
     """Resolve ``cfg.cycle_length`` (None = auto) to a concrete K.
 
     Auto picks the schedule period ``train_generator_every`` — fusing the
@@ -46,17 +49,25 @@ def resolve_cycle_length(cfg: ExperimentConfig) -> int:
     exactly the per-iteration ones (cadences fire at cycle boundaries that
     ARE their due iterations). Any cadence that doesn't divide falls back
     to per-iteration dispatch rather than silently shifting its firing
-    points. Explicit ints are honored as-is."""
+    points. Explicit ints are honored as-is.
+
+    ``stop_sync_every`` must be the value the trainer will actually run
+    with — ``build()`` passes its constructed TrainerConfig's instance
+    value, so an override there can't silently shift stop-sync firing to
+    cycle boundaries (the class default is only the fallback for direct
+    callers)."""
     if cfg.cycle_length is not None:
         return max(1, int(cfg.cycle_length))
     k = int(cfg.train_generator_every or 0)
     if k <= 1:
         return 1
+    if stop_sync_every is None:
+        stop_sync_every = TrainerConfig.stop_sync_every
     # (train_critic_every needn't divide: critic/generator branching happens
     # INSIDE the cycle pattern, per iteration — schedule_branches)
     cadences = (
         cfg.log_every, cfg.log_images_every, cfg.validate_every,
-        cfg.checkpoint_every, TrainerConfig.stop_sync_every,
+        cfg.checkpoint_every, stop_sync_every,
     )
     if any(c is not None and c % k for c in cadences):
         return 1
@@ -199,7 +210,13 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         checkpoint_every=cfg.checkpoint_every,
         checkpoint_keep=cfg.checkpoint_keep,
         checkpoint_dir=checkpoint_dir,
-        cycle_length=resolve_cycle_length(cfg),
+        cycle_length=1,  # resolved below against the INSTANCE cadences
+    )
+    # auto-fusing must validate against the stop_sync_every this TrainerConfig
+    # actually carries, not the class default (ADVICE r4)
+    trainer_config = dataclasses.replace(
+        trainer_config,
+        cycle_length=resolve_cycle_length(cfg, trainer_config.stop_sync_every),
     )
 
     rng = np.random.default_rng(seed)
