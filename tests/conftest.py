@@ -61,7 +61,7 @@ _SMOKE = {
     "test_sliding_window.py::test_grid_starts_cover_every_voxel",
     "test_eval_metrics.py::test_collect_patient_voxels",
     "test_serving.py::test_healthz_and_roundtrip",
-    "test_parallel.py::test_data_parallel_step_matches_single_device[packed]",
+    "test_parallel.py::test_data_parallel_step_matches_single_device[packed-wc]",
 }
 
 
