@@ -103,6 +103,8 @@ def correct_patients(
     overlap_io: bool = True,
     suffix: str = ".mhd",
     stop_requested=None,
+    load_fn=None,
+    save_fn=None,
 ) -> list:
     """Stream patients through the corrector (reference
     ``parallel_correct_patients`` capability; see module docstring for why
@@ -121,8 +123,22 @@ def correct_patients(
     a truthy return stops the batch gracefully (every volume already
     dispatched is still fetched and written; the return lists exactly the
     completed outputs). Lets long cohort jobs honor SIGTERM/Ctrl-C without
-    losing the in-flight volume (wired by ``scripts/correct_scans.py``)."""
+    losing the in-flight volume (wired by ``scripts/correct_scans.py``).
+
+    ``load_fn`` / ``save_fn`` swap the I/O endpoints while keeping the
+    pipeline (threads, bounded queues, device dispatch order) identical:
+    ``load_fn(item) -> (scan, meta)`` replaces the disk decode (e.g. a
+    pre-staged host-RAM or device-resident cohort — ``bench.py``'s
+    compute-bound sustained-streaming line) and
+    ``save_fn(corrected_dev, savepath, meta)`` replaces the fetch+encode
+    (e.g. a device-side checksum sink). Defaults reproduce the disk
+    behavior exactly."""
     paths = list(patient_paths)
+    load = load_fn if load_fn is not None else load_patient_or_scan
+    if save_fn is None:
+        save_fn = lambda dev, path, meta: corrector.save(  # noqa: E731
+            np.asarray(dev), path, meta
+        )
 
     def _stopped() -> bool:
         if stop_requested is not None and stop_requested():
@@ -137,7 +153,13 @@ def correct_patients(
         for p in paths:
             if _stopped():
                 break
-            out.append(correct_patient(corrector, savedir, p, suffix=suffix))
+            scan, meta = load(p)
+            corrected = device_int16(corrector(scan))
+            savepath = io_utils.with_image_suffix(
+                Path(savedir) / io_utils.stem(p), suffix
+            )
+            save_fn(corrected, savepath, meta)
+            out.append(savepath)
         return out
 
     import jax
@@ -163,7 +185,9 @@ def correct_patients(
             for p in paths:
                 if stop.is_set():
                     return
-                scan, meta = load_patient_or_scan(p)
+                scan, meta = load(p)
+                # device_put is a no-op for an already-committed device
+                # array (pre-staged cohorts), an async H2D copy otherwise
                 if not _put(load_q, (jax.device_put(scan), meta, p)):
                     return
         except Exception as e:  # surfaced in the main thread
@@ -178,7 +202,7 @@ def correct_patients(
                 return
             corrected_dev, savepath, meta = item
             try:
-                corrector.save(np.asarray(corrected_dev), savepath, meta)
+                save_fn(corrected_dev, savepath, meta)
             except Exception as e:
                 errors.append(e)
                 stop.set()

@@ -33,6 +33,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# the axon sitecustomize overrides jax_platforms programmatically; honor an
+# explicit JAX_PLATFORMS env request (same rationale as __graft_entry__.py —
+# a JAX_PLATFORMS=cpu tiny run must not silently compile over the tunnel)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
 setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
 
@@ -44,7 +51,7 @@ from contrast_gan_3d_tpu.utils.memory import (
 )
 
 
-def _wgan_setup(use_gp: bool, patch):
+def _wgan_setup(use_gp: bool, patch, mesh=None, remat: bool = False):
     """ONE source of truth for model/optimizer/state construction across the
     step and cycle builders (bench.py's _train_setup rationale: a drift here
     would make the cycle report measure a different model than the per-step
@@ -55,13 +62,72 @@ def _wgan_setup(use_gp: bool, patch):
     from contrast_gan_3d_tpu.trainer.steps import (
         StepConfig, build_train_steps, init_state,
     )
-    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed")
-    critic = PatchGANDiscriminator(dtype=jnp.bfloat16)
+    gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed", remat=remat)
+    critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
     tx = make_optimizer()
     cfg = StepConfig(weight_clip=None if use_gp else 0.01, dtype=jnp.bfloat16)
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
-    steps = build_train_steps(gen, critic, tx, tx, cfg)
+    steps = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh)
     return state, steps
+
+
+def _aot_mesh(n_data: int, n_space: int):
+    """A (n_data x n_space) dp x sp mesh for AOT memory analysis: attached
+    devices when enough exist, otherwise abstract TPU-topology devices
+    (``jax.experimental.topologies``, v5e:2x2) — XLA then compiles the REAL
+    per-shard TPU program (same partitioner, same buffer assignment) without
+    needing the chips, which is exactly what a compile-time HBM receipt
+    requires. Returns (mesh, executable: bool)."""
+    from contrast_gan_3d_tpu.parallel.mesh import dp_sp_mesh
+
+    n = n_data * n_space
+    if len(jax.devices()) >= n:
+        return dp_sp_mesh(n_data, n_space), True
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    devs = np.asarray(list(topo.devices)[:n]).reshape(n_data, n_space)
+    from jax.sharding import Mesh
+
+    return Mesh(devs, ("data", "space")), False
+
+
+def sharded_train_step_program(n_opt: int, n_sub: int, use_gp: bool,
+                               n_data: int, n_space: int,
+                               patch=(128, 128, 128), remat: bool = False):
+    """AOT-compile the combined WGAN step over a dp x sp mesh and return
+    (compiled, run_once-or-None). ``memory_analysis()`` on the SPMD
+    executable reports PER-SHARD HBM — the receipt behind PERF.md's "the
+    production answer for bigger GP batches is the dp x sp mesh" (the GP
+    double-backward's activation liveness divided by the space axis)."""
+    mesh, executable = _aot_mesh(n_data, n_space)
+    state, steps = _wgan_setup(use_gp, patch, mesh=mesh, remat=remat)
+    opt_s = jax.ShapeDtypeStruct((n_opt, *patch), jnp.int16)
+    sub_s = jax.ShapeDtypeStruct((n_sub, *patch), jnp.int16)
+    msk_s = jax.ShapeDtypeStruct((n_sub, *patch), jnp.int16)
+    compiled = steps.combined_step.lower(state, opt_s, sub_s, msk_s).compile()
+    if not executable:
+        return compiled, None
+
+    from contrast_gan_3d_tpu.parallel.mesh import put_batch, put_replicated
+
+    def run_once():
+        rng = np.random.default_rng(0)
+        state_m = put_replicated(state, mesh)
+        opt = put_batch(
+            rng.integers(-1024, 1500, (n_opt, *patch), dtype=np.int16), mesh
+        )
+        sub = put_batch(
+            rng.integers(-1024, 1500, (n_sub, *patch), dtype=np.int16), mesh
+        )
+        msk = put_batch(
+            (rng.random((n_sub, *patch)) < 0.001).astype(np.int16), mesh
+        )
+        new_state, m = compiled(state_m, opt, sub, msk)
+        float(m["D"])
+        return new_state
+
+    return compiled, run_once
 
 
 def _int16_batch(shape):
@@ -173,8 +239,13 @@ def main():
                    help="AOT-only: no execution, no live-buffer tables "
                         "(fast; works without enough free HBM)")
     p.add_argument(
-        "--programs", default="corrector,train,train_gp,train96,cycle5",
-        help="comma list from corrector,train,train_gp,train96,cycle5",
+        "--programs",
+        default="corrector,train,train_gp,train96,cycle5,gp96_sp2,gp96_dp2",
+        help="comma list from corrector,train,train_gp,train96,cycle5,"
+             "gp96_sp2,gp96_dp2 (the gp96_* rows are per-shard mesh "
+             "programs — compiled via TPU-topology AOT when fewer devices "
+             "than mesh slots are attached, so no execution/live-buffer "
+             "table in that case)",
     )
     p.add_argument("--tiny", action="store_true",
                    help="shrunk shapes (32^3 patches, tiny volume) — for "
@@ -187,9 +258,11 @@ def main():
     )
 
     if args.tiny:
-        tp, vol, vb, nb = (32, 32, 32), (64, 64, 64), 2, (2, 2)
+        tp, vol, vb, nb, gb = (32, 32, 32), (64, 64, 64), 2, (2, 2), (2, 2)
     else:
-        tp, vol, vb, nb = (128, 128, 128), (512, 512, 400), 24, (6, 6)
+        tp, vol, vb, nb, gb = (
+            (128, 128, 128), (512, 512, 400), 24, (6, 6), (48, 48)
+        )
     builders = {
         "corrector": (f"packed corrector {'x'.join(map(str, vol))} @25% "
                       f"(batch {vb})",
@@ -203,6 +276,18 @@ def main():
         "cycle5": (f"WGAN-WC fused 5-iteration cycle {nb[0]}+{nb[1]} "
                    f"@{tp[0]}^3 (production default)",
                    lambda: cycle_program(*nb, patch=tp)),
+        # the GP large-batch escape hatch (PERF.md "GP large-batch HBM
+        # ceiling"): per-SHARD HBM of the same 48+48 GP step under dp x sp
+        # and pure-dp meshes — the compile-time receipt that the mesh, not
+        # single-chip batch growth, is the production answer
+        "gp96_sp2": (f"WGAN-GP combined step {gb[0]}+{gb[1]} @{tp[0]}^3 "
+                     "over dp x sp (1,2) — PER-SHARD",
+                     lambda: sharded_train_step_program(
+                         *gb, use_gp=True, n_data=1, n_space=2, patch=tp)),
+        "gp96_dp2": (f"WGAN-GP combined step {gb[0]}+{gb[1]} @{tp[0]}^3 "
+                     "over dp (2,1) — PER-SHARD",
+                     lambda: sharded_train_step_program(
+                         *gb, use_gp=True, n_data=2, n_space=1, patch=tp)),
     }
     wanted = [w.strip() for w in args.programs.split(",") if w.strip()]
 
@@ -226,12 +311,15 @@ def main():
         lines += [f"## {title}", "", "| quantity | value |", "|---|---|"]
         lines += summary_rows(summary)
         lines.append("")
-        if not args.skip_run:
+        if not args.skip_run and run_once is not None:
             keep = run_once()  # noqa: F841 — holds outputs live for the table
             table = live_buffer_table(top=12)
             lines += ["Live device buffers after one run:", "", "```",
                       format_live_buffer_table(table), "```", ""]
             del keep
+        elif run_once is None:
+            lines += ["(AOT topology compile — per-shard analysis only, "
+                      "not executable on the attached devices)", ""]
         for ln in lines[-14:]:
             print(ln)
 

@@ -52,12 +52,25 @@ def main():
                         "host memory (slot held through the response write); "
                         "excess requests queue before reading their body "
                         "(default 4, min 1 — there is no 'unlimited')")
+    p.add_argument("--dp-devices", type=int, default=None,
+                   help="shard each volume's patch grid over this many "
+                        "local devices (parallel/inference sharded "
+                        "sliding window — multi-chip serving hosts; "
+                        "3D checkpoint serving only, not --artifact/2D)")
     args = p.parse_args()
     if len(args.patch) not in (2, 3):
         p.error("--patch takes W H D (3D) or W H (2D)")
     if args.max_inflight < 1:
         p.error("--max-inflight must be >= 1 (the cap IS the host-memory "
                 "bound; 0 would block every request forever)")
+    if args.dp_devices is not None:
+        if args.artifact:
+            p.error("--dp-devices needs live tracing; AOT .jaxcorr "
+                    "artifacts are exported single-chip")
+        if len(args.patch) == 2:
+            p.error("--dp-devices applies to the 3D sliding window only")
+        if args.dp_devices < 1:
+            p.error("--dp-devices must be >= 1")
 
     import jax.numpy as jnp
 
@@ -91,6 +104,18 @@ def main():
     else:
         corrector = CCTAContrastCorrector.from_checkpoint(args.checkpoint, **kwargs)
         warmup = tuple(args.warmup_shape) if args.warmup_shape else None
+
+    if args.dp_devices is not None:
+        # multi-chip serving host: the SAME daemon, each volume's patch grid
+        # sharded across the local mesh (the TPU answer to scaling the
+        # reference's per-process model replicas, eval/utils.py:27-39)
+        from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+
+        corrector.shard_over(data_mesh(args.dp_devices))
+        print(
+            f"serving with the patch grid sharded over {args.dp_devices} "
+            f"devices ({jax.default_backend()})", flush=True,
+        )
 
     server = CorrectionServer(
         corrector, host=args.host, port=args.port, warmup_shape=warmup,

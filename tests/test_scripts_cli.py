@@ -361,3 +361,79 @@ def test_flops_accounting_cli_smoke(monkeypatch, capsys):
     }
     for v in out.values():
         assert v["flops"] > 0
+
+
+def test_serve_cli_dp_devices(tmp_path, rng, monkeypatch):
+    """serve.py --dp-devices: the daemon comes up with the corrector's patch
+    grid sharded over the CPU mesh and serves outputs equal to the
+    single-chip corrector (the multi-chip serving wiring, VERDICT r4 #5)."""
+    import jax
+    import optax
+
+    from contrast_gan_3d_tpu import serving
+    from contrast_gan_3d_tpu.eval.corrector import CCTAContrastCorrector
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.trainer import checkpoint as ckpt_lib
+    from contrast_gan_3d_tpu.trainer.steps import init_state
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    state = init_state(
+        gen,
+        PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1),
+        optax.adam(1e-4), optax.adam(1e-4), jax.random.key(0), (8, 8, 8),
+    )
+    ckpt_dir = tmp_path / "ck"
+    ckpt_lib.save_checkpoint(state, ckpt_dir, step=1)
+
+    created = []
+    orig_init = serving.CorrectionServer.__init__
+    orig_start = serving.CorrectionServer.start
+
+    def capture_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        created.append(self)
+
+    monkeypatch.setattr(serving.CorrectionServer, "__init__", capture_init)
+    monkeypatch.setattr(
+        serving.CorrectionServer, "serve_until_signaled",
+        lambda self, signums=None: orig_start(self, background=True),
+    )
+    monkeypatch.setattr(
+        serving.CorrectionServer, "start",
+        lambda self, background=True: orig_start(self, background=True),
+    )
+    _run(
+        monkeypatch, "serve", ckpt_dir, "--patch", "8", "8", "8",
+        "--batch", "2", "--port", "0", "--z-bucket", "0",
+        "--dtype", "float32", "--dp-devices", "2",
+    )
+    (srv,) = created
+    try:
+        host, port = srv.address
+        url = f"http://{host}:{port}"
+        # block-aligned extent: the sharded/unsharded equality contract
+        vol = rng.integers(-800, 800, (12, 12, 8)).astype(np.int16)
+        out = serving.correct_remote(url, vol)
+        single = CCTAContrastCorrector(
+            gen,
+            jax.device_get(state.gen_params),
+            jax.device_get(state.gen_stats) or None,
+            inference_patch_size=(8, 8, 8), batch_size=2,
+            dtype=__import__("jax.numpy", fromlist=["float32"]).float32,
+        )
+        np.testing.assert_allclose(
+            out, np.asarray(single(vol)), rtol=1e-4, atol=5e-2
+        )
+    finally:
+        srv.stop()
+
+    # usage errors, not tracebacks: artifact/2D x --dp-devices conflicts
+    with pytest.raises(SystemExit):
+        _run(monkeypatch, "serve", ckpt_dir, "--patch", "8", "8",
+             "--dp-devices", "2")
