@@ -17,12 +17,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import argparse
 import json
+import os
 import tempfile
 from dataclasses import replace
 from pathlib import Path
 
 import jax
 import numpy as np
+
+# the axon sitecustomize overrides jax_platforms programmatically; honor an
+# explicit JAX_PLATFORMS env request (same rationale as __graft_entry__.py —
+# the committed reports/synthetic_study artifacts are CPU reproductions)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
 setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)

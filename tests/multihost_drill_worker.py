@@ -1,0 +1,115 @@
+"""Worker for the pod-scale failure drill (VERDICT r4 #6).
+
+FOUR processes (x2 virtual CPU devices = an 8-device pod) train through the
+real ``Trainer.fit`` with the production preemption wiring
+(``install_preemption_handler``): host 2 delivers itself a REAL ``SIGTERM``
+mid-run — the exact signal a pod scheduler sends ahead of eviction — and the
+coordinated-stop collective (``Trainer._stop_due``) must break ALL FOUR
+hosts at the same iteration boundary, with end-of-fit persistence writing
+one model checkpoint (process 0) plus a per-host data sidecar each. The
+parent test then resumes that checkpoint on a DIFFERENT process count
+through the elastic-resume detection.
+
+Usage: python multihost_drill_worker.py <coordinator> <nprocs> <pid> \
+           <data_dir> <ckpt_dir> <out.json>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from contrast_gan_3d_tpu.utils.cache import setup_compilation_cache
+setup_compilation_cache()  # scoped per platform+CPU features (utils/cache.py)
+
+PATCH = (16, 16, 16)
+SIGNAL_HOST = 2  # the host the "scheduler" preempts
+SIGNAL_STEP = 3
+
+
+def main():
+    coordinator, nprocs, pid, data_dir, ckpt_dir, out_path = sys.argv[1:7]
+
+    import json
+    import signal as sig
+
+    import numpy as np
+
+    from contrast_gan_3d_tpu.data.pipeline import create_loaders
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.parallel import multihost
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+    from contrast_gan_3d_tpu.trainer.logger import LoggerInterface
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import StepConfig
+    from contrast_gan_3d_tpu.trainer.trainer import (
+        Trainer, TrainerConfig, install_preemption_handler,
+    )
+    from tests.synth import make_dataset
+
+    multihost.initialize(coordinator, int(nprocs), int(pid))
+    mesh = data_mesh()
+
+    host_dir = os.path.join(data_dir, f"host{pid}")
+    fold = make_dataset(
+        host_dir, np.random.default_rng(70 + int(pid)), n_per_label=1
+    )
+    loaders = create_loaders(
+        fold, PATCH, {0: 2, -1: 1, 1: 1},
+        np.random.default_rng(170 + int(pid)),
+        num_threads=1, prefetch=1, to_device=False,
+    )
+
+    class PreemptAt(LoggerInterface):
+        """Host SIGNAL_HOST receives a real SIGTERM at train step 3 — the
+        production preemption path, not a direct request_stop call."""
+
+        logs_images = False
+
+        def log_scalars(self, scalars, step, stage="train"):
+            if (
+                stage == "train" and step >= SIGNAL_STEP
+                and int(pid) == SIGNAL_HOST
+            ):
+                os.kill(os.getpid(), sig.SIGTERM)
+
+        def log_images(self, *a, **k):
+            pass
+
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
+    tx = make_optimizer(lr=1e-3)
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None),
+        TrainerConfig(
+            train_iterations=40, train_critic_every=1, train_generator_every=2,
+            val_every=None, log_every=1, log_images_every=None,
+            checkpoint_every=10**6, checkpoint_dir=ckpt_dir,
+            stop_sync_every=2,
+        ),
+        jax.random.key(0), PATCH, logger_interface=PreemptAt(), mesh=mesh,
+    )
+    install_preemption_handler(trainer)
+    state = trainer.fit(loaders)
+
+    with open(out_path, "w") as fd:
+        json.dump(
+            {"final_step": int(jax.device_get(state.step)),
+             "process_index": int(pid),
+             "stop_requested": trainer.stop_requested},
+            fd,
+        )
+    print("drill worker", pid, "ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

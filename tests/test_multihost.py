@@ -320,3 +320,87 @@ def test_two_process_coordinated_graceful_stop(tmp_path, rng):
     names = {p.name for p in ckpt_dir.iterdir()}
     assert f"{step}.msgpack" in names, names
     assert {f"{step}.data.host0.pkl", f"{step}.data.host1.pkl"} <= names, names
+
+
+@pytest.mark.slow
+def test_pod_drill_preempt_one_of_four_then_elastic_resume(tmp_path, rng):
+    """Pod-scale failure drill (VERDICT r4 #6): FOUR processes (8 global
+    devices) train through the production preemption wiring; ONE host gets
+    a real SIGTERM mid-run. The coordinated stop must break all four at the
+    same iteration boundary with consistent persistence (one model
+    checkpoint + four per-host data sidecars), and the run must then resume
+    on a DIFFERENT process count (this test process, single-host 8-device
+    mesh) through the elastic-resume detection — checkpoint -> resize ->
+    resume, end to end."""
+    import jax.numpy as jnp  # noqa: F401  (keeps jax initialized first)
+
+    worker = WORKER.parent / "multihost_drill_worker.py"
+    ckpt_dir = tmp_path / "ckpt"
+    nprocs = 4
+    for attempt in (0, 1):  # gloo barrier can time out under CPU contention
+        coordinator = f"localhost:{_free_port()}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), coordinator, str(nprocs),
+                 str(pid), str(tmp_path / "data"), str(ckpt_dir),
+                 str(tmp_path / f"out{pid}.json")],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=str(WORKER.parent.parent),
+            )
+            for pid in range(nprocs)
+        ]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-4000:]
+
+    results = [
+        json.loads((tmp_path / f"out{pid}.json").read_text())
+        for pid in range(nprocs)
+    ]
+    steps = {r["final_step"] for r in results}
+    assert len(steps) == 1, f"hosts broke at different steps: {results}"
+    (step,) = steps
+    assert 3 < step < 40, results  # preempted early, not at the horizon
+    # the signal reached ONE host; the collective aligned the other three
+    assert all(r["stop_requested"] for r in results), results
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert f"{step}.msgpack" in names, names
+    assert {f"{step}.data.host{h}.pkl" for h in range(nprocs)} <= names, names
+
+    # ---- elastic resume on a DIFFERENT process count: single process,
+    # 8-device mesh. The model checkpoint restores exactly (auto_resume);
+    # the 4-host data sidecars mismatch the new topology, so the data
+    # streams restart fresh (warned) and training runs to a new horizon.
+    from contrast_gan_3d_tpu.data.pipeline import create_loaders
+    from contrast_gan_3d_tpu.trainer.trainer import Trainer, TrainerConfig
+    from tests.synth import make_dataset
+
+    horizon = step + 4
+    gen, critic = _tiny_models()
+    tx = make_optimizer(lr=1e-3)
+    trainer = Trainer(
+        gen, critic, tx, tx, StepConfig(augment=None),
+        TrainerConfig(
+            train_iterations=horizon, train_critic_every=1,
+            train_generator_every=2, val_every=None, log_every=None,
+            log_images_every=None, checkpoint_every=10**6,
+            checkpoint_dir=str(ckpt_dir),
+        ),
+        jax.random.key(1), PATCH, mesh=data_mesh(),
+    )
+    assert trainer.iteration == step  # restored from the drill's checkpoint
+    fold = make_dataset(
+        tmp_path / "resume_data", np.random.default_rng(99), n_per_label=1
+    )
+    loaders = create_loaders(
+        fold, PATCH, {0: 8, -1: 4, 1: 4}, np.random.default_rng(199),
+        num_threads=1, prefetch=1, to_device=False,
+    )
+    state = trainer.fit(loaders)
+    assert int(jax.device_get(state.step)) == horizon
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert f"{horizon}.msgpack" in names, names
+    assert f"{horizon}.data.pkl" in names, names  # single-host sidecar

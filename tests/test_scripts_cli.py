@@ -437,3 +437,51 @@ def test_serve_cli_dp_devices(tmp_path, rng, monkeypatch):
     with pytest.raises(SystemExit):
         _run(monkeypatch, "serve", ckpt_dir, "--patch", "8", "8",
              "--dp-devices", "2")
+
+
+def test_synthetic_tracker_and_marker_recall_cli(tmp_path, rng, monkeypatch):
+    """The synthetic-tracker stand-in -> eval_marker_recall.py chain (the
+    committed reports/synthetic_study marker-recall artifact pipeline):
+    bright vessels track (recall 1.0), under-enhanced ones do not (no
+    centerline output at all — the failure the metric must surface)."""
+    from contrast_gan_3d_tpu.utils import io_utils
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    cohort = []
+    for name, vessel_hu, label in (("opt_0", 420, 0), ("low_0", 250, -1)):
+        vol = rng.normal(50, 10, (16, 16, 16)).astype(np.int16)
+        vol[0, 0, 0] = -1000
+        pts = np.stack([np.linspace(3, 12, 12)] * 3, -1)
+        for x, y, z in np.round(pts).astype(int):
+            vol[x, y, z] = vessel_hu
+        scan = raw / f"{name}.mhd"
+        io_utils.write_mhd(vol, scan, spacing=np.ones(3), origin=np.zeros(3))
+        pdir = raw / name
+        pdir.mkdir()
+        np.savetxt(
+            pdir / "vessel0.txt",
+            np.concatenate([pts, np.ones((len(pts), 1))], -1),
+        )
+        cohort.append([[str(scan), str(pdir), None], label])
+    clist = tmp_path / "cohort.json"
+    clist.write_text(json.dumps(cohort))
+
+    tracked = tmp_path / "tracked"
+    annots = tmp_path / "annots"
+    _run(monkeypatch, "synthetic_tracker", clist, tracked,
+         "--annotations-out", annots)
+    # bright vessels tracked, under-enhanced ones not
+    assert len(np.loadtxt(tracked / "opt_0" / "vessel0.txt", ndmin=2)) > 5
+    assert (tracked / "low_0" / "vessel0.txt").read_text().strip() == ""
+    # derived annotations: 3 arteries x 4 markers each + the labels sheet
+    for artery in ("LAD", "LCX", "RCA"):
+        assert np.loadtxt(annots / "opt_0" / f"{artery}.txt").shape == (4, 3)
+    assert "opt_0,0" in (annots / "labels.csv").read_text()
+
+    out = tmp_path / "recall.json"
+    _run(monkeypatch, "eval_marker_recall", tracked, annots,
+         annots / "labels.csv", out, "--workers", "2")
+    rec = json.loads(out.read_text())
+    assert rec["summary"]["optimal"] == {"LAD": 1.0, "LCX": 1.0, "RCA": 1.0}
+    assert rec["summary"]["suboptimal"] == {}  # nothing tracked on LOW
