@@ -65,7 +65,16 @@ def _wgan_setup(use_gp: bool, patch, mesh=None, remat: bool = False):
     gen = ResnetGenerator(dtype=jnp.bfloat16, layout="packed", remat=remat)
     critic = PatchGANDiscriminator(dtype=jnp.bfloat16, remat=remat)
     tx = make_optimizer()
-    cfg = StepConfig(weight_clip=None if use_gp else 0.01, dtype=jnp.bfloat16)
+    # augment=None — the PRODUCTION device step (host-warp augmentation,
+    # bench._train_setup's construction). Leaving the default device
+    # augmentation in would (a) measure a program the bench doesn't run and
+    # (b) under a mesh defeat the spatial sharding: GSPMD cannot partition
+    # the warp's data-dependent gathers and falls back to full-size
+    # replicated buffers + all-reduces (observed: 384 MB temps per gather)
+    cfg = StepConfig(
+        weight_clip=None if use_gp else 0.01, dtype=jnp.bfloat16,
+        augment=None,
+    )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg, mesh=mesh)
     return state, steps

@@ -39,6 +39,7 @@ def main():
     import json
     import signal as sig
 
+    import jax.numpy as jnp
     import numpy as np
 
     from contrast_gan_3d_tpu.data.pipeline import create_loaders
@@ -56,6 +57,22 @@ def main():
 
     multihost.initialize(coordinator, int(nprocs), int(pid))
     mesh = data_mesh()
+
+    # establish the gloo clique BEFORE the heavyweight train-step compiles:
+    # a trivial cross-process sum compiles in seconds, so worker skew at
+    # the first collective stays far below gloo's 30 s context-init
+    # timeout (4 cold WGAN-step compiles time-sharing one core otherwise
+    # blow it — observed in this test's first run); the barrier then
+    # aligns workers again before the big compiles start
+    from contrast_gan_3d_tpu.parallel.mesh import put_batch
+
+    probe = put_batch(
+        np.ones((jax.local_device_count(),), np.float32), mesh
+    )
+    np.testing.assert_allclose(float(jnp.sum(probe)), jax.device_count())
+    jax._src.distributed.global_state.client.wait_at_barrier(
+        "drill_warmup", timeout_in_ms=600_000
+    )
 
     host_dir = os.path.join(data_dir, f"host{pid}")
     fold = make_dataset(
