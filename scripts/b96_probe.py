@@ -64,13 +64,19 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--attrib", action="store_true")
     p.add_argument("--stages", action="store_true")
+    p.add_argument("--xla-option", action="append", default=[],
+                   help="KEY=VALUE TPU compiler option, repeatable: AOT-"
+                        "compiles the combined step with these "
+                        "``compiler_options`` and times it (the A/B lever "
+                        "path — env XLA_FLAGS can't carry TPU-only flags "
+                        "on this rig, the local parser rejects them)")
     p.add_argument("--n-opt", type=int, default=48)
     p.add_argument("--n-sub", type=int, default=48)
     p.add_argument("--patch", type=int, nargs=3, default=(128, 128, 128))
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
-    do_attrib = args.attrib or not args.stages
-    do_stages = args.stages or not args.attrib
+    do_attrib = args.attrib or not (args.stages or args.xla_option)
+    do_stages = args.stages or not (args.attrib or args.xla_option)
     patch = tuple(args.patch)
 
     from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
@@ -98,6 +104,24 @@ def main():
             "probe": name, "sec": round(sec, 4),
             "batch": [n_opt, n_sub], "patch": list(patch),
         }), flush=True)
+
+    if args.xla_option:
+        # "CONTROL" = AOT compile with NO options: isolates any effect of
+        # the AOT path itself from the option under test
+        opts = dict(
+            kv.split("=", 1) for kv in args.xla_option if kv != "CONTROL"
+        )
+        compiled = steps.combined_step.lower(state, opt, sub, msk).compile(
+            compiler_options=opts
+        )
+        holder = {"s": state}
+
+        def run():
+            holder["s"], m = compiled(holder["s"], opt, sub, msk)
+            float(next(iter(m.values())))
+
+        emit(f"combined_step[{','.join(args.xla_option)}]",
+             _time(run, args.reps))
 
     if do_attrib:
         # forward only (eval-path construction: scale + apply, bf16)

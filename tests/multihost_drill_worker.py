@@ -70,6 +70,15 @@ def main():
         np.ones((jax.local_device_count(),), np.float32), mesh
     )
     np.testing.assert_allclose(float(jnp.sum(probe)), jax.device_count())
+    # ... and the one-device-per-process clique the stop-sync collective
+    # uses (Trainer._stop_due: process_allgather) — a DIFFERENT gloo
+    # context than the all-devices one above; its first real use otherwise
+    # lands right after the big train-step compile, where worker skew
+    # blows the same 30 s window (the second observed failure mode)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.zeros((1,), np.int32))
+    assert flags.shape[0] == int(nprocs)
     jax._src.distributed.global_state.client.wait_at_barrier(
         "drill_warmup", timeout_in_ms=600_000
     )
@@ -116,6 +125,23 @@ def main():
         jax.random.key(0), PATCH, logger_interface=PreemptAt(), mesh=mesh,
     )
     install_preemption_handler(trainer)
+
+    # staggered precompile: process 0 AOT-compiles the two schedule-branch
+    # programs into the shared persistent compile cache; peers sit at
+    # coordination-service barriers (no gloo) and then load from disk at
+    # fit time. Removes (a) 4 redundant concurrent compiles time-sharing
+    # one core and (b) the compile-skew that otherwise puts the first
+    # worker inside a gloo collective 30 s+ before its slowest peer.
+    client = jax._src.distributed.global_state.client
+    if int(pid) == 0:
+        b_opt, b_sub = 2 * int(nprocs), 2 * int(nprocs)
+        opt_s = jax.ShapeDtypeStruct((b_opt, *PATCH), np.int16)
+        sub_s = jax.ShapeDtypeStruct((b_sub, *PATCH), np.int16)
+        msk_s = jax.ShapeDtypeStruct((b_sub, *PATCH), np.int16)
+        for branch in (trainer.steps.combined_step, trainer.steps.critic_step):
+            branch.lower(trainer.state, opt_s, sub_s, msk_s).compile()
+    client.wait_at_barrier("drill_precompiled", timeout_in_ms=600_000)
+
     state = trainer.fit(loaders)
 
     with open(out_path, "w") as fd:
