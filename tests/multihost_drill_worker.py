@@ -95,15 +95,21 @@ def main():
 
     class PreemptAt(LoggerInterface):
         """Host SIGNAL_HOST receives a real SIGTERM at train step 3 — the
-        production preemption path, not a direct request_stop call."""
+        production preemption path, not a direct request_stop call. Sent
+        ONCE: the preemption handler deliberately escalates on a second
+        signal (production semantics), so re-sending at every log
+        boundary would hard-kill the worker mid-fit and deadlock its
+        peers in the next collective (the drill's first failure mode)."""
 
         logs_images = False
+        _sent = False
 
         def log_scalars(self, scalars, step, stage="train"):
             if (
                 stage == "train" and step >= SIGNAL_STEP
-                and int(pid) == SIGNAL_HOST
+                and int(pid) == SIGNAL_HOST and not PreemptAt._sent
             ):
+                PreemptAt._sent = True
                 os.kill(os.getpid(), sig.SIGTERM)
 
         def log_images(self, *a, **k):

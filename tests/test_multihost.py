@@ -375,11 +375,20 @@ def test_pod_drill_preempt_one_of_four_then_elastic_resume(tmp_path, rng):
     # the 4-host data sidecars mismatch the new topology, so the data
     # streams restart fresh (warned) and training runs to a new horizon.
     from contrast_gan_3d_tpu.data.pipeline import create_loaders
+    from contrast_gan_3d_tpu.models.discriminator import PatchGANDiscriminator
+    from contrast_gan_3d_tpu.models.generator import ResnetGenerator
+    from contrast_gan_3d_tpu.parallel.mesh import data_mesh
+    from contrast_gan_3d_tpu.trainer.optim import make_optimizer
+    from contrast_gan_3d_tpu.trainer.steps import StepConfig
     from contrast_gan_3d_tpu.trainer.trainer import Trainer, TrainerConfig
     from tests.synth import make_dataset
 
     horizon = step + 4
-    gen, critic = _tiny_models()
+    # the drill worker's exact architectures — the checkpoint must load
+    gen = ResnetGenerator(
+        n_resnet_blocks=1, n_updownsample_blocks=1, init_channels_out=2
+    )
+    critic = PatchGANDiscriminator(init_channels_out=2, discriminator_depth=1)
     tx = make_optimizer(lr=1e-3)
     trainer = Trainer(
         gen, critic, tx, tx, StepConfig(augment=None),
