@@ -120,6 +120,22 @@ def _warm(fn):
             time.sleep(backoffs[attempt])
 
 
+def _bench_compiler_options():
+    """XLA option overrides for the benched train programs. Default mirrors
+    experiments/builder.resolve_compiler_options: scoped VMEM 64 MiB on the
+    TPU backend (measured win at every batch — PERF.md round-5 A/B), none
+    elsewhere. BENCH_XLA_OPTS overrides: "k=v,k=v" or "none"."""
+    raw = os.environ.get("BENCH_XLA_OPTS")
+    if raw is not None:
+        raw = raw.strip()
+        if raw.lower() in ("", "none", "off"):
+            return None
+        return dict(kv.split("=", 1) for kv in raw.split(","))
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return None
+
+
 def _SMOKE_GEN_KW(smoke: bool) -> dict:
     """Tiny-model overrides for BENCH_SMOKE (compile-time, not realism)."""
     return {"n_resnet_blocks": 1, "init_channels_out": 4} if smoke else {}
@@ -199,6 +215,7 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,
         dtype=jnp.bfloat16,
+        compiler_options=_bench_compiler_options(),
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
@@ -267,11 +284,13 @@ def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,  # host-warp default
         dtype=jnp.bfloat16,
+        compiler_options=_bench_compiler_options(),
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
     pattern = schedule_branches(1, 5, 0, k)
-    cycle = build_cycle_step(steps, pattern)
+    cycle = build_cycle_step(steps, pattern,
+                             compiler_options=cfg.compiler_options)
 
     rng = np.random.default_rng(0)
     opt = jnp.asarray(rng.integers(-1024, 1500, (k, n_opt, *patch), dtype=np.int16))

@@ -78,6 +78,23 @@ def resolve_cycle_length(
     return k
 
 
+def resolve_compiler_options(cfg: ExperimentConfig) -> Optional[dict]:
+    """Resolve ``cfg.xla_compiler_options`` (None = auto) to the dict the
+    step programs compile with. Auto injects the measured TPU default —
+    scoped VMEM 64 MiB, a train-step win at every batch (PERF.md round-5
+    A/B: 0.930 -> 0.892 s at 48+48, 0.257 -> 0.254 s at the reference
+    mix; flat 32-96 MiB plateau) — and nothing on other backends
+    (``xla_tpu_*`` keys are compile errors there). ``{}`` opts out;
+    explicit dicts pass through verbatim."""
+    if cfg.xla_compiler_options is not None:
+        return dict(cfg.xla_compiler_options) or None
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return None
+
+
 @dataclass
 class BuiltExperiment:
     config: ExperimentConfig
@@ -198,6 +215,7 @@ def build(cfg: ExperimentConfig, checkpoint_dir: Optional[str] = None) -> BuiltE
         scaler=scaler,
         augment=augment,
         dtype=dtype,
+        compiler_options=resolve_compiler_options(cfg),
     )
     trainer_config = TrainerConfig(
         train_iterations=cfg.train_iterations,

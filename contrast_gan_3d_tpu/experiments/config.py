@@ -90,6 +90,13 @@ class ExperimentConfig:
     # the 6+3+3 128^3 step fit 16 GB without remat, and skipping the
     # backward recomputes is ~18% faster)
     remat: Optional[bool] = None
+    # XLA option overrides for the jitted train/val programs. None = auto:
+    # on the TPU backend the builder injects scoped VMEM 64 MiB
+    # (xla_tpu_scoped_vmem_limit_kib=65536 — measured train-step win at
+    # every batch, PERF.md round-5 A/B; flat 32-96 MiB plateau) and
+    # nothing elsewhere (TPU-only keys are compile errors on CPU).
+    # {} disables the auto default; explicit dicts pass through verbatim.
+    xla_compiler_options: Optional[dict] = None
 
     # data (basic_conf.py:70-83)
     train_patch_size: Tuple[int, ...] = TRAIN_PATCH_SIZE

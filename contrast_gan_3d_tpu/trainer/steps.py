@@ -45,6 +45,7 @@ def _sharded_jit(
     arg_kinds: str,
     out_kinds: Optional[str] = None,
     donate: bool = True,
+    compiler_options: Optional[dict] = None,
 ):
     """jax.jit partial with per-argument replicated ('r') / batch-sharded
     ('b') / batch-vector ('v', rank-1 (B,) leaves) NamedShardings when a
@@ -53,8 +54,17 @@ def _sharded_jit(
     conv halo exchanges. ``out_kinds`` pins one kind per output (pytree
     prefix): without it GSPMD may return state leaves with a propagated
     (e.g. space-sharded) layout that then mismatches the next call's
-    replicated in_shardings."""
+    replicated in_shardings.
+
+    ``compiler_options``: per-program XLA option overrides
+    (StepConfig.compiler_options — e.g. the measured
+    ``xla_tpu_scoped_vmem_limit_kib`` training win, PERF.md "b96 backward
+    accounting"). Platform-specific keys are the caller's responsibility:
+    a ``xla_tpu_*`` option on the CPU backend is a compile error, which is
+    why the builder only injects the TPU default on TPU."""
     donate_kw = {"donate_argnums": 0} if donate else {}
+    if compiler_options:
+        donate_kw["compiler_options"] = dict(compiler_options)
     if mesh is None:
         return partial(jax.jit, **donate_kw)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -114,6 +124,13 @@ class StepConfig:
     # per-sample uniform draws — deterministic-penalty hook for the live
     # reference train-step parity tests; None (default) = random eps
     gp_eps: Optional[float] = None
+    # per-program XLA option overrides for every jitted step this config
+    # builds (math-preserving scheduling/fusion knobs only). Production
+    # default on TPU (experiments/builder.py): scoped VMEM 64 MiB — a
+    # measured train-step win at every batch (PERF.md round-5 A/B: 0.930
+    # -> 0.892 s at 48+48, 0.257 -> 0.254 at the reference mix). Keys are
+    # platform-specific; None = compiler defaults.
+    compiler_options: Optional[dict] = None
 
     @property
     def hu_bounds_scaled(self) -> Tuple[float, float]:
@@ -311,7 +328,8 @@ def build_train_steps(
         opt_hat = subopt_b - atten
         return state, opt_b, subopt_b, subopt_mask, opt_hat, new_gen_stats, k_gp
 
-    _jit = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rr")
+    _jit = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rr",
+                        compiler_options=cfg.compiler_options)
 
     @_jit
     def critic_step(state: GANTrainState, opt_b, subopt_b, subopt_mask):
@@ -406,7 +424,8 @@ def build_train_steps(
     # scaled) sub-optimal batch to the generator phase — identical semantics
     # to combined_step / the reference's single-batch iteration.
 
-    _jit_phase = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rrbb")
+    _jit_phase = _sharded_jit(mesh, batch_axis, "rbbb", out_kinds="rrbb",
+                              compiler_options=cfg.compiler_options)
 
     @_jit_phase
     def critic_phase(state: GANTrainState, opt_b, subopt_b, subopt_mask):
@@ -417,7 +436,8 @@ def build_train_steps(
         state, loss_d = update_critic(state, opt_b, opt_hat, k_gp)
         return state, {"D": loss_d}, subopt_s, mask_s
 
-    _jit_gen = _sharded_jit(mesh, batch_axis, "rbb", out_kinds="rr")
+    _jit_gen = _sharded_jit(mesh, batch_axis, "rbb", out_kinds="rr",
+                            compiler_options=cfg.compiler_options)
 
     @_jit_gen
     def generator_phase(state: GANTrainState, subopt_s, mask_s):
@@ -458,6 +478,7 @@ def build_cycle_step(
     pattern: tuple,
     mesh: Optional[jax.sharding.Mesh] = None,
     batch_axis: str = "data",
+    compiler_options: Optional[dict] = None,
 ):
     """ONE compiled program running ``len(pattern)`` schedule iterations.
 
@@ -483,7 +504,8 @@ def build_cycle_step(
     per iteration, reference trainer/Trainer.py:218-241); this is the
     TPU-native "compile the schedule, not just the step" shape.
     """
-    _jit = _sharded_jit(mesh, batch_axis, "rccc", out_kinds="rr")
+    _jit = _sharded_jit(mesh, batch_axis, "rccc", out_kinds="rr",
+                        compiler_options=compiler_options)
 
     @_jit
     def cycle_step(state: GANTrainState, opt_c, subopt_c, mask_c):
@@ -558,8 +580,11 @@ def build_val_steps(
     """
 
     val_cfg_scaler = cfg.scaler
-    _jit = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="r", donate=False)
-    _jit_sub = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="rrbb", donate=False)
+    _jit = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="r", donate=False,
+                        compiler_options=cfg.compiler_options)
+    _jit_sub = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="rrbb",
+                            donate=False,
+                            compiler_options=cfg.compiler_options)
 
     @_jit
     def val_opt_step(state: GANTrainState, batch, w):
@@ -596,7 +621,8 @@ def build_preview_step(
     and attenuation match what the step saw. Only needed when
     ``cfg.augment`` is set (host-augmented batches arrive pre-augmented)."""
     assert cfg.augment is not None
-    _jit = _sharded_jit(mesh, batch_axis, "rrbb", out_kinds="bbbb", donate=False)
+    _jit = _sharded_jit(mesh, batch_axis, "rrbb", out_kinds="bbbb",
+                        donate=False, compiler_options=cfg.compiler_options)
 
     @_jit
     def preview(state: GANTrainState, rng_key, subopt, mask):

@@ -366,7 +366,8 @@ class Trainer:
         cycle = self._cycle_cache.get(pattern)
         if cycle is None:
             cycle = self._cycle_cache[pattern] = build_cycle_step(
-                self.steps, pattern, mesh=self.mesh
+                self.steps, pattern, mesh=self.mesh,
+                compiler_options=self.step_cfg.compiler_options,
             )
         self.state, metrics = cycle(self.state, opt_c, subopt_c, mask_c)
         return dict(metrics), (assembled[0][1], assembled[0][2], assembled[0][3])

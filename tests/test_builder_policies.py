@@ -174,3 +174,38 @@ def test_cycle_length_auto_every_preset_resolves():
                       cfg.validate_every, cfg.checkpoint_every,
                       TrainerConfig.stop_sync_every):
                 assert c is None or c % k == 0, (name, c, k)
+
+
+def test_resolve_compiler_options_policy():
+    """None = auto (TPU-only scoped-VMEM default; nothing on CPU — TPU keys
+    are compile errors there); {} opts out; explicit dicts pass through."""
+    import jax
+
+    from contrast_gan_3d_tpu.experiments import load_config
+    from contrast_gan_3d_tpu.experiments.builder import (
+        build, resolve_compiler_options,
+    )
+
+    cfg = load_config("basic_3d")
+    auto = resolve_compiler_options(cfg)
+    if jax.default_backend() == "tpu":
+        assert auto == {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    else:
+        assert auto is None
+
+    from dataclasses import replace
+
+    assert resolve_compiler_options(
+        replace(cfg, xla_compiler_options={})
+    ) is None
+    custom = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    assert resolve_compiler_options(
+        replace(cfg, xla_compiler_options=custom)
+    ) == custom
+
+    # threads into the built StepConfig (and the CPU test backend builds a
+    # config whose programs compile + run — the full-suite trainer tests)
+    built = build(replace(cfg, xla_compiler_options=custom))
+    assert built.step_config.compiler_options == custom
+    built_auto = build(cfg)
+    assert built_auto.step_config.compiler_options == auto
