@@ -507,6 +507,18 @@ def build_cycle_step(
     _jit = _sharded_jit(mesh, batch_axis, "rccc", out_kinds="rr",
                         compiler_options=compiler_options)
 
+    # the per-iteration programs inline into this jit; their RAW bodies
+    # (``__wrapped__``) are traced rather than the jitted wrappers, because
+    # jax rejects ``compiler_options`` on a nested jit — same composition,
+    # identical math (parity locked by tests/test_cycle.py and the
+    # under-mesh cycle tests; the cycle's own in/out shardings pin the
+    # boundary layouts the inner jits' annotations used to)
+    combined_fn = getattr(steps.combined_step, "__wrapped__", steps.combined_step)
+    critic_fn = getattr(steps.critic_step, "__wrapped__", steps.critic_step)
+    gen_only_fn = getattr(
+        steps.generator_only_step, "__wrapped__", steps.generator_only_step
+    )
+
     @_jit
     def cycle_step(state: GANTrainState, opt_c, subopt_c, mask_c):
         metrics = {}
@@ -514,15 +526,15 @@ def build_cycle_step(
         for k, branch in enumerate(pattern):
             o, s, m = opt_c[k], subopt_c[k], mask_c[k]
             if branch == "combined":
-                state, mt = steps.combined_step(state, o, s, m)
+                state, mt = combined_fn(state, o, s, m)
                 metrics.update(mt)
                 d_losses.append(mt["D"])
             elif branch == "critic":
-                state, mt = steps.critic_step(state, o, s, m)
+                state, mt = critic_fn(state, o, s, m)
                 metrics.update(mt)
                 d_losses.append(mt["D"])
             elif branch == "generator":
-                state, mt = steps.generator_only_step(state, o, s, m)
+                state, mt = gen_only_fn(state, o, s, m)
                 metrics.update(mt)
             else:  # "none": advance the step counter only (Trainer parity)
                 state = state.replace(step=state.step + 1)
