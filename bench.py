@@ -120,18 +120,21 @@ def _warm(fn):
             time.sleep(backoffs[attempt])
 
 
-def _bench_compiler_options():
+def _bench_compiler_options(default_eligible: bool = True):
     """XLA option overrides for the benched train programs. Default mirrors
     experiments/builder.resolve_compiler_options: scoped VMEM 64 MiB on the
-    TPU backend (measured win at every batch — PERF.md round-5 A/B), none
-    elsewhere. BENCH_XLA_OPTS overrides: "k=v,k=v" or "none"."""
+    TPU backend for 3D PER-STEP programs only (measured win at every batch;
+    the fused cycle, the 2D family and eval programs each measured WORSE —
+    PERF.md round-5 A/B), none elsewhere. ``default_eligible=False`` (cycle
+    and 2D callers) suppresses the auto default but still honors an
+    explicit BENCH_XLA_OPTS ("k=v,k=v" or "none")."""
     raw = os.environ.get("BENCH_XLA_OPTS")
     if raw is not None:
         raw = raw.strip()
         if raw.lower() in ("", "none", "off"):
             return None
         return dict(kv.split("=", 1) for kv in raw.split(","))
-    if jax.default_backend() == "tpu":
+    if default_eligible and jax.default_backend() == "tpu":
         return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
     return None
 
@@ -215,7 +218,7 @@ def bench_train(n_opt: int | None = None, n_sub: int | None = None,
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,
         dtype=jnp.bfloat16,
-        compiler_options=_bench_compiler_options(),
+        compiler_options=_bench_compiler_options(default_eligible=not is_2d),
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
@@ -280,17 +283,19 @@ def bench_cycle(k: int, use_gp: bool | None = None, is_2d: bool | None = None):
     device_aug = os.environ.get("BENCH_DEVICE_AUG") == "1"
     patch, n_opt, n_sub, gen, critic = _train_setup(is_2d, None, None)
     tx = make_optimizer()
+    # no auto options for the cycle: the scoped-VMEM step win inverts on
+    # the fused program (101.5 -> 97.2 patches/s measured, PERF.md)
+    cycle_opts = _bench_compiler_options(default_eligible=False)
     cfg = StepConfig(
         weight_clip=None if use_gp else 0.01,
         augment=AugmentConfig() if device_aug else None,  # host-warp default
         dtype=jnp.bfloat16,
-        compiler_options=_bench_compiler_options(),
+        compiler_options=cycle_opts,
     )
     state = init_state(gen, critic, tx, tx, jax.random.key(0), patch)
     steps = build_train_steps(gen, critic, tx, tx, cfg)
     pattern = schedule_branches(1, 5, 0, k)
-    cycle = build_cycle_step(steps, pattern,
-                             compiler_options=cfg.compiler_options)
+    cycle = build_cycle_step(steps, pattern, compiler_options=cycle_opts)
 
     rng = np.random.default_rng(0)
     opt = jnp.asarray(rng.integers(-1024, 1500, (k, n_opt, *patch), dtype=np.int16))
@@ -460,19 +465,23 @@ def bench_streaming(resident: bool | None = None):
             return staged[int(name[3:]) % len(staged)], meta
 
         def save_fn(corrected_dev, savepath, _meta):
-            # tiny slice fetch: forces the volume's completion on the
-            # writer thread (the pipeline's backpressure point) without
-            # the 210 MB D2H the rig's tunnel cannot hide
-            checks.append(np.asarray(corrected_dev[0, 0, :4]))
+            # tiny device-side slice per volume (dispatch only — the
+            # fetches batch AFTER the loop, still inside the timed
+            # region, so every volume's completion is forced without
+            # paying one tunnel round trip per volume on rigs where
+            # dispatch latency swings; on PCIe the two shapes are
+            # indistinguishable)
+            checks.append(corrected_dev[0, 0, :4])
 
         t0 = time.perf_counter()
         out = correct_patients(
             corrector, "/unused", names, suffix=".nii",
             load_fn=load_fn, save_fn=save_fn,
         )
+        fetched = [np.asarray(c) for c in checks]  # forces ALL completions
         elapsed = time.perf_counter() - t0
-        assert len(out) == n_vols and len(checks) == n_vols
-        assert all(np.isfinite(c).all() for c in checks)
+        assert len(out) == n_vols and len(fetched) == n_vols
+        assert all(np.isfinite(c).all() for c in fetched)
         metric = "inference_volumes_per_sec_resident"
         unit = ("volumes/s/chip (512x512x400, sustained, device-resident "
                 "cohort — compute-bound; see PERF.md)")

@@ -80,14 +80,18 @@ def resolve_cycle_length(
 
 def resolve_compiler_options(cfg: ExperimentConfig) -> Optional[dict]:
     """Resolve ``cfg.xla_compiler_options`` (None = auto) to the dict the
-    step programs compile with. Auto injects the measured TPU default —
-    scoped VMEM 64 MiB, a train-step win at every batch (PERF.md round-5
-    A/B: 0.930 -> 0.892 s at 48+48, 0.257 -> 0.254 s at the reference
-    mix; flat 32-96 MiB plateau) — and nothing on other backends
-    (``xla_tpu_*`` keys are compile errors there). ``{}`` opts out;
-    explicit dicts pass through verbatim."""
+    per-iteration TRAIN-step programs compile with. Auto injects the
+    measured TPU default — scoped VMEM 64 MiB, a 3D per-step win at every
+    batch (PERF.md round-5 A/B: 0.930 -> 0.892 s at 48+48, 0.257 -> 0.254 s
+    at the reference mix; flat 32-96 MiB plateau) — and nothing for the 2D
+    family (-11% measured) or on other backends (``xla_tpu_*`` keys are
+    compile errors there). Fused cycles and eval programs never take these
+    options regardless (each measured worse — steps.py notes). ``{}`` opts
+    out; explicit dicts pass through verbatim."""
     if cfg.xla_compiler_options is not None:
         return dict(cfg.xla_compiler_options) or None
+    if cfg.is_2d:
+        return None
     import jax
 
     if jax.default_backend() == "tpu":

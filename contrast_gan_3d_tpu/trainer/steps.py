@@ -124,11 +124,14 @@ class StepConfig:
     # per-sample uniform draws — deterministic-penalty hook for the live
     # reference train-step parity tests; None (default) = random eps
     gp_eps: Optional[float] = None
-    # per-program XLA option overrides for every jitted step this config
-    # builds (math-preserving scheduling/fusion knobs only). Production
-    # default on TPU (experiments/builder.py): scoped VMEM 64 MiB — a
-    # measured train-step win at every batch (PERF.md round-5 A/B: 0.930
-    # -> 0.892 s at 48+48, 0.257 -> 0.254 at the reference mix). Keys are
+    # XLA option overrides for the per-iteration TRAIN-step programs
+    # (critic/combined/generator-only/phases) — math-preserving
+    # scheduling/fusion knobs only. Production default on TPU
+    # (experiments/builder.py, 3D only): scoped VMEM 64 MiB — a measured
+    # per-step win at every batch (PERF.md round-5 A/B: 0.930 -> 0.892 s
+    # at 48+48, 0.257 -> 0.254 at the reference mix). Deliberately NOT
+    # applied to eval/preview programs, fused cycles or the 2D family —
+    # each measured WORSE with it (same PERF.md section). Keys are
     # platform-specific; None = compiler defaults.
     compiler_options: Optional[dict] = None
 
@@ -480,6 +483,11 @@ def build_cycle_step(
     batch_axis: str = "data",
     compiler_options: Optional[dict] = None,
 ):
+    # compiler_options default None ON PURPOSE even when the steps carry
+    # them: the scoped-VMEM train-step win INVERTS on the fused cycle
+    # (101.5 -> 97.2 patches/s measured, PERF.md round-5 A/B) — the bigger
+    # inlined program needs the default scoped-memory budget for its
+    # cross-iteration scheduling. The param stays for explicit A/Bs.
     """ONE compiled program running ``len(pattern)`` schedule iterations.
 
     The per-iteration programs already exist (``TrainSteps``); tracing them
@@ -592,11 +600,13 @@ def build_val_steps(
     """
 
     val_cfg_scaler = cfg.scaler
-    _jit = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="r", donate=False,
-                        compiler_options=cfg.compiler_options)
+    # NOTE: no compiler_options here — the scoped-VMEM default is a
+    # measured TRAIN-step win only; eval-mode forward programs measured
+    # slightly WORSE with it (PERF.md round-5 A/B: corrector 0.621 vs
+    # 0.612 s, 2D step -11%)
+    _jit = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="r", donate=False)
     _jit_sub = _sharded_jit(mesh, batch_axis, "rbv", out_kinds="rrbb",
-                            donate=False,
-                            compiler_options=cfg.compiler_options)
+                            donate=False)
 
     @_jit
     def val_opt_step(state: GANTrainState, batch, w):
@@ -634,7 +644,8 @@ def build_preview_step(
     ``cfg.augment`` is set (host-augmented batches arrive pre-augmented)."""
     assert cfg.augment is not None
     _jit = _sharded_jit(mesh, batch_axis, "rrbb", out_kinds="bbbb",
-                        donate=False, compiler_options=cfg.compiler_options)
+                        donate=False)  # eval-mode program: no options (see
+    # build_val_steps note)
 
     @_jit
     def preview(state: GANTrainState, rng_key, subopt, mask):

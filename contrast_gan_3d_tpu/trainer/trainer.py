@@ -365,9 +365,11 @@ class Trainer:
             pattern = self._cycle_pattern(iteration, len(patches_list))
         cycle = self._cycle_cache.get(pattern)
         if cycle is None:
+            # no compiler_options for the cycle program even when the steps
+            # carry them — the scoped-VMEM step win inverts on the fused
+            # cycle (measured, PERF.md round-5 A/B)
             cycle = self._cycle_cache[pattern] = build_cycle_step(
-                self.steps, pattern, mesh=self.mesh,
-                compiler_options=self.step_cfg.compiler_options,
+                self.steps, pattern, mesh=self.mesh
             )
         self.state, metrics = cycle(self.state, opt_c, subopt_c, mask_c)
         return dict(metrics), (assembled[0][1], assembled[0][2], assembled[0][3])

@@ -192,6 +192,8 @@ def test_resolve_compiler_options_policy():
         assert auto == {"xla_tpu_scoped_vmem_limit_kib": "65536"}
     else:
         assert auto is None
+    # 2D family: never auto-injected (-11% measured, PERF.md round-5 A/B)
+    assert resolve_compiler_options(load_config("conf_2d")) is None
 
     from dataclasses import replace
 
